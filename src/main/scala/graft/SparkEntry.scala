@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — queries + DuckDB oracle SQL per SURVEY.md §2.
+  *
+  * Aggregated from the per-module suites; every `Q` with `oracle=Some(sql)`
+  * is hash-compared against DuckDB by the driver, the rest get rows-only
+  * checks (and have ScalaTest specs).
+  */
 object SparkEntry {
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4's vectorized
+    * reader rejects unless surfaced as a raw Long. Settable at runtime; every
+    * entry point calls this so driver-created sessions work too.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  private def suites: Seq[Q] = operators.Relational.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    suites.head.fn(tune(spark), "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    suites.map(q => q.name ->
+      ((s: SparkSession, dir: String) => q.fn(tune(s), dir))).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    suites.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

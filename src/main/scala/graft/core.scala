@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A named query + its DuckDB oracle (None → driver does a rows-only check). */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Typed loaders for the driver-generated tables (TESTDATA.md).
+  *
+  * All timestamp columns are parquet `isAdjustedToUTC=false`, which Spark 4
+  * reads as TIMESTAMP_NTZ — we keep NTZ end-to-end so written results carry
+  * the same logical type the DuckDB oracle produces. `events.ts` is
+  * nanosecond-precision, which Spark's vectorized reader rejects; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a raw Long
+  * (epoch nanos) from which we derive exact integer epoch-millis.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts_ms` (epoch millis, floor-truncated from nanos — same
+    * semantics as DuckDB `epoch_ms(ts)`). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+}
+
+/** Determinism helpers — see SURVEY.md §5.
+  *
+  * Double aggregation is partition-order dependent at the last few bits, so
+  * a naive `sum(double)` can differ between Spark and the DuckDB oracle (and
+  * between two Spark runs with different partitioning). We accumulate in
+  * exact decimal and cast back: bit-identical everywhere, any cluster size.
+  * Scale choice: raw money/quantity columns are exact 2-decimal values →
+  * DECIMAL(18,2) is lossless; arithmetic products of 2-dp columns are exact
+  * ≤6-decimal values → DECIMAL(26,6) is lossless. Lossless cast = no
+  * engine-specific rounding-mode edge cases.
+  */
+object Exact {
+  /** Exact sum of a 2-decimal-valued double column, returned as double. */
+  def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  /** Exact sum of a product of 2-dp columns (≤6 true decimals). */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(26, 6))).cast("double")
+  /** Deterministic mean: exact sum / count, single IEEE division. */
+  def davg2(c: Column): Column = dsum2(c) / count(lit(1))
+
+  /** SQL mirrors for the DuckDB oracle. */
+  def sqlSum2(e: String, as: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE) AS $as"
+  def sqlSum6(e: String, as: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(26,6))) AS DOUBLE) AS $as"
+  def sqlAvg2(e: String, as: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS $as"
+}

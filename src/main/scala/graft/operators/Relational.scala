@@ -1,0 +1,455 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Exact, Q, Tables}
+import graft.Exact._
+
+/** Relational core — SURVEY.md §2.2 + §2.3 composed operators.
+  *
+  * Every query ends in a total deterministic order (unique tie-break keys)
+  * and every double is derived via Exact.* so the DuckDB oracle hashes
+  * identically. Scale notes per query: filters/projections sit directly on
+  * the scan (pushdown), small dims are broadcast, and aggregations rely on
+  * Spark's partial (map-side) aggregation — no driver-side loops anywhere.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- q01
+  private val q01 = Q(
+    "q01_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = discPrice * (lit(1) + col("l_tax"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(discPrice).as("sum_disc_price"),
+          dsum6(charge).as("sum_charge"),
+          davg2(col("l_quantity")).as("avg_qty"),
+          davg2(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${sqlSum2("l_quantity", "sum_qty")},
+      ${sqlSum2("l_extendedprice", "sum_base_price")},
+      ${sqlSum6("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+      ${sqlSum6("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+      ${sqlAvg2("l_quantity", "avg_qty")},
+      ${sqlAvg2("l_extendedprice", "avg_price")},
+      COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q02
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast(TimestampNTZType)
+          && col("l_discount") >= lit(0.08))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount >= 0.08
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- q03
+  private val q03 = Q(
+    "q03_join_agg",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1999-01-01").cast(TimestampNTZType))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1999-01-01").cast(TimestampNTZType))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      ${sqlSum6("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q04
+  private val q04 = Q(
+    "q04_broadcast_join",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum2(col("s_acctbal")).as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+      ${sqlSum2("s_acctbal", "total_acctbal")}
+    FROM supplier, nation, region
+    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // ---------------------------------------------------------------- q05
+  private val q05 = Q(
+    "q05_multi_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampNTZType)
+          && col("o_orderdate") < lit("1997-01-01").cast(TimestampNTZType))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+      ${sqlSum6("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  // ---------------------------------------------------------------- q06
+  private val q06 = Q(
+    "q06_selective_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampNTZType)
+          && col("l_shipdate") < lit("1997-01-01").cast(TimestampNTZType)
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items")),
+    Some(s"""SELECT ${sqlSum6("l_extendedprice * l_discount", "revenue")},
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""))
+
+  // ---------------------------------------------------------------- q07
+  private val q07 = Q(
+    "q07_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "running_spend")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS rn,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_spend
+      FROM orders)
+    WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  // ---------------------------------------------------------------- q08
+  private val q08 = Q(
+    "q08_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  // ---------------------------------------------------------------- q09
+  private val q09 = Q(
+    "q09_distinct",
+    (s, dir) =>
+      t(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        countDistinct(col("o_custkey"), col("o_orderpriority"))
+          .as("n_cust_prio"),
+        count(lit(1)).as("n_orders")),
+    Some("""SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+      COUNT(DISTINCT o_orderpriority) AS n_prio,
+      COUNT(DISTINCT (o_custkey, o_orderpriority)) AS n_cust_prio,
+      COUNT(*) AS n_orders
+    FROM orders"""))
+
+  // ---------------------------------------------------------------- q10
+  private val q10 = Q(
+    "q10_semi_join",
+    (s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q11
+  private val q11 = Q(
+    "q11_anti_join",
+    (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q12
+  private val q12 = Q(
+    "q12_union_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hi = li.filter(col("l_quantity") >= 30)
+        .select(lit("hi").as("src"), col("l_extendedprice").as("value"))
+      val lo = li.filter(col("l_quantity") < 30)
+        .select(lit("lo").as("src"), col("l_extendedprice").as("value"))
+      hi.unionAll(lo)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total"))
+        .orderBy(col("src"))
+    },
+    Some(s"""SELECT src, COUNT(*) AS n, ${sqlSum2("value", "total")}
+    FROM (
+      SELECT 'hi' AS src, l_extendedprice AS value FROM lineitem
+        WHERE l_quantity >= 30
+      UNION ALL
+      SELECT 'lo' AS src, l_extendedprice AS value FROM lineitem
+        WHERE l_quantity < 30)
+    GROUP BY src ORDER BY src"""))
+
+  // ---------------------------------------------------------------- q13
+  private val q13 = Q(
+    "q13_left_join_agg",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  // ---------------------------------------------------------------- q14
+  private val q14 = Q(
+    "q14_date_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum2(col("o_totalprice")).as("total"))
+        .orderBy(col("month")),
+    Some(s"""SELECT date_trunc('month', o_orderdate) AS month,
+      COUNT(*) AS n_orders, ${sqlSum2("o_totalprice", "total")}
+    FROM orders GROUP BY 1 ORDER BY month"""))
+
+  // ---------------------------------------------------------------- q15
+  private val q15 = Q(
+    "q15_rollup",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum2(col("s_acctbal")).as("total_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+      ${sqlSum2("s_acctbal", "total_acctbal")}
+    FROM supplier, nation, region
+    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q16
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val q16 = Q(
+    "q16_pivot",
+    (s, dir) => {
+      val piv = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      piv.select(col("user_id") +:
+          eventTypes.map(e => coalesce(col(e), lit(0L)).as(e)): _*)
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id,
+      ${eventTypes.map(e =>
+        s"COUNT(*) FILTER (WHERE event_type = '$e') AS $e").mkString(",\n      ")}
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q17
+  private val q17 = Q(
+    "q17_json",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(col("k")).as("n_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q18
+  private val q18 = Q(
+    "q18_corr_scalar",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val thr = cust.agg((dsum2(col("c_acctbal")) / count(lit(1)))
+        .as("threshold"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("threshold"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+    Some(s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+      FROM customer)
+    ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q19
+  private val q19 = Q(
+    "q19_having",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_quantity")).as("total_qty"))
+        .filter(col("n_items") >= 40)
+        .orderBy(col("l_partkey")),
+    Some(s"""SELECT l_partkey, COUNT(*) AS n_items,
+      ${sqlSum2("l_quantity", "total_qty")}
+    FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40
+    ORDER BY l_partkey"""))
+
+  // ---------------------------------------------------------------- q20
+  private val q20 = Q(
+    "q20_sessionize",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_ms", "value")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      e.withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ms").isNull
+            || col("ts_ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"),
+          dsum2(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(s"""WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+    f AS (SELECT *, LAG(ts_ms) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+    g AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      THEN 1 ELSE 0 END AS is_new FROM f),
+    h AS (SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id FROM g)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+      ${sqlSum2("value", "total_value")}
+    FROM h GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  // ---------------------------------------------------------------- q21
+  private val q21 = Q(
+    "q21_stream_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("hour_ms", expr("(ts_ms DIV 3600000) * 3600000"))
+        .groupBy(col("hour_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("total_value"))
+        .orderBy(col("hour_ms"), col("event_type")),
+    Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      COUNT(*) AS n_events, ${sqlSum2("value", "total_value")}
+    FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type"""))
+
+  val all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+      q14, q15, q16, q17, q18, q19, q20, q21)
+}
