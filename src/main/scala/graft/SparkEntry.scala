@@ -20,7 +20,8 @@ object SparkEntry {
     spark
   }
 
-  private def suites: Seq[Q] = operators.Relational.all
+  private def suites: Seq[Q] =
+    operators.Relational.all ++ text.TextOps.all ++ dedup.Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,254 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.text.TextOps
+
+/** Deduplication suite over `documents` — SURVEY.md §2.4.
+  *
+  * Scale posture (100 TB): no operator materializes the O(n²) pair space.
+  * Pair generation goes through an inverted index (ngram), LSH band buckets
+  * (minhash, simhash) — candidate sets proportional to true-duplicate mass,
+  * then exact verification on the candidates only. The one exact-by-design
+  * operator (`dedup_embedding`) documents its ANN-candidate scale path and
+  * is kept exact here because the oracle demands ground truth.
+  *
+  * Determinism: jaccard/hamming arithmetic is integer-exact; cosine is a
+  * sequential double fold identical to DuckDB's evaluation order.
+  */
+object Dedup {
+
+  /** Distinct k-word shingles from a token array (empty when < k tokens —
+    * guarded: `sequence(1, 0)` would step DOWN, not produce empty).
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= k, array_distinct(grams))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  private val K = 3          // shingle width
+  private val TAU = 0.6      // jaccard dedup threshold (planted dups ≥0.9)
+
+  /** (doc_id, sh: array<string>, nsh) for every document. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), shingles(TextOps.tokens(col("text")), K).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+  /** DuckDB-side shingle CTE mirroring [[shingles]] exactly. */
+  private val sqlShingleCte =
+    s"""d AS (SELECT doc_id,
+        list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    s AS (SELECT doc_id,
+        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          for i in range(1, greatest(len(w)-1, 1))]) sh
+      FROM d)"""
+
+  /** Ground-truth pair SQL: exact jaccard over full shingle sets ≥ TAU.
+    * Used as the oracle for BOTH the inverted-index and the LSH pipeline —
+    * passing proves the LSH candidate generation has full recall here.
+    */
+  private val sqlExactJaccardPairs =
+    s"""WITH $sqlShingleCte
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $TAU
+    ORDER BY a_id, b_id"""
+
+  // ------------------------------------------------------------ dedup_exact
+  /** Exact dedup: md5 over normalized text, keeper = min doc_id per cluster.
+    * One hash-agg exchange on a 32-char key + one broadcast-able join back.
+    */
+  private val exact = Q(
+    "dedup_exact",
+    (s, dir) => {
+      val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("fp"))
+      val keep = f.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+      f.join(keep, "fp")
+        .select(col("doc_id"), col("keeper_id"),
+          (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+        AS fp FROM documents),
+    k AS (SELECT fp, MIN(doc_id) AS keeper_id FROM f GROUP BY fp)
+    SELECT doc_id, keeper_id, doc_id <> keeper_id AS is_dup
+    FROM f JOIN k ON f.fp = k.fp ORDER BY doc_id"""))
+
+  // --------------------------------------------------- dedup_ngram_jaccard
+  /** Near-dup pairs via inverted shingle index: explode shingles, self-join
+    * postings, count shared shingles per pair, exact jaccard from counts.
+    * Scale: postings-list join is linear in Σ df²; for web-scale corpora cap
+    * df (drop shingles with df > cap — they cannot create high-jaccard pairs
+    * alone) and salt hot shingles. No cap needed at this df profile.
+    */
+  private val ngramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val ex = docShingles(s, dir)
+        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
+      val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("sh"))
+      val b = ex.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("sh"))
+      a.join(b, "sh")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= TAU)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+    Some(sqlExactJaccardPairs))
+
+  // ---------------------------------------------------- dedup_minhash_lsh
+  private val PERMS = 128
+  private val BANDS = 32     // 32 bands × 4 rows: P(catch τ=0.6) ≈ 0.99
+  private val ROWS = PERMS / BANDS
+
+  /** MinHash + LSH near-dup detection.
+    *
+    * signatures: one hash-agg with 128 `min(xxhash64(sh, p))` partial
+    * aggregates (map-side combine — the exchange carries one 128-long row
+    * per doc, not the exploded shingles). Banding explodes 32 (band,
+    * bandhash) keys per doc; the bucket self-join only materializes
+    * colliding pairs; exact jaccard verifies candidates. The oracle is the
+    * ground-truth pair set — passing proves full recall at this τ.
+    */
+  private val minhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val ds = docShingles(s, dir)
+      val ex = ds.select(col("doc_id"), explode(col("sh")).as("sh"))
+      val sigCols = (0 until PERMS)
+        .map(p => min(xxhash64(col("sh"), lit(p))).as(s"m$p"))
+      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandStructs = (0 until BANDS).map { bnd =>
+        val cols = (0 until ROWS).map(r => col(s"m${bnd * ROWS + r}"))
+        struct(lit(bnd).as("band"), xxhash64(cols :+ lit(bnd): _*).as("bh"))
+      }
+      val buckets = sigs.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bh"))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val withSets = cand
+        .join(ds.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+          col("nsh").as("na")), "a_id")
+        .join(ds.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+          col("nsh").as("nb")), "b_id")
+      withSets
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= TAU)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+    Some(sqlExactJaccardPairs))
+
+  // -------------------------------------------------------- dedup_simhash
+  /** Weighted 64-bit SimHash (votes weighted by in-doc term frequency —
+    * the corpus shares one small vocabulary, so unweighted distinct-token
+    * SimHash would collapse). Pair search blocks on 4×16-bit bands
+    * (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band), then verifies
+    * `bit_count(xor) ≤ 3`. Rows-only oracle; the ScalaTest spec asserts
+    * the planted near-dup pairs are recovered.
+    */
+  private val simhash = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        .withColumn("h", xxhash64(col("tok")))
+      // 64 partial-aggregated bit votes in ONE exchange (no posexplode of
+      // 64 rows/token): vote_i = Σ ±w by bit i of the token hash.
+      val voteCols = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
+          .otherwise(-col("w"))).as(s"v$i"))
+      val sims = toks.groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val banded = sims.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(bnd => struct(lit(bnd).as("band"),
+            shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL)
+              .as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bv"))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    },
+    None)
+
+  // ------------------------------------------------------ dedup_embedding
+  private val COS_TAU = 0.4  // synthetic embeddings: true near-dups ≥ ~0.4
+
+  /** Embedding-cosine near-dup pairs (exact, ground-truth oracle).
+    * Cosine is a sequential double fold (`aggregate(zip_with(·×·)) / norms`)
+    * — bit-identical to DuckDB's list_cosine_similarity over DOUBLE[].
+    * Scale path: replace the pruned nested-loop self-join with LSH/IVF
+    * candidates (see graft.sim) + this same verify stage.
+    */
+  private val embedding = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("norm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("norm").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("dot", aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= COS_TAU)
+        .select("a_id", "b_id", "cosine")
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= $COS_TAU
+    ORDER BY a_id, b_id"""))
+
+  val all: Seq[Q] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embedding)
+}

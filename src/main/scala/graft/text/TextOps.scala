@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text-analysis suite over the `documents` table — SURVEY.md §2.6.
+  *
+  * All operators are single-pass Dataset transforms built from codegen'd
+  * `functions._` (no UDFs): at 100 TB each is a scan + (at most) one
+  * hash-aggregate exchange, and column pruning reaches the parquet scan.
+  *
+  * Determinism: every ratio is `round(x, 6)` with the identical expression
+  * in the DuckDB oracle; token arithmetic is integer-exact.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer shared by §2.4/§2.6 — mirrors DuckDB
+    * `list_filter(string_split(text,' '), t -> t <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  private val stopwords = Seq("the", "a")
+
+  // ------------------------------------------------------------ text_stats
+  private val stats = Q(
+    "text_stats",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val nonSpace = length(regexp_replace(col("text"), " ", ""))
+      d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        nTok.cast("long").as("n_tokens"),
+        round(nonSpace.cast("double") / nTok, 6).as("avg_token_len"),
+        round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+          .cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(size(filter(toks, t => t.isInCollection(stopwords)))
+          .cast("double") / nTok, 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      length(text) AS len_chars,
+      len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
+      round(length(replace(text,' ',''))*1.0
+        / len(list_filter(string_split(text,' '), t -> t <> '')), 6)
+        AS avg_token_len,
+      round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))*1.0
+        / length(text), 6) AS punct_ratio,
+      round(len(list_filter(string_split(text,' '), t -> t IN ('the','a')))
+        *1.0 / len(list_filter(string_split(text,' '), t -> t <> '')), 6)
+        AS stopword_ratio
+    FROM documents ORDER BY doc_id"""))
+
+  // ----------------------------------------------------------- text_langid
+  /** Deterministic marker-token scorer. The synthetic corpus shares one
+    * vocabulary across langs with per-lang frequency skew, so the operator
+    * is a fixed marker lexicon + argmax (alphabetical tie-break) — the
+    * oracle runs the identical integer-count rule; accuracy vs the `lang`
+    * label is a spec-level metric, not the correctness gate.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "big", "customer"),
+    "en" -> Seq("order", "window", "table"),
+    "es" -> Seq("agg", "value", "slow"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("join", "small", "the"))
+
+  private val langid = Q(
+    "text_langid",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val scored = markers.foldLeft(Tables(s, dir, "documents")) {
+        case (df, (lang, ms)) =>
+          df.withColumn(s"score_$lang",
+            size(filter(toks, t => t.isInCollection(ms))).cast("long"))
+      }
+      val best = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+      // first alphabetical lang reaching the max count (markers is sorted,
+      // foldRight nests when(de).otherwise(when(en)...) → de-first precedence)
+      val pred = markers.foldRight(lit(null).cast("string")) {
+        case ((lang, _), rest) =>
+          when(col(s"score_$lang") === best, lit(lang)).otherwise(rest)
+      }
+      scored.select(Seq(col("doc_id"), col("lang"), pred.as("predicted")) ++
+          markers.map { case (l, _) => col(s"score_$l") }: _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val counts = markers.map { case (l, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split(text,' '), t -> t IN ($set))) AS score_$l"
+      }.mkString(",\n        ")
+      val g = markers.map { case (l, _) => s"score_$l" }.mkString(", ")
+      val cases = markers.map { case (l, _) =>
+        s"WHEN score_$l = greatest($g) THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+        SELECT doc_id, lang,
+        $counts
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE $cases END AS predicted,
+        $g
+      FROM scored ORDER BY doc_id"""
+    })
+
+  // ------------------------------------------------------ text_fingerprint
+  /** Normalized-content fingerprint + duplicate-cluster size. At scale this
+    * is one hash-agg exchange on a 32-char key; the md5 is computed in the
+    * scan stage (codegen).
+    */
+  private val fingerprint = Q(
+    "text_fingerprint",
+    (s, dir) => {
+      val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("fingerprint"))
+      val sizes = d.groupBy("fingerprint")
+        .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("keeper_id"))
+      d.join(sizes, "fingerprint")
+        .select("doc_id", "fingerprint", "cluster_size", "keeper_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+        AS fingerprint FROM documents),
+    s AS (SELECT fingerprint, COUNT(*) AS cluster_size,
+        MIN(doc_id) AS keeper_id FROM f GROUP BY fingerprint)
+    SELECT doc_id, f.fingerprint, cluster_size, keeper_id
+    FROM f JOIN s ON f.fingerprint = s.fingerprint ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------- text_tokens
+  /** Corpus term frequency, top 30. BPE-ish regex tokenization
+    * (`[a-z]+|[0-9]+|punct`) — explode + hash-agg with map-side combine;
+    * the top-k is a TakeOrderedAndProject, no full sort at scale.
+    */
+  private val topTokens = Q(
+    "text_tokens",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(expr(
+          "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(30),
+    Some("""SELECT term, COUNT(*) AS freq FROM (
+      SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        AS term FROM documents)
+    GROUP BY term ORDER BY freq DESC, term LIMIT 30"""))
+
+  val all: Seq[Q] = Seq(stats, langid, fingerprint, topTokens)
+}
