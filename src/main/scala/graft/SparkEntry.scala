@@ -17,11 +17,13 @@ object SparkEntry {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    functions.CosineSim.register(spark)
     spark
   }
 
   private def suites: Seq[Q] =
-    operators.Relational.all ++ text.TextOps.all ++ dedup.Dedup.all
+    operators.Relational.all ++ text.TextOps.all ++ dedup.Dedup.all ++
+      sim.Knn.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,164 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.CosineSim.cosineSim
+
+/** Similarity search over `embeddings` — SURVEY.md §2.5.
+  *
+  * `knn_bruteforce` is the exact baseline (oracle-gated); `knn_lsh` and
+  * `knn_ivf` are the 100 TB scale paths (candidate generation bounded by
+  * bucket/partition size instead of the full corpus) whose recall against
+  * the baseline is measured in KnnSpec.
+  */
+object Knn {
+
+  private val K = 5         // neighbors returned
+  private val NQ = 10       // query set = vec_id < NQ
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  // -------------------------------------------------------- knn_bruteforce
+  /** Exact top-k: broadcast the (small) query set against one pass over the
+    * corpus — a BroadcastNestedLoopJoin that scales linearly in corpus size
+    * and never shuffles the corpus; the final per-query top-k shuffles only
+    * |queries|·|corpus-partition winners| rows.
+    */
+  private val bruteforce = Q(
+    "knn_bruteforce",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < $NQ)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, e.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id) AS rank,
+        round(list_cosine_similarity(qv, e.v), 6) AS cosine
+      FROM q, e WHERE query_id <> e.vec_id)
+    WHERE rank <= $K ORDER BY query_id, rank"""))
+
+  // -------------------------------------------------------------- knn_lsh
+  /** Random-hyperplane LSH: 16 tables × 6-bit signatures from a fixed
+    * seeded hyperplane bank (deterministic across runs/executors — the
+    * planes are compile-time-seeded literals, broadcast with the plan).
+    * Corpus rows land in 16 buckets each; queries probe their 16 buckets;
+    * only bucket collisions are scored. Scale: candidate count per query
+    * ≈ 16 · corpus/2^6 — tune tables/bits to the corpus; recall vs
+    * brute force is asserted in KnnSpec.
+    */
+  private val TABLES = 16
+  private val BITS = 6
+  private val DIM = 64
+
+  /** Fixed hyperplane bank [table][bit] — unit-free gaussians, seed 42. */
+  private lazy val planes: Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(TABLES, BITS)(Array.fill(DIM)(rng.nextGaussian()))
+  }
+
+  private def dot(v: Column, plane: Array[Double]): Column =
+    aggregate(zip_with(v, typedLit(plane.toSeq), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** array<struct<tbl:int,bucket:int>> signature for a vector column. */
+  private def lshBuckets(v: Column): Column =
+    array((0 until TABLES).map { t =>
+      val bucket = (0 until BITS).map { b =>
+        when(dot(v, planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)
+
+  private val lsh = Q(
+    "knn_lsh",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.select(col("vec_id"), col("v"),
+          explode(lshBuckets(col("v"))).as("b"))
+        .select(col("vec_id"), col("v"), col("b.tbl"), col("b.bucket"))
+      val queries = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(lshBuckets(col("v"))).as("b"))
+        .select(col("query_id"), col("qv"), col("b.tbl"), col("b.bucket"))
+      val cand = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  // -------------------------------------------------------------- knn_ivf
+  /** IVF-style coarse quantizer: the codebook is the 16 lowest-vec_id
+    * vectors (deterministic, no driver collect — a 16-row broadcast join
+    * assigns every corpus vector to its nearest centroid by cosine).
+    * Queries probe their 4 nearest centroids and scan only those inverted
+    * lists. Scale: lists are hash-partitioned by centroid; probe joins are
+    * broadcast; recall tunes with nprobe.
+    */
+  private val NLIST = 16
+  private val NPROBE = 4
+
+  private val ivf = Q(
+    "knn_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.orderBy("vec_id").limit(NLIST)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val simToCent = cosineSim(col("v"), col("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(simToCent.desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id"))
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val qSim = cosineSim(col("qv"), col("cv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(qSim.desc, col("cent_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= NPROBE)
+        .select(col("query_id"), col("qv"), col("cent_id"))
+      val cand = assigned.join(broadcast(probes), "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(bruteforce, lsh, ivf)
+}
