@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Operators Spark lacks natively — SURVEY.md §2.3: as-of join, range
+  * (interval-containment) join, per-group top-k. Each is a reusable
+  * Dataset-level API plus an oracle-gated query instance over `events`.
+  */
+object CustomJoins {
+
+  // ----------------------------------------------------------- asof join
+  /** Point-in-time (as-of backward) left join, composed as union + window:
+    * tag right rows, union with left rows on the shared (key, time) axis,
+    * and carry the latest right payload forward with
+    * `last(_, ignoreNulls)` over (key ORDER BY time, rightFirst) — equal
+    * timestamps match (right sorts first). One shuffle on the key, NO
+    * row-explosion: at 100 TB this is strictly cheaper than the
+    * inequality-join rewrite (which degenerates to per-key cross products)
+    * and never materializes candidate pairs.
+    *
+    * Right must be unique per (key, time) — pre-aggregate to make the
+    * match deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_is_right", lit(0))
+    val r = right.select(
+      Seq(col(key), col(time), lit(1).as("_is_right")) ++
+        payload.map(col): _*)
+    val unioned = l.drop(payload: _*).unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("_is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }.filter(col("_is_right") === 0).drop("_is_right")
+  }
+
+  /** For each click event: the latest prior-or-equal purchase of the same
+    * user (purchases deduped to one per (user, ms) with max event_id).
+    */
+  private val asof = Q(
+    "asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_ms")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ms").as("purchase_ms"))
+        .agg(max("event_id").as("purchase_id"))
+      asofJoin(
+        clicks,
+        purchases.select(col("user_id"), col("purchase_ms").as("ts_ms"),
+          col("purchase_id"), col("purchase_ms")),
+        key = "user_id", time = "ts_ms",
+        payload = Seq("purchase_id", "purchase_ms"))
+        .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+      FROM events),
+    c AS (SELECT event_id, user_id, ts_ms FROM e
+      WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts_ms AS purchase_ms,
+        MAX(event_id) AS purchase_id
+      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_ms)
+    SELECT c.event_id, c.user_id, c.ts_ms, p.purchase_id, p.purchase_ms
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_ms >= p.purchase_ms
+    ORDER BY c.event_id"""))
+
+  // ----------------------------------------------------------- range join
+  /** Interval-containment join via bucketed equi-prejoin: intervals are
+    * exploded to every `bucketMs` bucket they overlap; points join on
+    * (key, bucket) — an EQUI join Catalyst hash-partitions — then the
+    * exact containment predicate filters. Candidate fan-out is
+    * `len/bucketMs + 1` per interval instead of the O(n·m) per-key cross
+    * product a raw inequality join costs at 100 TB.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      pointMs: String, startMs: String, endMs: String,
+      bucketMs: Long): DataFrame = {
+    def bucketOf(c: Column): Column = floor(c / bucketMs).cast("long")
+    val exploded = intervals.withColumn("_bucket",
+      explode(sequence(bucketOf(col(startMs)), bucketOf(col(endMs) - 1))))
+    val bucketed = points.withColumn("_bucket", bucketOf(col(pointMs)))
+    bucketed.join(exploded, Seq(key, "_bucket"))
+      .filter(col(pointMs) >= col(startMs) && col(pointMs) < col(endMs))
+      .drop("_bucket")
+  }
+
+  /** Clicks landing inside [purchase, purchase + 1 h) windows of the same
+    * user, aggregated per purchase window.
+    */
+  private val range = Q(
+    "range_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"), col("value"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_ms").as("start_ms"),
+          (col("ts_ms") + 3600000L).as("end_ms"))
+      rangeJoin(clicks, windows, key = "user_id", pointMs = "ts_ms",
+        startMs = "start_ms", endMs = "end_ms", bucketMs = 3600000L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          graft.Exact.dsum2(col("value")).as("click_value"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+      FROM events),
+    c AS (SELECT user_id, ts_ms, value FROM e WHERE event_type = 'click'),
+    w AS (SELECT event_id AS purchase_id, user_id, ts_ms AS start_ms,
+        ts_ms + 3600000 AS end_ms
+      FROM e WHERE event_type = 'purchase')
+    SELECT purchase_id, COUNT(*) AS n_clicks,
+      CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM c JOIN w ON c.user_id = w.user_id
+      AND c.ts_ms >= w.start_ms AND c.ts_ms < w.end_ms
+    GROUP BY purchase_id ORDER BY purchase_id"""))
+
+  // ---------------------------------------------------------- approx_topk
+  /** Per-group top-k frequent items. Counting is a partial-aggregated
+    * hash-agg (map-side combine absorbs item skew before the exchange);
+    * the per-group k-selection is a window over the already-reduced
+    * (group, item) space — orders of magnitude smaller than the input.
+    * Exact at any SF; swap the count stage for a CMS/SpaceSaving sketch
+    * per partition when item cardinality itself is the bottleneck.
+    */
+  def topkPerGroup(df: DataFrame, group: String, item: String,
+      k: Int): DataFrame = {
+    val counts = df.groupBy(col(group), col(item))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("cnt").desc, col(item))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Top-3 parts per supplier by lineitem frequency. */
+  private val topk = Q(
+    "approx_topk",
+    (s, dir) =>
+      topkPerGroup(Tables(s, dir, "lineitem"), "l_suppkey", "l_partkey", 3)
+        .select("l_suppkey", "l_partkey", "cnt", "rank")
+        .orderBy("l_suppkey", "rank"),
+    Some("""SELECT l_suppkey, l_partkey, cnt, rank FROM (
+      SELECT l_suppkey, l_partkey, COUNT(*) AS cnt,
+        row_number() OVER (PARTITION BY l_suppkey
+          ORDER BY COUNT(*) DESC, l_partkey) AS rank
+      FROM lineitem GROUP BY l_suppkey, l_partkey)
+    WHERE rank <= 3 ORDER BY l_suppkey, rank"""))
+
+  val all: Seq[Q] = Seq(asof, range, topk)
+}
