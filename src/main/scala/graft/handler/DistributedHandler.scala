@@ -1,0 +1,100 @@
+package graft.handler
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** Spark-native re-expression of the reference's `DistributedHandler`
+  * (`/root/reference/aics_dask_utils/distributed_handler.py:20`) — one
+  * façade over "local threads vs a distributed cluster".
+  *
+  * Semantics map (reference → Spark):
+  *  - `DistributedHandler(address)` (:20) → session against `local[*]` or a
+  *    cluster master URL; an existing session is reused (`connect` to a
+  *    running cluster ≈ dask's connect-to-scheduler).
+  *  - `client.map(f, *iterables)` (:39) → [[map]] / [[map2]]: distribute
+  *    the items as a Dataset and apply `f` partition-parallel. The returned
+  *    lazy Dataset IS the futures handle — nothing runs until gathered.
+  *  - `batched_map(f, *its, batch_size)` (:93, dask/distributed#2181: don't
+  *    drown the scheduler with one task per item) → [[batchedMap]]: bound
+  *    the number of concurrent tasks by sizing partitions; the driver holds
+  *    one task per PARTITION, never per item — at 100 TB this is exactly
+  *    Spark's native task model, so batching is free.
+  *  - `gather(futures)` (:146) → [[gather]] (`collect`) — the only
+  *    driver-side materialization point, by user request.
+  *  - `close()` / context manager (:165) → [[close]] / [[DistributedHandler.withHandler]]:
+  *    releases the façade, leaves the underlying cluster up (session is
+  *    only stopped if this handler created it AND `stopOnClose=true`).
+  *  - `DEFAULT_MAX_THREADS` (:15) → [[defaultBatchSize]] =
+  *    `sparkContext.defaultParallelism`.
+  */
+final class DistributedHandler private (
+    val spark: SparkSession,
+    private val ownsSession: Boolean,
+    private val stopOnClose: Boolean) extends AutoCloseable {
+
+  /** Reference `_get_batch_size`: the cluster's worker/thread count. */
+  def defaultBatchSize: Int = spark.sparkContext.defaultParallelism
+
+  /** Distributed map of `f` over `items` — partition-parallel, lazy. */
+  def map[A, B: Encoder](items: Seq[A])(f: A => B)(
+      implicit ea: Encoder[A]): Dataset[B] =
+    spark.createDataset(items).map(f)
+
+  /** Reference `client.map(f, it1, it2)`: zip iterables, apply binary f. */
+  def map2[A, B, C: Encoder](as: Seq[A], bs: Seq[B])(f: (A, B) => C)(
+      implicit et: Encoder[(A, B)]): Dataset[C] =
+    spark.createDataset(as.zip(bs)).map { case (a, b) => f(a, b) }
+
+  /** Chunked map: at most `ceil(n / batchSize)` concurrent tasks, each
+    * processing `batchSize` items — the scheduler never holds per-item
+    * state (the reference's whole reason to exist).
+    */
+  def batchedMap[A, B: Encoder](items: Seq[A],
+      batchSize: Int = defaultBatchSize)(f: A => B)(
+      implicit ea: Encoder[A]): Dataset[B] = {
+    val bs = math.max(1, batchSize)
+    val numParts = math.max(1, (items.size + bs - 1) / bs)
+    spark.createDataset(items).repartition(numParts)
+      .mapPartitions(_.map(f))
+  }
+
+  /** Block until resolved, return results (reference `gather`, :146). */
+  def gather[B](ds: Dataset[B]): Seq[B] = ds.collect().toSeq
+
+  /** Release the façade; leave the cluster up unless we own it and were
+    * asked to stop it.
+    */
+  override def close(): Unit =
+    if (ownsSession && stopOnClose) spark.stop()
+}
+
+object DistributedHandler {
+
+  /** `address=None` → local threads; `Some(master)` → that cluster. */
+  def apply(master: Option[String] = None,
+      stopOnClose: Boolean = false): DistributedHandler = master match {
+    case None =>
+      val active = SparkSession.getActiveSession.orElse(
+        SparkSession.getDefaultSession)
+      active match {
+        case Some(s) => new DistributedHandler(s, ownsSession = false,
+          stopOnClose = false)
+        case None =>
+          val s = SparkSession.builder()
+            .master("local[*]")
+            .config("spark.sql.shuffle.partitions",
+              Runtime.getRuntime.availableProcessors())
+            .getOrCreate()
+          new DistributedHandler(s, ownsSession = true, stopOnClose)
+      }
+    case Some(m) =>
+      val s = SparkSession.builder().master(m).getOrCreate()
+      new DistributedHandler(s, ownsSession = true, stopOnClose)
+  }
+
+  /** Context-manager form (reference `with DistributedHandler(...) as h`). */
+  def withHandler[T](master: Option[String] = None)(
+      body: DistributedHandler => T): T = {
+    val h = apply(master)
+    try body(h) finally h.close()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Typed metadata for an opaque media payload. */
+final case class MediaMeta(kind: String, width: Int, height: Int,
+    durationMs: Long)
+
+/** Multimodal row: opaque `binary` payload + typed metadata — the schema a
+  * 100 TB image/audio/video lake uses (payload column never parsed by
+  * Catalyst; metadata prunable/filterable without touching bytes).
+  */
+final case class MediaRecord(mediaId: Long, payload: Array[Byte],
+    meta: MediaMeta)
+
+/** Decoded feature row. */
+final case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long,
+    features: Array[Float])
+
+/** Multimodal plumbing — SURVEY.md §2.7.
+  *
+  * The decode kernels are STUBBED deterministically (this container ships
+  * no image/audio codecs): `decodeStub` stands in for a JNI/FFI decoder.
+  * Everything Spark-side is real — the batched `mapPartitions` shape
+  * (Scala's analog of `mapInPandas`: a vectorized decoder amortizes setup
+  * across `batchSize` records), partition preservation (no shuffle in any
+  * per-record stage), and the typed schemas.
+  */
+object Multimodal {
+
+  /** STUB — replace with a real decoder. Deterministic 8-bin byte
+    * histogram, L1-normalized: schema- and batch-shape-faithful.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xFF) >>> 5) += 1f
+      i += 1
+    }
+    val n = math.max(1, payload.length).toFloat
+    bins.map(_ / n)
+  }
+
+  /** Batched decode/feature-extract: one decoder instantiation per batch,
+    * records flow partition-local (mapPartitions — no shuffle, no
+    * driver involvement; scale = number of partitions).
+    */
+  def extractFeatures(ds: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(math.max(1, batchSize)).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.iterator.map(r => MediaFeatures(
+          r.mediaId, r.meta.kind, r.payload.length.toLong,
+          decodeStub(r.payload)))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: STUB treats the payload as
+    * fixed-size frames and keeps every `everyN`-th. Partition-preserving
+    * flatMap; real frame extraction plugs into the same signature.
+    */
+  def frameSample(ds: Dataset[MediaRecord], frameBytes: Int,
+      everyN: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % everyN == 0 =>
+          MediaRecord(r.mediaId * 100000L + idx, frame,
+            r.meta.copy(kind = "frame", durationMs = 0L))
+      }
+    }
+  }
+
+  /** Resize stub: deterministic payload truncation + metadata rewrite.
+    * Signature (and partition behavior) of a real resize kernel.
+    */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val target = math.max(1, math.min(r.payload.length, w * h))
+      MediaRecord(r.mediaId, r.payload.take(target),
+        r.meta.copy(width = w, height = h))
+    }
+  }
+
+  /** Deterministic fake media lake derived from `documents` (UTF-8 bytes
+    * as payload) — used by specs and the oracle query below.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        MediaRecord(id, bytes, MediaMeta("text", 0, 0, 0L))
+      }
+  }
+
+  /** Byte-level feature query over binary payloads (oracle-gated: DuckDB
+    * computes the identical md5/length on the same UTF-8 bytes).
+    */
+  private val binaryStats = Q(
+    "mm_binary_stats",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      md5(text) AS payload_md5
+    FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats)
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Event row for streaming ops (epoch-millis event time). */
+final case class Ev(eventId: Long, userId: Long, tsMs: Long, value: Double)
+
+/** A closed session emitted by the sessionizer. */
+final case class Session(userId: Long, sessionId: Long, nEvents: Long,
+    startMs: Long, endMs: Long, totalValue: Double)
+
+/** Mutable per-user sessionizer state (kept tiny: one open session). */
+final case class SessionState(sessionId: Long, nEvents: Long, startMs: Long,
+    endMs: Long, totalCents: Long)
+
+/** Structured Streaming operators — SURVEY.md §2.8.
+  *
+  * Both operators are the streaming mirrors of batch queries gated by the
+  * DuckDB oracle (q21_stream_window, q20_sessionize); StreamingSpec runs
+  * them on a MemoryStream and asserts equality with the batch results on
+  * the same data.
+  *
+  * Scale posture: state is hash-partitioned by the grouping key across
+  * executors; watermarks bound state size (windows expire, sessions
+  * time out); per-key state is O(1) (one open session / one window acc).
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window aggregate over a (possibly streaming)
+    * events frame carrying `ts_ms`, `event_type`, `value`.
+    * Mirror of q21_stream_window (hour buckets). Sum is decimal-exact,
+    * like the batch side.
+    */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionizer via `flatMapGroupsWithState` with event-time
+    * timeout — the streaming mirror of q20_sessionize. Emits a session
+    * when a later event arrives past the gap, or when the watermark
+    * passes `end + gap` (timeout). Value totals accumulate in integer
+    * cents so emitted sums are partition/order-exact.
+    *
+    * Contract (same as q20): events within `gapMs` of the previous event
+    * of the same user share a session; session_id is 1-based per user in
+    * event-time order. Relies on per-batch sorted input for in-batch
+    * ordering (MemoryStream/file sources preserve it; out-of-order
+    * arrivals across batches are handled only within the watermark — the
+    * standard streaming-sessionization contract).
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      watermarkDelay: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.sessionId, st.nEvents,
+              st.startMs, st.endMs, st.totalCents / 100.0))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.eventId))
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val cents = math.round(e.value * 100)
+              if (cur == null) {
+                cur = SessionState(1L, 1L, e.tsMs, e.tsMs, cents)
+              } else if (e.tsMs - cur.endMs > gapMs) {
+                closed += Session(userId, cur.sessionId, cur.nEvents,
+                  cur.startMs, cur.endMs, cur.totalCents / 100.0)
+                cur = SessionState(cur.sessionId + 1, 1L, e.tsMs, e.tsMs,
+                  cents)
+              } else {
+                cur = cur.copy(nEvents = cur.nEvents + 1, endMs = e.tsMs,
+                  totalCents = cur.totalCents + cents)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.handler.DistributedHandler
+
+/** Mirrors the reference's own tests
+  * (`/root/reference/tests/test_distributed_handler.py`): map /
+  * batched_map / stdlib results agree (order-insensitive), batch size
+  * defaults to the worker count, context-manager lifecycle works.
+  */
+object HandlerSpec {
+  // standalone lambda: Spark serializes the closure, so it must not drag
+  // the (non-serializable) suite instance along
+  val f: Int => Int = x => x * x
+}
+
+class HandlerSpec extends SparkSpec {
+  import spark.implicits._
+  import HandlerSpec.f
+
+  private val items = (1 to 100).toList
+
+  test("map matches stdlib map (order-insensitive)") {
+    val h = DistributedHandler()
+    val got = h.gather(h.map(items)(f)).sorted
+    assert(got == items.map(f).sorted)
+  }
+
+  test("batchedMap matches map for any batch size") {
+    val h = DistributedHandler()
+    for (bs <- Seq(1, 7, 100, 1000)) {
+      val got = h.gather(h.batchedMap(items, bs)(f)).sorted
+      assert(got == items.map(f).sorted, s"batchSize=$bs")
+    }
+  }
+
+  test("batchedMap bounds concurrent tasks by batch size") {
+    val h = DistributedHandler()
+    val ds = h.batchedMap(items, 25)(f)
+    assert(ds.rdd.getNumPartitions == 4) // ceil(100/25)
+  }
+
+  test("map2 zips two iterables") {
+    val h = DistributedHandler()
+    val got = h.gather(h.map2(items, items.map(_ * 10))(_ + _)).sorted
+    assert(got == items.map(x => x + x * 10).sorted)
+  }
+
+  test("defaultBatchSize is the cluster parallelism") {
+    val h = DistributedHandler()
+    assert(h.defaultBatchSize == spark.sparkContext.defaultParallelism)
+  }
+
+  test("withHandler context manager closes without stopping the session") {
+    val res = DistributedHandler.withHandler() { h =>
+      h.gather(h.map(List(1, 2, 3))(_ + 1)).sorted
+    }
+    assert(res == List(2, 3, 4))
+    assert(!spark.sparkContext.isStopped)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+/** ANN variants vs the exact baseline: recall@5 on the deterministic
+  * corpus. Everything (data, hyperplanes, centroids) is fixed, so the
+  * observed recall is a constant; the assertions sit safely below it.
+  */
+class KnnSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact = pairs("knn_bruteforce")
+
+  test("brute force returns k neighbors per query") {
+    assert(exact.size == 50) // 10 queries × k=5
+  }
+
+  test("LSH recall vs brute force") {
+    val lsh = pairs("knn_lsh")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(s"knn_lsh recall@5 = $recall")
+    assert(recall >= 0.5)
+  }
+
+  test("IVF recall vs brute force") {
+    val ivf = pairs("knn_ivf")
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(s"knn_ivf recall@5 = $recall")
+    assert(recall >= 0.5)
+  }
+
+  test("cosine_sim SQL function evaluates correctly") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) c1,
+                cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) c2,
+                cosine_sim(array(cast(1.0 AS FLOAT)), array(cast(1.0 AS FLOAT))) c3
+      """).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Ev, Session, Streaming}
+
+/** Streaming operators must agree with their batch mirrors on the same
+  * data once the watermark has flushed all state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HOUR = 3600000L
+  private val base = 1700000000000L // fixed epoch ms
+
+  // users 1,2; two sessions for user 1 (gap > 30 min), one for user 2
+  private val evs = Seq(
+    Ev(1L, 1L, base, 1.25),
+    Ev(2L, 1L, base + 60000L, 2.50),          // same session (1 min gap)
+    Ev(3L, 2L, base + 120000L, 10.00),
+    Ev(4L, 1L, base + 3 * HOUR, 4.75),        // new session for user 1
+    Ev(5L, 2L, base + 3 * HOUR + 1000L, 0.25) // new session for user 2
+  )
+  private val flush1 = Ev(900L, 99L, base + 100 * HOUR, 0.0)
+  private val flush2 = Ev(901L, 99L, base + 200 * HOUR, 0.0)
+
+  test("windowedAgg (streaming) equals batch aggregation after flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = Streaming.windowedAgg(
+      mem.toDF().withColumnRenamed("tsMs", "ts_ms")
+        .withColumnRenamed("eventId", "event_id")
+        .withColumn("event_type", lit("click")))
+    val q = streamed.writeStream.format("memory")
+      .queryName("win_agg").outputMode("append").start()
+    try {
+      mem.addData(evs: _*); q.processAllAvailable()
+      mem.addData(flush1); q.processAllAvailable()
+      mem.addData(flush2); q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .filter(col("hour_ms") < base + 50 * HOUR)
+        .select("hour_ms", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val expected = spark.createDataset(evs).toDF()
+        .groupBy((col("tsMs") - (col("tsMs") % HOUR)).as("hour_ms"))
+        .agg(count(lit(1)).as("n_events"),
+          Exact.dsum2(col("value")).as("total_value"))
+        .select("hour_ms", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer matches the batch contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = Streaming.sessionize(mem.toDS(), gapMs = 1800000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(evs: _*); q.processAllAvailable()
+      mem.addData(flush1); q.processAllAvailable()
+      mem.addData(flush2); q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect()
+        .filter(_.userId != 99L)
+        .sortBy(s => (s.userId, s.sessionId)).toSeq
+      val expected = Seq(
+        Session(1L, 1L, 2L, base, base + 60000L, 3.75),
+        Session(1L, 2L, 1L, base + 3 * HOUR, base + 3 * HOUR, 4.75),
+        Session(2L, 1L, 1L, base + 120000L, base + 120000L, 10.00),
+        Session(2L, 2L, 1L, base + 3 * HOUR + 1000L,
+          base + 3 * HOUR + 1000L, 0.25))
+      assert(got == expected)
+    } finally q.stop()
+  }
+}
