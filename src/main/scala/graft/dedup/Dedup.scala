@@ -34,18 +34,21 @@ object Dedup {
   private val K = 3          // shingle width
   private val TAU = 0.6      // jaccard dedup threshold (planted dups ≥0.9)
 
-  /** (doc_id, sh: array<string>, nsh) for every document — persisted:
-    * every consumer self-joins this frame, and without materialization
-    * Catalyst would re-inline (and re-evaluate) the whole
-    * split→filter→shingle expression tree on BOTH join sides. At 100 TB
-    * this is the "materialize the shingle table once" step of any dedup
-    * pipeline (disk-backed storage level for that reason).
+  /** (doc_id, sh: array<string>, nsh) for every document — materialized
+    * via localCheckpoint: every consumer self-joins this frame, and with a
+    * live lineage Catalyst re-inlines the whole split→filter→shingle
+    * expression tree on BOTH join sides AND re-derives it again during
+    * constraint propagation (the dominant planning cost here).
+    * Checkpointing evaluates the shingles exactly once and hands
+    * downstream plans plain attributes. At 100 TB this is the standard
+    * "materialize the shingle table" stage — use reliable `checkpoint()`
+    * (HDFS/object store) there so task retries can re-read it.
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), shingles(TextOps.tokens(col("text")), K).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
   /** DuckDB-side shingle CTE mirroring [[shingles]] exactly. */
   private val sqlShingleCte =

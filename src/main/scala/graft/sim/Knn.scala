@@ -76,8 +76,7 @@ object Knn {
   }
 
   private def dot(v: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(v, typedLit(plane.toSeq), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.CosineSim.dotProduct(v, typedLit(plane.toSeq))
 
   /** array<struct<tbl:int,bucket:int>> signature for a vector column. */
   private def lshBuckets(v: Column): Column =
