@@ -18,6 +18,7 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     functions.CosineSim.register(spark)
+    plans.AsofJoin.register(spark)
     spark
   }
 

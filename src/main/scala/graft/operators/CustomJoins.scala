@@ -74,6 +74,31 @@ object CustomJoins {
       ON c.user_id = p.user_id AND c.ts_ms >= p.purchase_ms
     ORDER BY c.event_id"""))
 
+  /** Same semantics through the NATIVE operator stack
+    * ([[graft.plans.AsofJoinPlan]] → AsofJoinStrategy → AsofJoinExec:
+    * co-partitioned co-sorted single merge pass) — gated by the identical
+    * DuckDB ASOF JOIN oracle as the composed form above.
+    */
+  private val asofNative = Q(
+    "asof_join_native",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_ms")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ms").as("purchase_ms"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.plans.AsofJoin.asofJoinNative(
+        clicks,
+        purchases.select(col("user_id"), col("purchase_ms").as("ts_ms"),
+          col("purchase_id"), col("purchase_ms")),
+        key = "user_id", time = "ts_ms",
+        payload = Seq("purchase_id", "purchase_ms"))
+        .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
+        .orderBy("event_id")
+    },
+    asof.oracle)
+
   // ----------------------------------------------------------- range join
   /** Interval-containment join via bucketed equi-prejoin: intervals are
     * exploded to every `bucketMs` bucket they overlap; points join on
@@ -159,5 +184,5 @@ object CustomJoins {
       FROM lineitem GROUP BY l_suppkey, l_partkey)
     WHERE rank <= 3 ORDER BY l_suppkey, rank"""))
 
-  val all: Seq[Q] = Seq(asof, range, topk)
+  val all: Seq[Q] = Seq(asof, asofNative, range, topk)
 }
