@@ -449,7 +449,52 @@ object Relational {
       COUNT(*) AS n_events, ${sqlSum2("value", "total_value")}
     FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type"""))
 
+  // ---------------------------------------------------------------- q22
+  private val q22 = Q(
+    "q22_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum2(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+      ${sqlSum2("o_totalprice", "total")}
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority ASC NULLS FIRST,
+      o_orderstatus ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q23
+  private val q23 = Q(
+    "q23_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("rnk", rank().over(w).cast(LongType))
+        .withColumn("drnk", dense_rank().over(w).cast(LongType))
+        .withColumn("quartile", ntile(4).over(w).cast(LongType))
+        .withColumn("next_price", lead(col("l_extendedprice"), 1).over(w))
+        .filter(col("rnk") <= 8)
+        .orderBy("l_suppkey", "rnk", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT * FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        NTILE(4) OVER w AS quartile,
+        LEAD(l_extendedprice, 1) OVER w AS next_price
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+    WHERE rnk <= 8
+    ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q18, q19, q20, q21)
+      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }

@@ -56,4 +56,19 @@ object Sources {
   def writeJson(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Bucketed + sorted table write: co-located joins/aggregations on
+    * `bucketCol` read back with NO exchange (and no sort, when `sortCol`
+    * matches the join key) — the 100 TB answer to repeated large-large
+    * joins on a stable key. Bucket metadata lives in the session catalog,
+    * so this writes a managed table rather than a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.foreach(c => w.sortBy(c))
+    w.saveAsTable(table)
+  }
 }

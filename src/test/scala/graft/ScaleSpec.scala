@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Sources
+
+/** Scale tooling: salting and bucketing behave as designed. */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin equals plain join and spreads the hot key") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val parts = Tables(spark, sfDir, "part").select("p_partkey", "p_name")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(parts, "l_partkey")
+      .agg(count(lit(1)), sum("l_quantity")).collect().head
+    val salted = Skew.saltedJoin(li, parts, "l_partkey", 8)
+      .agg(count(lit(1)), sum("l_quantity")).collect().head
+    assert(salted.getLong(0) == plain.getLong(0))
+    assert(math.abs(salted.getDouble(1) - plain.getDouble(1)) < 1e-6)
+  }
+
+  test("saltedAgg equals direct aggregation") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val direct = li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("l_suppkey").collect().toSeq
+    val salted = Skew.saltedAgg(li, "l_suppkey", 8,
+      phase1 = Seq(count(lit(1)).as("n"), sum("l_quantity").as("q")),
+      phase2 = Seq(sum("n").as("n"), sum("q").as("q")))
+      .orderBy("l_suppkey").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val wh = Files.createTempDirectory("graft_buckets").toString
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      Sources.writeBucketed(
+        Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey"),
+        "b_orders", "o_custkey", 4, sortCol = Some("o_custkey"))
+      Sources.writeBucketed(
+        Tables(spark, sfDir, "customer").select("c_custkey", "c_name"),
+        "b_customer", "c_custkey", 4, sortCol = Some("c_custkey"))
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables(spark, sfDir, "orders").join(
+          Tables(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey")).count())
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

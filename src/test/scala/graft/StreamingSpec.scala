@@ -52,6 +52,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAgg over a FILE stream source equals the batch mirror") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.createDataset(evs).toDF().write.json(s"$dir/in/batch0")
+    val schema = spark.createDataset(evs).toDF().schema
+    val streamed = Streaming.windowedAgg(
+      spark.readStream.schema(schema).json(s"$dir/in/*")
+        .withColumnRenamed("tsMs", "ts_ms")
+        .withColumn("event_type", lit("click")))
+    val q = streamed.writeStream.format("memory")
+      .queryName("file_win_agg").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      spark.createDataset(Seq(flush1)).toDF().write.json(s"$dir/in/batch1")
+      q.processAllAvailable()
+      spark.createDataset(Seq(flush2)).toDF().write.json(s"$dir/in/batch2")
+      q.processAllAvailable()
+      val got = spark.table("file_win_agg")
+        .filter(col("hour_ms") < base + 50 * HOUR)
+        .select("hour_ms", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val expected = spark.createDataset(evs).toDF()
+        .groupBy((col("tsMs") - (col("tsMs") % HOUR)).as("hour_ms"))
+        .agg(count(lit(1)).as("n_events"),
+          Exact.dsum2(col("value")).as("total_value"))
+        .select("hour_ms", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch contract") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
