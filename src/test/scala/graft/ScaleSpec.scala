@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 import graft.operators.Skew
@@ -36,7 +34,20 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without an exchange") {
-    val wh = Files.createTempDirectory("graft_buckets").toString
+    for (t <- Seq("b_orders", "b_customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a killed previous run can leave the managed location behind
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     withSQLConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false") {
