@@ -1,0 +1,69 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** SpaceSaving-style top-k frequent-items sketch as a typed Aggregator —
+  * ladder step (b): a custom TypedColumn aggregation.
+  *
+  * Per-partition state is a capped counter map (`capacity` entries): when
+  * full, inserting a new item evicts the current minimum and inherits its
+  * count (the SpaceSaving overestimate bound: error ≤ N/capacity). Merge
+  * sums counters and re-caps. The exchange carries one map per group —
+  * never the raw items — so a hot group costs O(capacity), not O(rows).
+  *
+  * Exact when a group's distinct-item count stays ≤ capacity (asserted
+  * against the exact window top-k in TopKSketchSpec at test scale).
+  */
+final case class TopKState(counters: Map[String, Long])
+
+class TopKSketch[I](k: Int, capacity: Int, item: I => String)
+    extends Aggregator[I, TopKState, Seq[(String, Long)]] {
+
+  require(capacity >= k, "capacity must be >= k")
+
+  override def zero: TopKState = TopKState(Map.empty)
+
+  override def reduce(state: TopKState, row: I): TopKState = {
+    val it = item(row)
+    val m = mutable.Map.from(state.counters)
+    m.get(it) match {
+      case Some(c) => m.update(it, c + 1)
+      case None if m.size < capacity => m.update(it, 1L)
+      case None =>
+        // evict the minimum, inherit its count (SpaceSaving)
+        val (minItem, minCount) = m.minBy { case (i, c) => (c, i) }
+        m.remove(minItem)
+        m.update(it, minCount + 1)
+    }
+    TopKState(m.toMap)
+  }
+
+  override def merge(a: TopKState, b: TopKState): TopKState = {
+    val m = mutable.Map.from(a.counters)
+    b.counters.foreach { case (i, c) =>
+      m.update(i, m.getOrElse(i, 0L) + c)
+    }
+    val capped =
+      if (m.size <= capacity) m.toMap
+      else m.toSeq.sortBy { case (i, c) => (-c, i) }.take(capacity).toMap
+    TopKState(capped)
+  }
+
+  override def finish(state: TopKState): Seq[(String, Long)] =
+    state.counters.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
+
+  override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    ExpressionEncoder[Seq[(String, Long)]]()
+}
+
+object TopKSketch {
+  /** `ds.groupByKey(...).agg(TopKSketch.topK(5)(_.item))` */
+  def topK[I](k: Int, capacity: Int = 1024)(
+      f: I => String): TypedColumn[I, Seq[(String, Long)]] =
+    new TopKSketch[I](k, capacity, f).toColumn
+}

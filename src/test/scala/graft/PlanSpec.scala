@@ -60,6 +60,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("cosine_sim"))
   }
 
+  /** Queries where a nested-loop join is the DESIGN (broadcast of a tiny
+    * side against an un-equi-joinable predicate), not an accident.
+    */
+  private val intendedNestedLoop = Set(
+    "knn_bruteforce",   // broadcast query set vs corpus (no equi key exists)
+    "knn_ivf",          // broadcast 16-centroid codebook
+    "dedup_embedding",  // exact ground-truth pair scan (oracle demands it)
+    "q18_corr_scalar")  // broadcast 1-row aggregate threshold
+
+  test("no query plans an accidental cross product") {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!intendedNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended BroadcastNestedLoopJoin")
+    }
+  }
+
   test("dedup_minhash signature aggregation is partially aggregated") {
     // partial_min on the map side means the exchange carries one row per
     // doc, not the exploded shingle stream
