@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.LongType
@@ -35,6 +36,25 @@ final case class AsofJoinPlan(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: column-prune the right child of [[AsofJoinPlan]].
+  *
+  * Catalyst's ColumnPruning cannot see inside custom nodes, so without
+  * this a wide right side would be scanned, shuffled, and sorted in full
+  * even though the operator only reads (key, time, payload) — exactly the
+  * "filter pushed, columns pruned" property §6 demands at 100 TB. The
+  * inserted Project collapses into the child and reaches the scan's
+  * ReadSchema (asserted in AsofJoinSpec).
+  */
+object PruneAsofJoinRight extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case aj: AsofJoinPlan
+        if aj.right.output.size >
+          (Seq(aj.rightKey, aj.rightTime) ++ aj.payload).distinct.size =>
+      aj.copy(right = Project(
+        (Seq(aj.rightKey, aj.rightTime) ++ aj.payload).distinct, aj.right))
+  }
 }
 
 /** Planner strategy: one physical candidate, children planned lazily. */
@@ -78,10 +98,13 @@ object AsofJoin {
     Shim.ofRows(spark, AsofJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay))
   }
 
-  /** Idempotent strategy registration on a live session. */
+  /** Idempotent strategy + optimizer-rule registration on a live session. */
   def register(spark: SparkSession): Unit = {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies = strategies :+ AsofJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PruneAsofJoinRight))
+      spark.experimental.extraOptimizations = opts :+ PruneAsofJoinRight
   }
 }

@@ -37,6 +37,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(3),       "key 99 absent on right → null")
   }
 
+  test("PruneAsofJoinRight prunes unused right columns to the scan") {
+    val e = Tables.events(spark, sfDir) // 7 columns incl. props/value
+    val left = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ms")
+    val out = AsofJoin.asofJoinNative(left, e, "user_id", "ts_ms",
+      payload = Seq("event_id"))
+    val scans = out.queryExecution.executedPlan.toString
+    // the wide right side must reach its scan pruned: props never read
+    assert(!scans.contains("props"),
+      s"right-side scan should not read `props`:\n$scans")
+  }
+
   test("rejects non-Long key/time and missing columns") {
     val l = Seq((1, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {
