@@ -98,7 +98,15 @@ object AsofJoin {
     Shim.ofRows(spark, AsofJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay))
   }
 
-  /** Idempotent strategy + optimizer-rule registration on a live session. */
+  /** Idempotent strategy + optimizer-rule registration on a live session.
+    *
+    * Caveat: `extraOptimizations` runs in the LAST optimizer batch — after
+    * V2 scan pushdown — so [[PruneAsofJoinRight]] reaches the scan's
+    * ReadSchema only on the V1 file-source path (parquet/csv/json default).
+    * For DSv2 tables, register through
+    * `spark.sql.extensions=graft.functions.GraftExtensions`
+    * (injectOptimizerRule → operator-optimization batch, before pushdown).
+    */
   def register(spark: SparkSession): Unit = {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsofJoinStrategy))

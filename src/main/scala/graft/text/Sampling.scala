@@ -13,9 +13,12 @@ import graft.{Q, Tables}
   */
 object Sampling {
 
-  /** Bucket in [0, 65536) from the md5 of a string column. */
+  /** Bucket in [0, 65536) from the md5 of a string column. NULLs hash as
+    * the empty string (deterministic in both engines) rather than falling
+    * through every `when` into the last split.
+    */
   def hashBucket(c: Column): Column =
-    conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+    conv(substring(md5(coalesce(c, lit(""))), 1, 4), 16, 10).cast("long")
 
   /** train/val/test label with an 80/10/10 split (by content hash). */
   def splitLabel(c: Column): Column = {
@@ -37,8 +40,10 @@ object Sampling {
     Some("""WITH labeled AS (
       SELECT doc_id, lang,
         CASE
-          WHEN ('0x' || substr(md5(text), 1, 4))::INT < 52429 THEN 'train'
-          WHEN ('0x' || substr(md5(text), 1, 4))::INT < 58982 THEN 'val'
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 52429
+            THEN 'train'
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 58982
+            THEN 'val'
           ELSE 'test'
         END AS split
       FROM documents)
