@@ -22,11 +22,13 @@ object Dedup {
 
   /** Distinct k-word shingles from a token array (empty when < k tokens —
     * guarded: `sequence(1, 0)` would step DOWN, not produce empty).
+    * `slice` + `array_join` embeds the token expression once per lambda
+    * instead of k times (k `element_at`s) — a third of the codegen.
     */
   def shingles(toks: Column, k: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+      i => array_join(slice(toks, i, lit(k)), " "))
     when(size(toks) >= k, array_distinct(grams))
       .otherwise(typedLit(Seq.empty[String]))
   }

@@ -494,7 +494,43 @@ object Relational {
     WHERE rnk <= 8
     ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber"""))
 
+  // ---------------------------------------------------------------- q24
+  /** q20's gap sessionization via Spark's NATIVE session_window operator
+    * (one aggregation, merge-able session state — the same code runs in
+    * Structured Streaming). The oracle recomputes sessions with the
+    * lag+cumsum formulation, proving the two definitions coincide.
+    */
+  private val q24 = Q(
+    "q24_session_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"),
+          dsum2(col("value")).as("total_value"))
+        .select("user_id", "n_events", "start_ms", "end_ms", "total_value")
+        .orderBy("user_id", "start_ms"),
+    Some(s"""WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+    f AS (SELECT *, LAG(ts_ms) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+    -- session_window ends are EXCLUSIVE: an event landing exactly at
+    -- prev + gap starts a NEW session (>=, not >)
+    g AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms >= 1800000
+      THEN 1 ELSE 0 END AS is_new FROM f),
+    h AS (SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, COUNT(*) AS n_events,
+      MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+      ${sqlSum2("value", "total_value")}
+    FROM h GROUP BY user_id, session_id ORDER BY user_id, start_ms"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }

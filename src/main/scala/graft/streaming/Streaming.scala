@@ -47,6 +47,35 @@ object Streaming {
         unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream inner join with watermarks: clicks join purchases of
+    * the same user within `windowMs` AFTER the purchase. Both sides carry
+    * watermarks and the join has a two-sided time-range condition, so
+    * Spark bounds the buffered state on each side (purchase state expires
+    * once the click watermark passes `purchase_time + windowMs`).
+    * Streaming mirror of the batch `range_join` operator.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMs: Long, watermarkDelay: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .withColumn("click_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("click_time", watermarkDelay)
+      .select(col("user_id"), col("ts_ms").as("click_ms"),
+        col("value").as("click_value"), col("click_time"))
+    val p = purchases
+      .withColumn("purchase_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("purchase_time", watermarkDelay)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"), col("purchase_time"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_time") >= col("purchase_time") &&
+        col("click_time") <
+          col("purchase_time") + expr(s"INTERVAL ${windowMs / 1000} SECOND"))
+      .select("purchase_id", "user_id", "purchase_ms", "click_ms",
+        "click_value")
+  }
+
   /** Gap-based sessionizer via `flatMapGroupsWithState` with event-time
     * timeout — the streaming mirror of q20_sessionize. Emits a session
     * when a later event arrives past the gap, or when the watermark

@@ -83,6 +83,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream click-purchase join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = Streaming.clickPurchaseJoin(
+      clicks.toDF().withColumnRenamed("tsMs", "ts_ms")
+        .withColumnRenamed("userId", "user_id"),
+      purchases.toDF().withColumnRenamed("tsMs", "ts_ms")
+        .withColumnRenamed("userId", "user_id")
+        .withColumnRenamed("eventId", "event_id"),
+      windowMs = HOUR)
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    try {
+      // user 1: purchase at base+30s; clicks inside and outside the window
+      purchases.addData(Ev(100L, 1L, base + 30000L, 0.0))
+      clicks.addData(
+        Ev(1L, 1L, base + 40000L, 1.0),          // inside
+        Ev(2L, 1L, base + 30000L, 2.0),          // equal ts → inside
+        Ev(3L, 1L, base + 30000L + HOUR, 3.0),   // at end → outside
+        Ev(4L, 2L, base + 40000L, 4.0))          // other user → no match
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("purchase_id", "click_ms", "click_value")
+        .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+      assert(got == Seq((100L, base + 30000L, 2.0),
+        (100L, base + 40000L, 1.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch contract") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
