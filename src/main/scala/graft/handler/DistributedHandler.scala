@@ -57,6 +57,24 @@ final class DistributedHandler private (
       .mapPartitions(_.map(f))
   }
 
+  /** Distributed map over an EXISTING Dataset — the form that matters at
+    * 100 TB, where items never fit a driver-side Seq. Pure sugar over
+    * `Dataset.map`, here so pipelines can stay inside the handler façade.
+    */
+  def mapDataset[A, B: Encoder](ds: Dataset[A])(f: A => B): Dataset[B] =
+    ds.map(f)
+
+  /** Batched map over an existing Dataset: caps concurrent tasks at
+    * `maxTasks` by coalescing (no shuffle) — the reference's
+    * "don't drown the scheduler" semantics applied to a distributed
+    * source.
+    */
+  def batchedMapDataset[A, B: Encoder](ds: Dataset[A], maxTasks: Int)(
+      f: A => B): Dataset[B] = {
+    val parts = math.max(1, math.min(maxTasks, ds.rdd.getNumPartitions))
+    ds.coalesce(parts).mapPartitions(_.map(f))
+  }
+
   /** Block until resolved, return results (reference `gather`, :146). */
   def gather[B](ds: Dataset[B]): Seq[B] = ds.collect().toSeq
 

@@ -87,6 +87,24 @@ object Knn {
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }: _*)
 
+  /** Multiprobe signature: the exact bucket plus every 1-bit-flip
+    * neighbor (bits near the hyperplane are the likeliest to disagree for
+    * true neighbors). Probing 1+BITS buckets per table lifts recall
+    * without growing the corpus index — the standard query-side/state-side
+    * trade at scale.
+    */
+  private def lshProbeBuckets(v: Column): Column =
+    array((0 until TABLES).flatMap { t =>
+      val bucket = (0 until BITS).map { b =>
+        when(dot(v, planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket")) +:
+        (0 until BITS).map { flip =>
+          struct(lit(t).as("tbl"),
+            bucket.bitwiseXOR(lit(1 << flip)).as("bucket"))
+        }
+    }: _*)
+
   private val lsh = Q(
     "knn_lsh",
     (s, dir) => {
@@ -96,7 +114,7 @@ object Knn {
         .select(col("vec_id"), col("v"), col("b.tbl"), col("b.bucket"))
       val queries = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(lshBuckets(col("v"))).as("b"))
+          explode(lshProbeBuckets(col("v"))).as("b"))
         .select(col("query_id"), col("qv"), col("b.tbl"), col("b.bucket"))
       val cand = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
         .filter(col("query_id") =!= col("vec_id"))

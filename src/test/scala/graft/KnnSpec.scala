@@ -21,7 +21,7 @@ class KnnSpec extends SparkSpec {
     val lsh = pairs("knn_lsh")
     val recall = (lsh & exact).size.toDouble / exact.size
     info(s"knn_lsh recall@5 = $recall")
-    assert(recall >= 0.5)
+    assert(recall >= 0.8) // observed 0.96 with 1-bit multiprobe
   }
 
   test("IVF recall vs brute force") {
