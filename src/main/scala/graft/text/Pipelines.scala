@@ -33,13 +33,21 @@ object Pipelines {
       val fp = quality.select(col("doc_id"), col("lang"), col("text"),
         md5(norm).as("fp"))
       val keepers = fp.groupBy("fp").agg(min("doc_id").as("keeper"))
+      // checkpoint: consumed twice (shingle stage + final anti-join), and
+      // truncating lineage stops downstream plans re-inlining filter+md5
       val deduped = fp.join(keepers, "fp")
         .filter(col("doc_id") === col("keeper"))
         .select("doc_id", "lang", "text")
-      // 3. near-dup removal: drop the higher doc_id of each jaccard pair
+        .localCheckpoint()
+      // 3. near-dup removal: drop the higher doc_id of each jaccard pair.
+      // The shingle table is checkpointed BEFORE explode: CollapseProject
+      // would otherwise inline the whole shingle-array expression into the
+      // post-explode projection and re-evaluate it once per exploded row
+      // (≈500× per doc) on both join sides.
       val sh = deduped
         .select(col("doc_id"), Dedup.shingles(toks, 3).as("sh"))
         .withColumn("nsh", size(col("sh")))
+        .localCheckpoint()
       val ex = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
       val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"),
         col("s"))
