@@ -109,21 +109,29 @@ object Knn {
     "knn_lsh",
     (s, dir) => {
       val e = emb(s, dir)
-      val corpus = e.select(col("vec_id"), col("v"),
+      // bucket index and candidate pairs carry bare IDs (16 B/row), not
+      // the 64-double vectors — dedup hashes longs, exchanges stay thin,
+      // and vectors are re-attached only to the surviving candidates
+      val corpus = e.select(col("vec_id"),
           explode(lshBuckets(col("v"))).as("b"))
-        .select(col("vec_id"), col("v"), col("b.tbl"), col("b.bucket"))
+        .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
       val queries = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        .select(col("vec_id").as("query_id"),
           explode(lshProbeBuckets(col("v"))).as("b"))
-        .select(col("query_id"), col("qv"), col("b.tbl"), col("b.bucket"))
+        .select(col("query_id"), col("b.tbl"), col("b.bucket"))
       val cand = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
         .filter(col("query_id") =!= col("vec_id"))
-        .select("query_id", "qv", "vec_id", "v")
+        .select("query_id", "vec_id")
         .distinct()
+      val scored = cand
+        .join(e, "vec_id")
+        .join(broadcast(e.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+          "query_id")
       val cos = cosineSim(col("qv"), col("v"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(cos.desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= K)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("rank"), round(cos, 6).as("cosine"))
