@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 
@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic
 object Shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test-only doorways into the private[sql] extension build methods, so
+    * ExtensionsSpec can exercise the same path the session builder calls.
+    */
+  def registerFunctions(ext: SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession) =
+    ext.buildPlannerStrategies(spark)
+  def optimizerRules(ext: SparkSessionExtensions, spark: SparkSession) =
+    ext.buildOptimizerRules(spark)
 }
