@@ -85,9 +85,8 @@ object Dedup {
   private val exact = Q(
     "dedup_exact",
     (s, dir) => {
-      val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
       val f = Tables(s, dir, "documents")
-        .select(col("doc_id"), md5(norm).as("fp"))
+        .select(col("doc_id"), TextOps.normalizedMd5(col("text")).as("fp"))
       val keep = f.groupBy("fp").agg(min("doc_id").as("keeper_id"))
       f.join(keep, "fp")
         .select(col("doc_id"), col("keeper_id"),
@@ -101,31 +100,38 @@ object Dedup {
     SELECT doc_id, keeper_id, doc_id <> keeper_id AS is_dup
     FROM f JOIN k ON f.fp = k.fp ORDER BY doc_id"""))
 
-  // --------------------------------------------------- dedup_ngram_jaccard
-  /** Near-dup pairs via inverted shingle index: explode shingles, self-join
-    * postings, count shared shingles per pair, exact jaccard from counts.
-    * Scale: postings-list join is linear in Σ df²; for web-scale corpora cap
-    * df (drop shingles with df > cap — they cannot create high-jaccard pairs
+  /** Inverted-index jaccard pairs over a (doc_id, sh, nsh) shingle frame:
+    * explode postings, self-join on the shingle, count intersections per
+    * pair, exact jaccard from the counts. Returns (a_id, b_id, jaccard
+    * [raw double]) with a_id < b_id and jaccard >= tau. Shared by
+    * dedup_ngram_jaccard and pipeline_prepare.
+    *
+    * Scale: postings-list join is linear in Σ df²; for web-scale corpora
+    * cap df (shingles with df > cap cannot create high-jaccard pairs
     * alone) and salt hot shingles. No cap needed at this df profile.
     */
+  def jaccardPairs(shingleTable: DataFrame, tau: Double): DataFrame = {
+    val ex = shingleTable
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("sh"))
+    a.join(b, "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // --------------------------------------------------- dedup_ngram_jaccard
   private val ngramJaccard = Q(
     "dedup_ngram_jaccard",
-    (s, dir) => {
-      val ex = docShingles(s, dir)
-        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
-      val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("sh"))
-      val b = ex.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("sh"))
-      a.join(b, "sh")
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")) >= TAU)
-        .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
-    },
+    (s, dir) =>
+      jaccardPairs(docShingles(s, dir), TAU)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("a_id", "b_id"),
     Some(sqlExactJaccardPairs))
 
   // ---------------------------------------------------- dedup_minhash_lsh

@@ -10,6 +10,38 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSessionExtensions
 
+/** Shared scaffolding for binary expressions over float/double array
+  * inputs returning double: type checking and element accessors (eval +
+  * codegen) that widen floats to double.
+  */
+trait VectorBinaryExpression { self: BinaryExpression =>
+
+  final override def dataType: DataType = DoubleType
+  final override def nullIntolerant: Boolean = true
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  final override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Java accessor expression for element `i` of array variable `arr`. */
+  protected def getter(e: Expression, arr: String, i: String): String =
+    if (elemIsFloat(e)) s"(double) $arr.getFloat($i)"
+    else s"$arr.getDouble($i)"
+}
+
 /** `cosine_sim(a, b)` — native Catalyst expression (whole-stage codegen)
   * for cosine similarity over `array<double>` / `array<float>` columns.
   *
@@ -21,28 +53,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * WholeStageCodegen.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VectorBinaryExpression {
 
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
-
-  private def isVec(t: DataType): Boolean = t match {
-    case ArrayType(FloatType | DoubleType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (isVec(left.dataType) && isVec(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<float|double> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -67,18 +80,12 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
-      val getX =
-        if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
-        else s"$a.getDouble($i)"
-      val getY =
-        if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
-        else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double x = $getX;
-          double y = $getY;
+          double x = ${getter(left, a, i)};
+          double y = ${getter(right, b, i)};
           $dot += x * y; $na += x * x; $nb += y * y;
         }
         ${ev.value} = $dot /
@@ -97,28 +104,9 @@ case class CosineSim(left: Expression, right: Expression)
   * the interpreted `aggregate(zip_with(...))` HOF route.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VectorBinaryExpression {
 
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
-
-  private def isVec(t: DataType): Boolean = t match {
-    case ArrayType(FloatType | DoubleType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (isVec(left.dataType) && isVec(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<float|double> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -141,16 +129,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
-      val getX =
-        if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
-        else s"$a.getDouble($i)"
-      val getY =
-        if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
-        else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0;
-        for (int $i = 0; $i < $n; $i++) { $dot += $getX * $getY; }
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += ${getter(left, a, i)} * ${getter(right, b, i)};
+        }
         ${ev.value} = $dot;
       """
     })

@@ -29,17 +29,16 @@ class TopKSketch[I](k: Int, capacity: Int, item: I => String)
 
   override def reduce(state: TopKState, row: I): TopKState = {
     val it = item(row)
-    val m = mutable.Map.from(state.counters)
+    val m = state.counters
+    // persistent `updated` is O(log n) — no full-map copy per input row
     m.get(it) match {
-      case Some(c) => m.update(it, c + 1)
-      case None if m.size < capacity => m.update(it, 1L)
+      case Some(c) => TopKState(m.updated(it, c + 1))
+      case None if m.size < capacity => TopKState(m.updated(it, 1L))
       case None =>
         // evict the minimum, inherit its count (SpaceSaving)
         val (minItem, minCount) = m.minBy { case (i, c) => (c, i) }
-        m.remove(minItem)
-        m.update(it, minCount + 1)
+        TopKState((m - minItem).updated(it, minCount + 1))
     }
-    TopKState(m.toMap)
   }
 
   override def merge(a: TopKState, b: TopKState): TopKState = {

@@ -78,13 +78,16 @@ object Knn {
   private def dot(v: Column, plane: Array[Double]): Column =
     graft.functions.CosineSim.dotProduct(v, typedLit(plane.toSeq))
 
+  /** Sign-bit bucket of `v` in table `t` (one bit per hyperplane). */
+  private def bucketFor(v: Column, t: Int): Column =
+    (0 until BITS).map { b =>
+      when(dot(v, planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** array<struct<tbl:int,bucket:int>> signature for a vector column. */
   private def lshBuckets(v: Column): Column =
     array((0 until TABLES).map { t =>
-      val bucket = (0 until BITS).map { b =>
-        when(dot(v, planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
+      struct(lit(t).as("tbl"), bucketFor(v, t).as("bucket"))
     }: _*)
 
   /** Multiprobe signature: the exact bucket plus every 1-bit-flip
@@ -95,9 +98,7 @@ object Knn {
     */
   private def lshProbeBuckets(v: Column): Column =
     array((0 until TABLES).flatMap { t =>
-      val bucket = (0 until BITS).map { b =>
-        when(dot(v, planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
+      val bucket = bucketFor(v, t)
       struct(lit(t).as("tbl"), bucket.as("bucket")) +:
         (0 until BITS).map { flip =>
           struct(lit(t).as("tbl"),

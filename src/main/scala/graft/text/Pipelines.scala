@@ -29,9 +29,8 @@ object Pipelines {
       val quality = Tables(s, dir, "documents")
         .filter(nTok >= MIN_TOKENS && swRatio <= MAX_STOPWORD_RATIO)
       // 2. exact dedup (normalized-md5 keeper)
-      val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
       val fp = quality.select(col("doc_id"), col("lang"), col("text"),
-        md5(norm).as("fp"))
+        TextOps.normalizedMd5(col("text")).as("fp"))
       val keepers = fp.groupBy("fp").agg(min("doc_id").as("keeper"))
       // checkpoint: consumed twice (shingle stage + final anti-join), and
       // truncating lineage stops downstream plans re-inlining filter+md5
@@ -48,16 +47,7 @@ object Pipelines {
         .select(col("doc_id"), Dedup.shingles(toks, 3).as("sh"))
         .withColumn("nsh", size(col("sh")))
         .localCheckpoint()
-      val ex = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
-      val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"),
-        col("s"))
-      val b = ex.select(col("doc_id").as("b_id"), col("nsh").as("nb"),
-        col("s"))
-      val drops = a.join(b, "s").filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")) >= 0.6)
+      val drops = Dedup.jaccardPairs(sh, 0.6)
         .select(col("b_id").as("doc_id")).distinct()
       val clean = deduped.join(drops, Seq("doc_id"), "left_anti")
       // 4. deterministic split + summary

@@ -22,6 +22,14 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Normalized-content md5 (lower, trim, collapse runs of spaces) —
+    * the shared fingerprint of text_fingerprint / dedup_exact /
+    * pipeline_prepare; mirrors DuckDB
+    * `md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))`.
+    */
+  def normalizedMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " "))
+
   private val stopwords = Seq("the", "a")
 
   // ------------------------------------------------------------ text_stats
@@ -117,9 +125,8 @@ object TextOps {
   private val fingerprint = Q(
     "text_fingerprint",
     (s, dir) => {
-      val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), md5(norm).as("fingerprint"))
+        .select(col("doc_id"), normalizedMd5(col("text")).as("fingerprint"))
       val sizes = d.groupBy("fingerprint")
         .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("keeper_id"))
       d.join(sizes, "fingerprint")
