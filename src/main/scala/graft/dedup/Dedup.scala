@@ -141,12 +141,13 @@ object Dedup {
 
   /** MinHash + LSH near-dup detection.
     *
-    * signatures: one hash-agg with 128 `min(xxhash64(sh, p))` partial
-    * aggregates (map-side combine — the exchange carries one 128-long row
-    * per doc, not the exploded shingles). Banding explodes 32 (band,
-    * bandhash) keys per doc; the bucket self-join only materializes
-    * colliding pairs; exact jaccard verifies candidates. The oracle is the
-    * ground-truth pair set — passing proves full recall at this τ.
+    * signatures: one hash-agg with PERMS (64) `min(xxhash64(sh, p))`
+    * partial aggregates (map-side combine — the exchange carries one
+    * 64-long row per doc, not the exploded shingles). Banding explodes
+    * BANDS (16) (band, bandhash) keys per doc (ROWS=4 minhashes each);
+    * the bucket self-join only materializes colliding pairs; exact
+    * jaccard verifies candidates. The oracle is the ground-truth pair
+    * set — passing proves full recall at this τ.
     */
   private val minhashLsh = Q(
     "dedup_minhash_lsh",

@@ -40,6 +40,28 @@ trait VectorBinaryExpression { self: BinaryExpression =>
   protected def getter(e: Expression, arr: String, i: String): String =
     if (elemIsFloat(e)) s"(double) $arr.getFloat($i)"
     else s"$arr.getDouble($i)"
+
+  /** Mismatched lengths are corrupt input — fail like the DuckDB oracle
+    * does, never silently score a common prefix.
+    */
+  protected def checkedLength(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector lengths differ ($n vs ${y.numElements()})")
+    n
+  }
+
+  /** Codegen mirror of [[checkedLength]]: assigns `$n`, throws on skew. */
+  protected def lengthCheckCode(a: String, b: String, n: String): String =
+    s"""
+      int $n = $a.numElements();
+      if ($n != $b.numElements()) {
+        throw new IllegalArgumentException(
+          "$prettyName: vector lengths differ (" + $n + " vs " +
+            $b.numElements() + ")");
+      }
+    """
 }
 
 /** `cosine_sim(a, b)` — native Catalyst expression (whole-stage codegen)
@@ -61,7 +83,7 @@ case class CosineSim(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLength(x, y)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -70,6 +92,7 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
+    // an all-zero vector yields NaN (0/0) — cosine is undefined there
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -81,7 +104,7 @@ case class CosineSim(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${lengthCheckCode(a, b, n)}
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double x = ${getter(left, a, i)};
@@ -112,7 +135,7 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLength(x, y)
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -130,7 +153,7 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${lengthCheckCode(a, b, n)}
         double $dot = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $dot += ${getter(left, a, i)} * ${getter(right, b, i)};
@@ -145,16 +168,19 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))))
+  private val fns
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSim],
+      exprs => CosineSim(exprs(0), exprs(1))),
+    ("dot_product", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1))))
 
   /** Idempotent runtime registration (works on driver-created sessions). */
   def register(spark: SparkSession): Unit =
-    fns.foreach { case (name, builder) =>
+    fns.foreach { case (name, cls, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSim].getName, name), builder)
+        new ExpressionInfo(cls.getName, name), builder)
     }
 
   /** Column-API sugar once registered. */

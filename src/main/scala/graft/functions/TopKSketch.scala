@@ -42,9 +42,20 @@ class TopKSketch[I](k: Int, capacity: Int, item: I => String)
   }
 
   override def merge(a: TopKState, b: TopKState): TopKState = {
-    val m = mutable.Map.from(a.counters)
+    // SpaceSaving merge (Agarwal et al.): an item absent from a capped
+    // summary may have been evicted with up to that summary's minimum
+    // count — add that floor, keeping every count an overestimate, so the
+    // error <= N/capacity bound survives merges (plain 0-for-absent would
+    // silently drop true mass and can evict a genuinely frequent item).
+    def floor(s: TopKState): Long =
+      if (s.counters.size >= capacity) s.counters.valuesIterator.min else 0L
+    val (fa, fb) = (floor(a), floor(b))
+    val m = mutable.Map.empty[String, Long]
+    a.counters.foreach { case (i, c) =>
+      m.update(i, c + b.counters.getOrElse(i, fb))
+    }
     b.counters.foreach { case (i, c) =>
-      m.update(i, m.getOrElse(i, 0L) + c)
+      if (!m.contains(i)) m.update(i, c + fa)
     }
     val capped =
       if (m.size <= capacity) m.toMap

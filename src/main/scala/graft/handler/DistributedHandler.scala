@@ -105,8 +105,24 @@ object DistributedHandler {
           new DistributedHandler(s, ownsSession = true, stopOnClose)
       }
     case Some(m) =>
-      val s = SparkSession.builder().master(m).getOrCreate()
-      new DistributedHandler(s, ownsSession = true, stopOnClose)
+      // getOrCreate IGNORES .master() when a session already exists (the
+      // master is a static conf) — silently "connecting" to a different
+      // cluster than requested, then stopping a session we don't own,
+      // would be worse than failing loudly.
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        match {
+        case Some(existing)
+            if existing.sparkContext.master == m =>
+          new DistributedHandler(existing, ownsSession = false,
+            stopOnClose = false)
+        case Some(existing) =>
+          throw new IllegalStateException(
+            s"A SparkSession with master ${existing.sparkContext.master} " +
+              s"is already active; cannot connect to $m from this JVM")
+        case None =>
+          val s = SparkSession.builder().master(m).getOrCreate()
+          new DistributedHandler(s, ownsSession = true, stopOnClose)
+      }
   }
 
   /** Context-manager form (reference `with DistributedHandler(...) as h`). */

@@ -66,13 +66,23 @@ object Multimodal {
     * fixed-size frames and keeps every `everyN`-th. Partition-preserving
     * flatMap; real frame extraction plugs into the same signature.
     */
+  /** Frame ids are `mediaId * FRAME_STRIDE + idx` — payloads must stay
+    * under FRAME_STRIDE frames or ids would collide across records.
+    */
+  val FRAME_STRIDE = 1L << 32
+
   def frameSample(ds: Dataset[MediaRecord], frameBytes: Int,
       everyN: Int): Dataset[MediaRecord] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex.collect {
+      val frames = r.payload.grouped(frameBytes).zipWithIndex
+      frames.collect {
         case (frame, idx) if idx % everyN == 0 =>
-          MediaRecord(r.mediaId * 100000L + idx, frame,
+          require(idx < FRAME_STRIDE, s"payload of ${r.mediaId} exceeds " +
+            s"$FRAME_STRIDE frames; frame ids would collide")
+          MediaRecord(r.mediaId * FRAME_STRIDE + idx, frame,
             r.meta.copy(kind = "frame", durationMs = 0L))
       }
     }

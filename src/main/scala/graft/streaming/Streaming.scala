@@ -12,7 +12,12 @@ final case class Ev(eventId: Long, userId: Long, tsMs: Long, value: Double)
 final case class Session(userId: Long, sessionId: Long, nEvents: Long,
     startMs: Long, endMs: Long, totalValue: Double)
 
-/** Mutable per-user sessionizer state (kept tiny: one open session). */
+/** Per-user sessionizer state: one open session, or (nEvents == 0) a
+  * tombstone carrying only the last emitted sessionId so numbering stays
+  * cumulative across event-time timeouts. One tombstone per user ever
+  * seen — bounded by the user domain, the standard trade for stable
+  * session identity.
+  */
 final case class SessionState(sessionId: Long, nEvents: Long, startMs: Long,
     endMs: Long, totalCents: Long)
 
@@ -71,7 +76,7 @@ object Streaming {
       col("user_id") === col("p_user_id") &&
         col("click_time") >= col("purchase_time") &&
         col("click_time") <
-          col("purchase_time") + expr(s"INTERVAL ${windowMs / 1000} SECOND"))
+          col("purchase_time") + expr(s"INTERVAL $windowMs MILLISECOND"))
       .select("purchase_id", "user_id", "purchase_ms", "click_ms",
         "click_value")
   }
@@ -102,9 +107,13 @@ object Streaming {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
           if (rows.isEmpty && state.hasTimedOut) {
             val st = state.get
-            state.remove()
-            Iterator.single(Session(userId, st.sessionId, st.nEvents,
-              st.startMs, st.endMs, st.totalCents / 100.0))
+            // tombstone (nEvents=0) keeps the session counter so a later
+            // event continues the per-user numbering instead of reusing 1
+            state.update(st.copy(nEvents = 0L, totalCents = 0L))
+            if (st.nEvents > 0)
+              Iterator.single(Session(userId, st.sessionId, st.nEvents,
+                st.startMs, st.endMs, st.totalCents / 100.0))
+            else Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.eventId))
             var cur = state.getOption.orNull
@@ -113,19 +122,27 @@ object Streaming {
               val cents = math.round(e.value * 100)
               if (cur == null) {
                 cur = SessionState(1L, 1L, e.tsMs, e.tsMs, cents)
+              } else if (cur.nEvents == 0L) { // tombstone: next session id
+                cur = SessionState(cur.sessionId + 1, 1L, e.tsMs, e.tsMs,
+                  cents)
               } else if (e.tsMs - cur.endMs > gapMs) {
                 closed += Session(userId, cur.sessionId, cur.nEvents,
                   cur.startMs, cur.endMs, cur.totalCents / 100.0)
                 cur = SessionState(cur.sessionId + 1, 1L, e.tsMs, e.tsMs,
                   cents)
               } else {
-                cur = cur.copy(nEvents = cur.nEvents + 1, endMs = e.tsMs,
+                // late (out-of-order within the watermark) events may
+                // precede the session bounds — widen, never rewind
+                cur = cur.copy(nEvents = cur.nEvents + 1,
+                  startMs = math.min(cur.startMs, e.tsMs),
+                  endMs = math.max(cur.endMs, e.tsMs),
                   totalCents = cur.totalCents + cents)
               }
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.endMs + gapMs)
+              if (cur.nEvents > 0)
+                state.setTimeoutTimestamp(cur.endMs + gapMs)
             }
             closed.result().iterator
           }

@@ -23,7 +23,7 @@ object Pipelines {
     (s, dir) => {
       val toks = TextOps.tokens(col("text"))
       val nTok = size(toks)
-      val swRatio = size(filter(toks, t => t.isin("the", "a")))
+      val swRatio = size(filter(toks, t => t.isInCollection(TextOps.stopwords)))
         .cast("double") / nTok
       // 1. quality filter
       val quality = Tables(s, dir, "documents")
@@ -64,8 +64,8 @@ object Pipelines {
     quality AS (
       SELECT doc_id, lang, text, w FROM toks
       WHERE len(w) >= $MIN_TOKENS
-        AND len(list_filter(w, t -> t IN ('the','a'))) * 1.0 / len(w)
-          <= $MAX_STOPWORD_RATIO),
+        AND len(list_filter(w, t -> t IN (${TextOps.stopwordsSql})))
+          * 1.0 / len(w) <= $MAX_STOPWORD_RATIO),
     fp AS (
       SELECT doc_id, lang, text, w,
         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f

@@ -30,7 +30,13 @@ object TextOps {
   def normalizedMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
 
-  private val stopwords = Seq("the", "a")
+  /** Shared by text_stats and the pipeline quality gate (keep the oracle
+    * IN-lists derived from this, never re-typed).
+    */
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** SQL literal list for oracle mirrors: `'the','a'`. */
+  val stopwordsSql: String = stopwords.map(s => s"'$s'").mkString(",")
 
   // ------------------------------------------------------------ text_stats
   private val stats = Q(
@@ -51,7 +57,7 @@ object TextOps {
           .cast("double") / nTok, 6).as("stopword_ratio"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
+    Some(s"""SELECT doc_id,
       length(text) AS len_chars,
       len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
       round(length(replace(text,' ',''))*1.0
@@ -59,7 +65,7 @@ object TextOps {
         AS avg_token_len,
       round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))*1.0
         / length(text), 6) AS punct_ratio,
-      round(len(list_filter(string_split(text,' '), t -> t IN ('the','a')))
+      round(len(list_filter(string_split(text,' '), t -> t IN ($stopwordsSql)))
         *1.0 / len(list_filter(string_split(text,' '), t -> t <> '')), 6)
         AS stopword_ratio
     FROM documents ORDER BY doc_id"""))

@@ -50,6 +50,16 @@ class HandlerSpec extends SparkSpec {
     assert(h.defaultBatchSize == spark.sparkContext.defaultParallelism)
   }
 
+  test("explicit master reuses a matching session, rejects a mismatch") {
+    val h = DistributedHandler(Some(spark.sparkContext.master))
+    assert(h.spark eq spark)
+    h.close()
+    assert(!spark.sparkContext.isStopped)
+    intercept[IllegalStateException] {
+      DistributedHandler(Some("spark://elsewhere:7077"))
+    }
+  }
+
   test("withHandler context manager closes without stopping the session") {
     val res = DistributedHandler.withHandler() { h =>
       h.gather(h.map(List(1, 2, 3))(_ + 1)).sorted

@@ -31,6 +31,17 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("cosine_sim rejects mismatched vector lengths") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("lengths differ")))
+  }
+
   test("cosine_sim SQL function evaluates correctly") {
     val r = spark.sql(
       """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) c1,

@@ -133,6 +133,35 @@ class StreamingSpec extends SparkSpec {
         Session(2L, 2L, 1L, base + 3 * HOUR + 1000L,
           base + 3 * HOUR + 1000L, 0.25))
       assert(got == expected)
+      // session numbering continues (not restarts) after a timeout flush;
+      // the new event must sit AHEAD of the watermark (flush2 - delay)
+      mem.addData(Ev(10L, 1L, base + 300 * HOUR, 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(11L, 99L, base + 400 * HOUR, 0.0)) // advance watermark
+      q.processAllAvailable()
+      mem.addData(Ev(12L, 99L, base + 500 * HOUR, 0.0))
+      q.processAllAvailable()
+      val third = spark.table("sessions").as[Session].collect()
+        .filter(s => s.userId == 1L && s.sessionId == 3L)
+      assert(third.length == 1 && third.head.startMs == base + 300 * HOUR)
+    } finally q.stop()
+  }
+
+  test("sessionizer widens, never rewinds, on out-of-order events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = Streaming.sessionize(mem.toDS(), gapMs = 1800000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_ooo").outputMode("append").start()
+    try {
+      mem.addData(Ev(1L, 1L, base + 600000L, 1.0)); q.processAllAvailable()
+      // late event, earlier than the open session's start, same session
+      mem.addData(Ev(2L, 1L, base, 1.0)); q.processAllAvailable()
+      mem.addData(flush1); q.processAllAvailable()
+      mem.addData(flush2); q.processAllAvailable()
+      val got = spark.table("sessions_ooo").as[Session].collect()
+        .filter(_.userId == 1L).toSeq
+      assert(got == Seq(Session(1L, 1L, 2L, base, base + 600000L, 2.0)))
     } finally q.stop()
   }
 }
