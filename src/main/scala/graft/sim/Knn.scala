@@ -155,7 +155,7 @@ object Knn {
     "knn_ivf",
     (s, dir) => {
       val e = emb(s, dir)
-      val cents = e.orderBy("vec_id").limit(NLIST)
+      val cents = e.filter(col("vec_id") < NLIST)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       val simToCent = cosineSim(col("v"), col("cv"))
       val wAssign = Window.partitionBy(col("vec_id"))
@@ -184,7 +184,36 @@ object Knn {
           col("rank"), round(cos, 6).as("cosine"))
         .orderBy("query_id", "rank")
     },
-    None)
+    // fully deterministic (codebook = vec_id < NLIST, cosine ties broken
+    // by id), so the whole IVF pipeline is mirrorable as ground truth
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      WHERE vec_id < $NLIST),
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, cents c) WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQ),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM q, cents c) WHERE rk <= $NPROBE)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY p.query_id
+          ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id)
+          AS rank,
+        round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE p.query_id <> a.vec_id)
+    WHERE rank <= $K ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(bruteforce, lsh, ivf)
 }
