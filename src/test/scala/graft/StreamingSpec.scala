@@ -147,6 +147,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer over the real events table equals batch q20") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts_ms", "value")
+      .orderBy("ts_ms", "event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sessionize(mem.toDS(), gapMs = 1800000L)
+      .writeStream.format("memory")
+      .queryName("sessions_real").outputMode("append").start()
+    try {
+      mem.addData(evs.toIndexedSeq: _*); q.processAllAvailable()
+      val last = evs.map(_.tsMs).max
+      mem.addData(Ev(-1L, 999999L, last + 100 * HOUR, 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(-2L, 999999L, last + 200 * HOUR, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_real").as[Session].collect()
+        .filter(_.userId != 999999L)
+        .map(s => (s.userId, s.sessionId, s.nEvents, s.startMs, s.endMs,
+          s.totalValue))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val expected = SparkEntry.queries("q20_sessionize")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = mem.toDF()
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("eventId")
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    try {
+      mem.addData(Ev(1L, 1L, base, 1.0), Ev(1L, 1L, base + 1000L, 2.0),
+        Ev(2L, 1L, base + 2000L, 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, 1L, base + 3000L, 4.0)) // dup within watermark
+      q.processAllAvailable()
+      assert(spark.table("stream_dedup").count() == 2) // ids 1 and 2 once
+    } finally q.stop()
+  }
+
   test("sessionizer widens, never rewinds, on out-of-order events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
