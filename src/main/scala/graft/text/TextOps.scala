@@ -168,5 +168,41 @@ object TextOps {
         AS term FROM documents)
     GROUP BY term ORDER BY freq DESC, term LIMIT 30"""))
 
-  val all: Seq[Q] = Seq(stats, langid, fingerprint, topTokens)
+  // ----------------------------------------------------------- text_chunk
+  private val CHUNK = 32 // tokens per chunk (context-length slicing)
+
+  /** Split every document into ≤ CHUNK-token pieces — the context-length
+    * chunking stage of a training pipeline. Per-document, embarrassingly
+    * parallel (no shuffle before the output sort); emits a fingerprint per
+    * chunk so downstream exact-dedup can run at chunk granularity.
+    */
+  private val chunk = Q(
+    "text_chunk",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nChunks = ceil(size(toks).cast("double") / CHUNK).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * CHUNK + 1, lit(CHUNK)), " "))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(tokens(col("chunk"))).cast("long").as("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    c AS (
+      SELECT doc_id, i - 1 AS chunk_id,
+        array_to_string(w[(i-1)*$CHUNK+1 : i*$CHUNK], ' ') AS chunk
+      FROM d, range(1, 100000) r(i)
+      WHERE i <= ceil(len(w) * 1.0 / $CHUNK))
+    SELECT doc_id, chunk_id,
+      len(list_filter(string_split(chunk,' '), t -> t <> ''))
+        AS n_chunk_tokens,
+      md5(chunk) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_id"""))
+
+  val all: Seq[Q] = Seq(stats, langid, fingerprint, topTokens, chunk)
 }
