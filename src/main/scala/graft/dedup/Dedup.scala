@@ -34,7 +34,10 @@ object Dedup {
   }
 
   private val K = 3          // shingle width
-  private val TAU = 0.6      // jaccard dedup threshold (planted dups ≥0.9)
+  /** Jaccard near-dup threshold (planted dups ≥0.9; clean gap below).
+    * Shared with pipeline_prepare — change here, not at call sites.
+    */
+  val TAU = 0.6
 
   /** (doc_id, sh: array<string>, nsh) for every document — materialized
     * via localCheckpoint: every consumer self-joins this frame, and with a

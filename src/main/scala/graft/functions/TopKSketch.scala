@@ -18,37 +18,42 @@ import org.apache.spark.sql.expressions.Aggregator
   * Exact when a group's distinct-item count stays ≤ capacity (asserted
   * against the exact window top-k in TopKSketchSpec at test scale).
   */
-final case class TopKState(counters: Map[String, Long])
+/** `evicted` distinguishes "full because it saw exactly `capacity`
+  * distinct items" (counts exact, merge floor 0) from "full and evicting"
+  * (counts are overestimates, absent items may hold up to the minimum).
+  */
+final case class TopKState(counters: Map[String, Long], evicted: Boolean)
 
 class TopKSketch[I](k: Int, capacity: Int, item: I => String)
     extends Aggregator[I, TopKState, Seq[(String, Long)]] {
 
   require(capacity >= k, "capacity must be >= k")
 
-  override def zero: TopKState = TopKState(Map.empty)
+  override def zero: TopKState = TopKState(Map.empty, evicted = false)
 
   override def reduce(state: TopKState, row: I): TopKState = {
     val it = item(row)
     val m = state.counters
     // persistent `updated` is O(log n) — no full-map copy per input row
     m.get(it) match {
-      case Some(c) => TopKState(m.updated(it, c + 1))
-      case None if m.size < capacity => TopKState(m.updated(it, 1L))
+      case Some(c) => state.copy(counters = m.updated(it, c + 1))
+      case None if m.size < capacity =>
+        state.copy(counters = m.updated(it, 1L))
       case None =>
         // evict the minimum, inherit its count (SpaceSaving)
         val (minItem, minCount) = m.minBy { case (i, c) => (c, i) }
-        TopKState((m - minItem).updated(it, minCount + 1))
+        TopKState((m - minItem).updated(it, minCount + 1), evicted = true)
     }
   }
 
   override def merge(a: TopKState, b: TopKState): TopKState = {
-    // SpaceSaving merge (Agarwal et al.): an item absent from a capped
-    // summary may have been evicted with up to that summary's minimum
-    // count — add that floor, keeping every count an overestimate, so the
-    // error <= N/capacity bound survives merges (plain 0-for-absent would
-    // silently drop true mass and can evict a genuinely frequent item).
+    // SpaceSaving merge (Agarwal et al.): an item absent from a summary
+    // that has EVICTED may have held up to that summary's minimum count —
+    // add that floor so every count stays an overestimate and the
+    // error <= N/capacity bound survives merges. A merely-full summary
+    // that never evicted contributes floor 0 (its counts are exact).
     def floor(s: TopKState): Long =
-      if (s.counters.size >= capacity) s.counters.valuesIterator.min else 0L
+      if (s.evicted) s.counters.valuesIterator.min else 0L
     val (fa, fb) = (floor(a), floor(b))
     val m = mutable.Map.empty[String, Long]
     a.counters.foreach { case (i, c) =>
@@ -57,10 +62,11 @@ class TopKSketch[I](k: Int, capacity: Int, item: I => String)
     b.counters.foreach { case (i, c) =>
       if (!m.contains(i)) m.update(i, c + fa)
     }
+    val overflow = m.size > capacity
     val capped =
-      if (m.size <= capacity) m.toMap
+      if (!overflow) m.toMap
       else m.toSeq.sortBy { case (i, c) => (-c, i) }.take(capacity).toMap
-    TopKState(capped)
+    TopKState(capped, a.evicted || b.evicted || overflow)
   }
 
   override def finish(state: TopKState): Seq[(String, Long)] =

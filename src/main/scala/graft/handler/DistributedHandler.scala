@@ -70,10 +70,10 @@ final class DistributedHandler private (
     * source.
     */
   def batchedMapDataset[A, B: Encoder](ds: Dataset[A], maxTasks: Int)(
-      f: A => B): Dataset[B] = {
-    val parts = math.max(1, math.min(maxTasks, ds.rdd.getNumPartitions))
-    ds.coalesce(parts).mapPartitions(_.map(f))
-  }
+      f: A => B): Dataset[B] =
+    // coalesce never raises the partition count, so it clamps by itself —
+    // no ds.rdd materialization needed to read the current count
+    ds.coalesce(math.max(1, maxTasks)).mapPartitions(_.map(f))
 
   /** Block until resolved, return results (reference `gather`, :146). */
   def gather[B](ds: Dataset[B]): Seq[B] = ds.collect().toSeq

@@ -77,11 +77,12 @@ object Multimodal {
     require(everyN > 0, s"everyN must be positive, got $everyN")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      val frames = r.payload.grouped(frameBytes).zipWithIndex
-      frames.collect {
+      // idx is an Int (< FRAME_STRIDE by construction); the real collision
+      // risk is mediaId * FRAME_STRIDE overflowing Long
+      require(r.mediaId >= 0 && r.mediaId < Long.MaxValue / FRAME_STRIDE,
+        s"mediaId ${r.mediaId} out of range for frame-id derivation")
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
         case (frame, idx) if idx % everyN == 0 =>
-          require(idx < FRAME_STRIDE, s"payload of ${r.mediaId} exceeds " +
-            s"$FRAME_STRIDE frames; frame ids would collide")
           MediaRecord(r.mediaId * FRAME_STRIDE + idx, frame,
             r.meta.copy(kind = "frame", durationMs = 0L))
       }

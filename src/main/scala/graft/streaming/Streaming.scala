@@ -87,12 +87,15 @@ object Streaming {
     * passes `end + gap` (timeout). Value totals accumulate in integer
     * cents so emitted sums are partition/order-exact.
     *
-    * Contract (same as q20): events within `gapMs` of the previous event
-    * of the same user share a session; session_id is 1-based per user in
-    * event-time order. Relies on per-batch sorted input for in-batch
-    * ordering (MemoryStream/file sources preserve it; out-of-order
-    * arrivals across batches are handled only within the watermark — the
-    * standard streaming-sessionization contract).
+    * Contract: for in-order streams this matches batch q20 exactly
+    * (events within `gapMs` of the previous event share a session;
+    * session_id 1-based per user, cumulative across timeouts — asserted
+    * on the full events table in StreamingSpec). Cross-batch late events
+    * within the watermark are handled safely, not batch-identically
+    * (exact parity under arbitrary reordering is impossible online):
+    * inside [start-gap, end+gap] they widen the open session (never
+    * rewinding bounds); more than a gap before it they emit as their own
+    * session. Later-than-watermark events are dropped upstream.
     */
   def sessionize(events: Dataset[Ev], gapMs: Long,
       watermarkDelay: String = "2 hours"): Dataset[Session] = {
@@ -130,6 +133,15 @@ object Streaming {
                   cur.startMs, cur.endMs, cur.totalCents / 100.0)
                 cur = SessionState(cur.sessionId + 1, 1L, e.tsMs, e.tsMs,
                   cents)
+              } else if (e.tsMs < cur.startMs - gapMs) {
+                // late event more than a gap BEFORE the open session: it
+                // belongs to its own earlier session — emit it standalone
+                // (taking the current id; the open session shifts up one,
+                // keeping ids unique and time-ordered; it hasn't been
+                // emitted yet)
+                closed += Session(userId, cur.sessionId, 1L, e.tsMs,
+                  e.tsMs, cents / 100.0)
+                cur = cur.copy(sessionId = cur.sessionId + 1)
               } else {
                 // late (out-of-order within the watermark) events may
                 // precede the session bounds — widen, never rewind

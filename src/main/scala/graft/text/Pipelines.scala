@@ -47,7 +47,7 @@ object Pipelines {
         .select(col("doc_id"), Dedup.shingles(toks, 3).as("sh"))
         .withColumn("nsh", size(col("sh")))
         .localCheckpoint()
-      val drops = Dedup.jaccardPairs(sh, 0.6)
+      val drops = Dedup.jaccardPairs(sh, Dedup.TAU)
         .select(col("b_id").as("doc_id")).distinct()
       val clean = deduped.join(drops, Seq("doc_id"), "left_anti")
       // 4. deterministic split + summary
@@ -82,7 +82,8 @@ object Pipelines {
       SELECT DISTINCT b.doc_id FROM sh a, sh b
       WHERE a.doc_id < b.doc_id
         AND len(list_intersect(a.s, b.s)) * 1.0 /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= ${Dedup.TAU}),
     clean AS (
       SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drops))
     SELECT lang,

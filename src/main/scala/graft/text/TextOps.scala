@@ -35,8 +35,9 @@ object TextOps {
     */
   val stopwords: Seq[String] = Seq("the", "a")
 
-  /** SQL literal list for oracle mirrors: `'the','a'`. */
-  val stopwordsSql: String = stopwords.map(s => s"'$s'").mkString(",")
+  /** SQL literal list for oracle mirrors: `'the','a'` (quote-escaped). */
+  val stopwordsSql: String =
+    stopwords.map(s => "'" + s.replace("'", "''") + "'").mkString(",")
 
   // ------------------------------------------------------------ text_stats
   private val stats = Q(
@@ -181,8 +182,12 @@ object TextOps {
     (s, dir) => {
       val toks = tokens(col("text"))
       val nChunks = ceil(size(toks).cast("double") / CHUNK).cast("int")
-      val chunks = transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(toks, i * CHUNK + 1, lit(CHUNK)), " "))
+      // guarded: sequence(0, -1) would step DOWN (same trap as shingles),
+      // emitting phantom chunks for zero-token documents
+      val chunks = when(nChunks > 0,
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * CHUNK + 1, lit(CHUNK)), " ")))
+        .otherwise(typedLit(Seq.empty[String]))
       Tables(s, dir, "documents")
         .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
