@@ -199,6 +199,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("far-late event emits standalone; open session keeps its place") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = Streaming.sessionize(mem.toDS(), gapMs = 1800000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_farlate").outputMode("append").start()
+    try {
+      // open session at base+1h → watermark base-1h after this batch
+      mem.addData(Ev(1L, 1L, base + HOUR, 5.0)); q.processAllAvailable()
+      // 1h earlier than the open session (> gap before it) and still
+      // ahead of the watermark, so not dropped upstream
+      mem.addData(Ev(2L, 1L, base, 1.0)); q.processAllAvailable()
+      mem.addData(flush1); q.processAllAvailable()
+      mem.addData(flush2); q.processAllAvailable()
+      val got = spark.table("sessions_farlate").as[Session].collect()
+        .filter(_.userId == 1L).sortBy(_.sessionId).toSeq
+      assert(got == Seq(
+        Session(1L, 1L, 1L, base, base, 1.0),
+        Session(1L, 2L, 1L, base + HOUR, base + HOUR, 5.0)))
+    } finally q.stop()
+  }
+
   test("sessionizer widens, never rewinds, on out-of-order events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
