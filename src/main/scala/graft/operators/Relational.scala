@@ -362,7 +362,7 @@ object Relational {
           count(col("k")).as("n_k"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
     FROM events GROUP BY event_type ORDER BY event_type"""))

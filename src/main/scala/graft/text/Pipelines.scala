@@ -94,7 +94,7 @@ object Pipelines {
           THEN 'val'
         ELSE 'test'
       END AS split,
-      COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
+      COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM clean GROUP BY 1, 2 ORDER BY lang, split"""))
 
   val all: Seq[Q] = Seq(prepare)

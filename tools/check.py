@@ -28,8 +28,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in out.columns:
         if out[c].dtype == object:
             out[c] = out[c].astype(str)
-    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
-    return out
+    # Sort on float values rounded to 9 significant digits so near-equal
+    # floats (within the compare tolerance) can't order rows differently
+    # between engines and misalign the row-wise compare.
+    key = out.copy()
+    for c in key.columns:
+        if key[c].dtype.kind == "f":
+            key[c] = key[c].apply(
+                lambda v: float(f"{v:.9g}") if pd.notna(v) else v)
+    order = key.sort_values(by=list(key.columns), kind="mergesort").index
+    return out.loc[order].reset_index(drop=True)
 
 def close(a, b):
     if isinstance(a, float) or isinstance(b, float):
