@@ -236,38 +236,118 @@ object Dedup {
   // ------------------------------------------------------ dedup_embedding
   private val COS_TAU = 0.4  // synthetic embeddings: true near-dups ≥ ~0.4
 
-  /** Embedding-cosine near-dup pairs (exact, ground-truth oracle).
-    * Cosine is the codegen'd [[graft.functions.CosineSim]] expression —
-    * sequential double folds, bit-identical to DuckDB's
-    * `list_cosine_similarity` over DOUBLE[] (the interpreted
-    * `aggregate(zip_with(...))` HOF route computes the same values ~20×
-    * slower: higher-order functions are CodegenFallback).
-    * Scale path: replace the pruned nested-loop self-join with LSH/IVF
-    * candidates (see graft.sim) + this same verify stage.
+  /** Ground-truth oracle for both embedding-dedup variants: exact all-pairs
+    * cosine ≥ τ in DuckDB. Passing proves the Spark plan has full recall.
     */
-  private val embedding = Q(
-    "dedup_embedding",
-    (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cosine", round(cos, 6))
-        .filter(col("cosine") >= COS_TAU)
-        .select("a_id", "b_id", "cosine")
-        .orderBy("a_id", "b_id")
-    },
-    Some(s"""WITH e AS (
+  private val sqlExactCosinePairs =
+    s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM e a, e b
     WHERE a.vec_id < b.vec_id
       AND round(list_cosine_similarity(a.v, b.v), 6) >= $COS_TAU
-    ORDER BY a_id, b_id"""))
+    ORDER BY a_id, b_id"""
+
+  private def embVecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact embedding-cosine threshold self-join, blocked ("grid" /
+    * 1-Bucket theta-join, Okcan & Riedewald): ids map to NBLOCKS blocks;
+    * each unordered block pair (i ≤ j) is one composite equi-join key, so
+    * the inherent O(n²) similarity work spreads over B(B+1)/2 uniform
+    * (n/B)² tasks with bounded per-task memory — a plain shuffled equi
+    * join, no BroadcastNestedLoopJoin/CartesianProduct, no side broadcast.
+    *
+    * Exact is the right DEFAULT here: these embeddings are isotropic on
+    * the unit sphere and τ=0.4 is a weak threshold (θ≈66°), where sign-LSH
+    * has ρ≈0.89 — candidate generation cannot beat a constant factor, and
+    * a "fast" variant would silently trade recall. At 100 TB pick
+    * B ≈ √(2·parallelism) so every core gets a uniform tile; the approx
+    * path with measured recall is [[embeddingLsh]].
+    *
+    * Cosine is the codegen'd [[graft.functions.CosineSim]] expression —
+    * sequential double folds, bit-identical to DuckDB's
+    * `list_cosine_similarity` over DOUBLE[] (the interpreted
+    * `aggregate(zip_with(...))` HOF route computes the same values ~20×
+    * slower: higher-order functions are CodegenFallback).
+    */
+  private val NBLOCKS = 16
+
+  private val embedding = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val e = embVecs(s, dir)
+        .withColumn("blk", pmod(col("vec_id"), lit(NBLOCKS)).cast("int"))
+      // role A covers block pairs (blk, j≥blk); role B covers (i≤blk, blk):
+      // every unordered block pair joins exactly once, on (ba, bb)
+      val a = e.withColumn("bb", explode(sequence(col("blk"),
+          lit(NBLOCKS - 1))))
+        .select(col("vec_id").as("x_id"), col("v").as("va"),
+          col("blk").as("ba"), col("bb"))
+      val b = e.withColumn("ba", explode(sequence(lit(0), col("blk"))))
+        .select(col("vec_id").as("y_id"), col("v").as("vb"),
+          col("ba"), col("blk").as("bb"))
+      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+      a.join(b, Seq("ba", "bb"))
+        .filter(col("ba") =!= col("bb") || col("x_id") < col("y_id"))
+        .withColumn("cosine", round(cos, 6))
+        .filter(col("cosine") >= COS_TAU)
+        .select(least(col("x_id"), col("y_id")).as("a_id"),
+          greatest(col("x_id"), col("y_id")).as("b_id"), col("cosine"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(sqlExactCosinePairs))
+
+  // -------------------------------------------------- dedup_embedding_lsh
+  /** Sign-LSH candidate generation + exact cosine verify: 64 tables ×
+    * 4-bit hyperplane signatures (seeded bank compiled into the plan),
+    * banded bucket self-join on (tbl, bucket) — the [[minhashLsh]] shape
+    * over vectors. The oracle is the exact ground-truth pair set, so a
+    * green row proves full recall of this bank on this corpus (measured:
+    * every true pair collides in ≥3 of 64 tables at sf0.01/sf0.1).
+    *
+    * Honest scale note: at τ=0.4 over isotropic unit vectors the LSH gap
+    * is thin (p_collide 0.63 vs 0.5/bit), so the table count needed for
+    * full recall makes candidate pruning minimal ON THIS DATA; on real
+    * embedding corpora (clustered, dedup τ ≥ 0.7, p ≥ 0.8/bit) the same
+    * operator prunes the pair space by orders of magnitude while the
+    * verify stage keeps precision exact.
+    */
+  private val ETABLES = 64
+  private val EBITS = 4
+  private lazy val eplanes = graft.sim.Hyperplanes.bank(ETABLES, EBITS, 64, 7)
+
+  private val embeddingLsh = Q(
+    "dedup_embedding_lsh",
+    (s, dir) => {
+      val e = embVecs(s, dir)
+      // signature table materialized once — otherwise CollapseProject
+      // re-inlines the 256-dot-product bucket array into the post-explode
+      // projection and re-evaluates it per exploded row
+      val sigs = e.select(col("vec_id"),
+          graft.sim.Hyperplanes.buckets(eplanes, col("v")).as("bs"))
+        .localCheckpoint()
+      val x = sigs.select(col("vec_id"), explode(col("bs")).as("b"))
+        .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+      val cand = x.as("x").join(x.as("y"),
+          col("x.tbl") === col("y.tbl")
+            && col("x.bucket") === col("y.bucket")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+        .withColumn("cosine", round(cos, 6))
+        .filter(col("cosine") >= COS_TAU)
+        .select("a_id", "b_id", "cosine")
+        .orderBy("a_id", "b_id")
+    },
+    Some(sqlExactCosinePairs))
 
   val all: Seq[Q] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embedding)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embedding, embeddingLsh)
 }

@@ -70,41 +70,13 @@ object Knn {
   private val DIM = 64
 
   /** Fixed hyperplane bank [table][bit] — unit-free gaussians, seed 42. */
-  private lazy val planes: Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(42)
-    Array.fill(TABLES, BITS)(Array.fill(DIM)(rng.nextGaussian()))
-  }
+  private lazy val planes: Array[Array[Array[Double]]] =
+    Hyperplanes.bank(TABLES, BITS, DIM, 42)
 
-  private def dot(v: Column, plane: Array[Double]): Column =
-    graft.functions.CosineSim.dotProduct(v, typedLit(plane.toSeq))
+  private def lshBuckets(v: Column): Column = Hyperplanes.buckets(planes, v)
 
-  /** Sign-bit bucket of `v` in table `t` (one bit per hyperplane). */
-  private def bucketFor(v: Column, t: Int): Column =
-    (0 until BITS).map { b =>
-      when(dot(v, planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-
-  /** array<struct<tbl:int,bucket:int>> signature for a vector column. */
-  private def lshBuckets(v: Column): Column =
-    array((0 until TABLES).map { t =>
-      struct(lit(t).as("tbl"), bucketFor(v, t).as("bucket"))
-    }: _*)
-
-  /** Multiprobe signature: the exact bucket plus every 1-bit-flip
-    * neighbor (bits near the hyperplane are the likeliest to disagree for
-    * true neighbors). Probing 1+BITS buckets per table lifts recall
-    * without growing the corpus index — the standard query-side/state-side
-    * trade at scale.
-    */
   private def lshProbeBuckets(v: Column): Column =
-    array((0 until TABLES).flatMap { t =>
-      val bucket = bucketFor(v, t)
-      struct(lit(t).as("tbl"), bucket.as("bucket")) +:
-        (0 until BITS).map { flip =>
-          struct(lit(t).as("tbl"),
-            bucket.bitwiseXOR(lit(1 << flip)).as("bucket"))
-        }
-    }: _*)
+    Hyperplanes.probeBuckets(planes, v)
 
   private val lsh = Q(
     "knn_lsh",

@@ -29,6 +29,12 @@ class DedupSpec extends SparkSpec {
     assert(sim.size <= exactJaccard.size * 3)
   }
 
+  test("embedding LSH dedup has full recall vs the blocked exact join") {
+    val exact = pairSet("dedup_embedding")
+    assert(exact.nonEmpty)
+    assert(pairSet("dedup_embedding_lsh") == exact)
+  }
+
   test("exact dedup marks nothing in a duplicate-free corpus") {
     val d = SparkEntry.queries("dedup_exact")(spark, sfDir)
     assert(d.filter("is_dup").count() == 0)

@@ -66,8 +66,15 @@ class PlanSpec extends SparkSpec {
   private val intendedNestedLoop = Set(
     "knn_bruteforce",   // broadcast query set vs corpus (no equi key exists)
     "knn_ivf",          // broadcast 16-centroid codebook
-    "dedup_embedding",  // exact ground-truth pair scan (oracle demands it)
     "q18_corr_scalar")  // broadcast 1-row aggregate threshold
+
+  test("embedding dedup is a blocked equi-join, not a pair scan") {
+    for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"), name)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
 
   test("no query plans an accidental cross product") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
