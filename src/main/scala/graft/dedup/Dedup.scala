@@ -189,12 +189,20 @@ object Dedup {
     Some(sqlExactJaccardPairs))
 
   // -------------------------------------------------------- dedup_simhash
-  /** Weighted 64-bit SimHash (votes weighted by in-doc term frequency —
+  private val SIMBITS = 60   // 15 md5 hex chars — exact in BOTH engines
+  private val SIMBANDS = 4   // 4×15-bit bands; hamming ≤3 ⇒ ≥1 equal band
+  private val HAM_MAX = 3
+
+  /** Weighted 60-bit SimHash (votes weighted by in-doc term frequency —
     * the corpus shares one small vocabulary, so unweighted distinct-token
-    * SimHash would collapse). Pair search blocks on 4×16-bit bands
+    * SimHash would collapse). Pair search blocks on 4×15-bit bands
     * (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band), then verifies
-    * `bit_count(xor) ≤ 3`. Rows-only oracle; the ScalaTest spec asserts
-    * the planted near-dup pairs are recovered.
+    * `bit_count(xor) ≤ 3`.
+    *
+    * The token hash is the first 15 hex chars of md5 (60 bits, positive
+    * in a signed 64-bit lane) instead of xxhash64 precisely so the whole
+    * pipeline is integer-deterministic in BOTH engines and the oracle can
+    * mirror it end-to-end — same votes, same simhash, same bands.
     */
   private val simhash = Q(
     "dedup_simhash",
@@ -202,22 +210,25 @@ object Dedup {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-        .withColumn("h", xxhash64(col("tok")))
-      // 64 partial-aggregated bit votes in ONE exchange (no posexplode of
-      // 64 rows/token): vote_i = Σ ±w by bit i of the token hash.
-      val voteCols = (0 until 64).map(i =>
+        .withColumn("h",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      // 60 partial-aggregated bit votes in ONE exchange (no posexplode of
+      // 60 rows/token): vote_i = Σ ±w by bit i of the token hash.
+      val voteCols = (0 until SIMBITS).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
           .otherwise(-col("w"))).as(s"v$i"))
       val sims = toks.groupBy("doc_id")
         .agg(voteCols.head, voteCols.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(i =>
+          (0 until SIMBITS).map(i =>
             when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
             .reduce(_ + _).as("simhash"))
+      val width = SIMBITS / SIMBANDS
       val banded = sims.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(bnd => struct(lit(bnd).as("band"),
-            shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL)
-              .as("bv"))): _*)).as("b"))
+          explode(array((0 until SIMBANDS).map(bnd =>
+            struct(lit(bnd).as("band"),
+              shiftright(col("simhash"), bnd * width)
+                .bitwiseAND((1L << width) - 1).as("bv"))): _*)).as("b"))
         .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bv"))
       banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
@@ -227,11 +238,34 @@ object Dedup {
         .distinct()
         .withColumn("hamming",
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= HAM_MAX)
         .select("a_id", "b_id", "hamming")
         .orderBy("a_id", "b_id")
     },
-    None)
+    Some(s"""WITH d AS (SELECT doc_id,
+        list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    tok AS (SELECT doc_id, tok, COUNT(*) AS w
+      FROM (SELECT doc_id, unnest(w) AS tok FROM d) GROUP BY doc_id, tok),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h, w
+      FROM tok),
+    votes AS (SELECT doc_id, i.range AS i,
+        SUM(CASE WHEN (h >> i.range) & 1 = 1 THEN w ELSE -w END) AS v
+      FROM h, range($SIMBITS) i GROUP BY doc_id, i.range),
+    sims AS (SELECT doc_id,
+        SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id),
+    banded AS (SELECT doc_id, simhash, b.range AS band,
+        (simhash >> (b.range * ${SIMBITS / SIMBANDS})::INT)
+          & ${(1L << (SIMBITS / SIMBANDS)) - 1} AS bv
+      FROM sims, range($SIMBANDS) b),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+        x.simhash AS ha, y.simhash AS hb
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= $HAM_MAX
+    ORDER BY a_id, b_id"""))
 
   // ------------------------------------------------------ dedup_embedding
   private val COS_TAU = 0.4  // synthetic embeddings: true near-dups ≥ ~0.4

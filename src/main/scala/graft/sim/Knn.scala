@@ -78,6 +78,16 @@ object Knn {
   private def lshProbeBuckets(v: Column): Column =
     Hyperplanes.probeBuckets(planes, v)
 
+  /** The seeded plane bank as a DuckDB VALUES literal — one row per
+    * (tbl, bit) with the 64-dim plane as DOUBLE[]. Scala's Double.toString
+    * is the shortest round-trip form, so DuckDB parses the identical bit
+    * pattern and sign(list_dot_product) matches the codegen'd dot_product
+    * exactly (both are sequential left-to-right folds).
+    */
+  private lazy val planesSql: String =
+    (for (t <- 0 until TABLES; b <- 0 until BITS) yield
+      s"($t,$b,[${planes(t)(b).mkString(",")}]::DOUBLE[])").mkString(",\n      ")
+
   private val lsh = Q(
     "knn_lsh",
     (s, dir) => {
@@ -110,7 +120,41 @@ object Knn {
           col("rank"), round(cos, 6).as("cosine"))
         .orderBy("query_id", "rank")
     },
-    None)
+    // deterministic end-to-end (seeded literal planes, id tie-breaks), so
+    // the whole LSH pipeline is mirrorable: bucket = Σ 2^bit over positive
+    // plane dots, corpus indexes exact buckets, queries probe exact+1-bit
+    // flips, candidates score like brute force
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    planes(tbl, bit, p) AS (VALUES
+      $planesSql),
+    sig AS (
+      SELECT e.vec_id, pl.tbl,
+        SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+          THEN 1 << pl.bit ELSE 0 END)::INT AS bucket
+      FROM e, planes pl GROUP BY e.vec_id, pl.tbl),
+    qsig AS (SELECT vec_id AS query_id, tbl, bucket FROM sig
+      WHERE vec_id < $NQ),
+    probes AS (
+      SELECT query_id, tbl, bucket FROM qsig
+      UNION ALL
+      SELECT query_id, tbl, xor(bucket, (1 << f.range)::INT) AS bucket
+      FROM qsig, range($BITS) f),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM sig c JOIN probes p USING (tbl, bucket)
+      WHERE p.query_id <> c.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQ)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT cd.query_id, cd.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY cd.query_id
+          ORDER BY list_cosine_similarity(q.qv, e.v) DESC, cd.vec_id)
+          AS rank,
+        round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+      FROM cand cd
+      JOIN q ON cd.query_id = q.query_id
+      JOIN e ON cd.vec_id = e.vec_id)
+    WHERE rank <= $K ORDER BY query_id, rank"""))
 
   // -------------------------------------------------------------- knn_ivf
   /** IVF-style coarse quantizer: the codebook is the 16 lowest-vec_id
