@@ -103,13 +103,15 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
         ${lengthCheckCode(a, b, n)}
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double x = ${getter(left, a, i)};
-          double y = ${getter(right, b, i)};
-          $dot += x * y; $na += x * x; $nb += y * y;
+          double $xv = ${getter(left, a, i)};
+          double $yv = ${getter(right, b, i)};
+          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
         }
         ${ev.value} = $dot /
           (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -55,8 +55,23 @@ final case class AsofJoinExec(
     val rightOutput = right.output
     val leftOutput = left.output
     val outAttrs = output
+    // SQL comparison semantics for nullable key/time: a null on the right
+    // can never satisfy `rk = k && rt <= t`, a null on the left matches
+    // nothing (payload stays null). Checked only when the schema says nulls
+    // are possible, so the common non-null path stays branch-free.
+    val lMayBeNull = leftKey.nullable || leftTime.nullable
+    val rMayBeNull = rightKey.nullable || rightTime.nullable
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // EnsureRequirements co-partitions the children, but AQE coalescing or
+    // a user-injected exchange around this custom node could desync them;
+    // zipPartitions' own failure message doesn't name the operator.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsofJoinExec: children must be co-partitioned, got " +
+        s"${lRdd.getNumPartitions} left vs ${rRdd.getNumPartitions} right " +
+        "partitions (AQE coalesced the sides differently?)")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOutput)
       val resultProj = UnsafeProjection.create(outAttrs,
         leftOutput ++ nullablePayload)
@@ -67,24 +82,35 @@ final case class AsofJoinExec(
       var lastKey = 0L
 
       lIter.map { lRow =>
-        val k = lRow.getLong(lKeyOrd)
-        val t = lRow.getLong(lTimeOrd)
-        var advance = rBuf.hasNext
-        while (advance) {
-          val head = rBuf.head
-          val rk = head.getLong(rKeyOrd)
-          if (rk < k || (rk == k && head.getLong(rTimeOrd) <= t)) {
-            val r = rBuf.next()
-            lastKey = r.getLong(rKeyOrd)
-            // copy: the projection buffer is reused by the next call
-            lastPayload = payloadProj(r).copy()
-            advance = rBuf.hasNext
-          } else advance = false
+        if (lMayBeNull &&
+            (lRow.isNullAt(lKeyOrd) || lRow.isNullAt(lTimeOrd))) {
+          resultProj(joined(lRow, nullPayload))
+        } else {
+          val k = lRow.getLong(lKeyOrd)
+          val t = lRow.getLong(lTimeOrd)
+          var advance = rBuf.hasNext
+          while (advance) {
+            val head = rBuf.head
+            if (rMayBeNull &&
+                (head.isNullAt(rKeyOrd) || head.isNullAt(rTimeOrd))) {
+              rBuf.next() // unmatchable; nulls sort first, skip past them
+              advance = rBuf.hasNext
+            } else {
+              val rk = head.getLong(rKeyOrd)
+              if (rk < k || (rk == k && head.getLong(rTimeOrd) <= t)) {
+                val r = rBuf.next()
+                lastKey = r.getLong(rKeyOrd)
+                // copy: the projection buffer is reused by the next call
+                lastPayload = payloadProj(r).copy()
+                advance = rBuf.hasNext
+              } else advance = false
+            }
+          }
+          val p =
+            if (lastPayload != null && lastKey == k) lastPayload
+            else nullPayload
+          resultProj(joined(lRow, p))
         }
-        val p =
-          if (lastPayload != null && lastKey == k) lastPayload
-          else nullPayload
-        resultProj(joined(lRow, p))
       }
     }
   }

@@ -49,6 +49,47 @@ class AsofJoinSpec extends SparkSpec {
       s"right-side scan should not read `props`:\n$scans")
   }
 
+  test("nullable key/time: null right rows never match, null left rows " +
+      "carry null payload") {
+    val left = Seq(
+      (1L, Some(10L), Some(100L)),
+      (2L, None: Option[Long], Some(50L)),  // null key
+      (3L, Some(10L), None: Option[Long]))  // null time
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (Some(10L), Some(90L), 6L),
+      (None: Option[Long], Some(95L), 9L),  // null key: unmatchable
+      (Some(10L), None: Option[Long], 8L))  // null time: unmatchable
+      .toDF("k", "t", "pay")
+    val out = AsofJoin.asofJoinNative(left, right, "k", "t", Seq("pay"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(3) == 6L, "only the non-null right row matches")
+    assert(out(1).isNullAt(3), "null left key → null payload")
+    assert(out(2).isNullAt(3), "null left time → null payload")
+  }
+
+  test("native asof is correct under AQE with partition coalescing") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      // force aggressive coalescing so the tiny test shuffles actually
+      // trigger the re-plan EnsureRequirements ran before
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val native = SparkEntry.queries("asof_join_native")(spark, sfDir)
+        .collect().toSeq
+      val composed = SparkEntry.queries("asof_join")(spark, sfDir)
+        .collect().toSeq
+      assert(native == composed)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("rejects non-Long key/time and missing columns") {
     val l = Seq((1, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {
