@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.plans.AsofDirection
 
 /** Operators Spark lacks natively — SURVEY.md §2.3: as-of join, range
   * (interval-containment) join, per-group top-k. Each is a reusable
@@ -26,42 +27,56 @@ object CustomJoins {
     * match deterministic.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      direction: AsofDirection = AsofDirection.Backward,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    require(direction != AsofDirection.Nearest,
+      "nearest needs two window passes here — use asofJoinNative")
     val l = left.withColumn("_is_right", lit(0))
     val r = right.select(
-      Seq(col(key), col(time), lit(1).as("_is_right")) ++
-        payload.map(col): _*)
-    val unioned = l.drop(payload: _*).unionByName(r, allowMissingColumns = true)
+      Seq(col(key), col(time), lit(1).as("_is_right"),
+        col(time).as("_r_time")) ++ payload.map(col): _*)
+    val unioned = l.drop(payload: _*)
+      .unionByName(r, allowMissingColumns = true)
+    // forward = the same carry trick traversed in reverse time order;
+    // right still sorts before left at equal times (equal matches both ways)
+    val ord =
+      if (direction == AsofDirection.Forward) col(time).desc else col(time)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("_is_right").desc)
+      .orderBy(ord, col("_is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(unioned) { (df, p) =>
+    val carried = (payload :+ "_r_time").foldLeft(unioned) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }.filter(col("_is_right") === 0).drop("_is_right")
+    val bounded = toleranceMs.fold(carried) { tol =>
+      val dist =
+        if (direction == AsofDirection.Forward) col("_r_time") - col(time)
+        else col(time) - col("_r_time")
+      payload.foldLeft(carried) { (df, p) =>
+        df.withColumn(p, when(dist <= tol, col(p)))
+      }
+    }
+    bounded.drop("_r_time")
   }
 
-  /** For each click event: the latest prior-or-equal purchase of the same
-    * user (purchases deduped to one per (user, ms) with max event_id).
+  /** Shared fixture for every asof query: click events joined against
+    * purchases deduped to one per (user, ms) with max event_id; right side
+    * carries (purchase_id, purchase_ms) as the payload.
     */
-  private val asof = Q(
-    "asof_join",
-    (s, dir) => {
-      val e = Tables.events(s, dir)
-      val clicks = e.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts_ms")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts_ms").as("purchase_ms"))
-        .agg(max("event_id").as("purchase_id"))
-      asofJoin(
-        clicks,
-        purchases.select(col("user_id"), col("purchase_ms").as("ts_ms"),
-          col("purchase_id"), col("purchase_ms")),
-        key = "user_id", time = "ts_ms",
-        payload = Seq("purchase_id", "purchase_ms"))
-        .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
-        .orderBy("event_id")
-    },
-    Some("""WITH e AS (
+  private def clicksAndPurchases(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ms")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_ms").as("purchase_ms"))
+      .agg(max("event_id").as("purchase_id"))
+      .select(col("user_id"), col("purchase_ms").as("ts_ms"),
+        col("purchase_id"), col("purchase_ms"))
+    (clicks, purchases)
+  }
+
+  private val asofOracleProlog = """WITH e AS (
       SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
       FROM events),
     c AS (SELECT event_id, user_id, ts_ms FROM e
@@ -69,6 +84,21 @@ object CustomJoins {
     p AS (SELECT user_id, ts_ms AS purchase_ms,
         MAX(event_id) AS purchase_id
       FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_ms)
+    """
+
+  /** For each click event: the latest prior-or-equal purchase of the same
+    * user.
+    */
+  private val asof = Q(
+    "asof_join",
+    (s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      asofJoin(clicks, purchases, key = "user_id", time = "ts_ms",
+        payload = Seq("purchase_id", "purchase_ms"))
+        .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
+        .orderBy("event_id")
+    },
+    Some(asofOracleProlog + """
     SELECT c.event_id, c.user_id, c.ts_ms, p.purchase_id, p.purchase_ms
     FROM c ASOF LEFT JOIN p
       ON c.user_id = p.user_id AND c.ts_ms >= p.purchase_ms
@@ -82,22 +112,93 @@ object CustomJoins {
   private val asofNative = Q(
     "asof_join_native",
     (s, dir) => {
-      val e = Tables.events(s, dir)
-      val clicks = e.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts_ms")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts_ms").as("purchase_ms"))
-        .agg(max("event_id").as("purchase_id"))
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
       graft.plans.AsofJoin.asofJoinNative(
-        clicks,
-        purchases.select(col("user_id"), col("purchase_ms").as("ts_ms"),
-          col("purchase_id"), col("purchase_ms")),
-        key = "user_id", time = "ts_ms",
+        clicks, purchases, key = "user_id", time = "ts_ms",
         payload = Seq("purchase_id", "purchase_ms"))
         .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
         .orderBy("event_id")
     },
     asof.oracle)
+
+  /** Backward asof bounded to a 30-minute lookback: a purchase older than
+    * the tolerance is no match (payload null), mirroring DuckDB ASOF +
+    * post-CASE.
+    */
+  private val asofTolerance = Q(
+    "asof_join_tolerance",
+    (s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      graft.plans.AsofJoin.asofJoinNative(
+        clicks, purchases, key = "user_id", time = "ts_ms",
+        payload = Seq("purchase_id", "purchase_ms"),
+        toleranceMs = Some(1800000L))
+        .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
+        .orderBy("event_id")
+    },
+    Some(asofOracleProlog + """
+    SELECT c.event_id, c.user_id, c.ts_ms,
+      CASE WHEN c.ts_ms - p.purchase_ms <= 1800000
+        THEN p.purchase_id END AS purchase_id,
+      CASE WHEN c.ts_ms - p.purchase_ms <= 1800000
+        THEN p.purchase_ms END AS purchase_ms
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_ms >= p.purchase_ms
+    ORDER BY c.event_id"""))
+
+  /** Forward asof: the earliest same-or-later purchase per click (DuckDB
+    * expresses it as ASOF with the inequality flipped).
+    */
+  private val asofForward = Q(
+    "asof_join_forward",
+    (s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      graft.plans.AsofJoin.asofJoinNative(
+        clicks, purchases, key = "user_id", time = "ts_ms",
+        payload = Seq("purchase_id", "purchase_ms"),
+        direction = AsofDirection.Forward)
+        .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
+        .orderBy("event_id")
+    },
+    Some(asofOracleProlog + """
+    SELECT c.event_id, c.user_id, c.ts_ms, p.purchase_id, p.purchase_ms
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_ms <= p.purchase_ms
+    ORDER BY c.event_id"""))
+
+  /** Nearest asof: closer of the backward/forward candidates, ties
+    * backward — mirrored as two stacked DuckDB ASOF joins + CASE on the
+    * distances (NULL distances lose via COALESCE to "infinity").
+    */
+  private val asofNearest = Q(
+    "asof_join_nearest",
+    (s, dir) => {
+      val (clicks, purchases) = clicksAndPurchases(s, dir)
+      graft.plans.AsofJoin.asofJoinNative(
+        clicks, purchases, key = "user_id", time = "ts_ms",
+        payload = Seq("purchase_id", "purchase_ms"),
+        direction = AsofDirection.Nearest)
+        .select("event_id", "user_id", "ts_ms", "purchase_id", "purchase_ms")
+        .orderBy("event_id")
+    },
+    Some(asofOracleProlog + """,
+    j AS (
+      SELECT c.event_id, c.user_id, c.ts_ms,
+        b.purchase_id AS b_id, b.purchase_ms AS b_ms,
+        f.purchase_id AS f_id, f.purchase_ms AS f_ms
+      FROM c
+      ASOF LEFT JOIN p b
+        ON c.user_id = b.user_id AND c.ts_ms >= b.purchase_ms
+      ASOF LEFT JOIN p f
+        ON c.user_id = f.user_id AND c.ts_ms <= f.purchase_ms)
+    SELECT event_id, user_id, ts_ms,
+      CASE WHEN COALESCE(ts_ms - b_ms, 9223372036854775807)
+          <= COALESCE(f_ms - ts_ms, 9223372036854775807)
+        THEN b_id ELSE f_id END AS purchase_id,
+      CASE WHEN COALESCE(ts_ms - b_ms, 9223372036854775807)
+          <= COALESCE(f_ms - ts_ms, 9223372036854775807)
+        THEN b_ms ELSE f_ms END AS purchase_ms
+    FROM j ORDER BY event_id"""))
 
   // ----------------------------------------------------------- range join
   /** Interval-containment join via bucketed equi-prejoin: intervals are
@@ -184,5 +285,6 @@ object CustomJoins {
       FROM lineitem GROUP BY l_suppkey, l_partkey)
     WHERE rank <= 3 ORDER BY l_suppkey, rank"""))
 
-  val all: Seq[Q] = Seq(asof, asofNative, range, topk)
+  val all: Seq[Q] = Seq(asof, asofNative, asofTolerance, asofForward,
+    asofNearest, range, topk)
 }

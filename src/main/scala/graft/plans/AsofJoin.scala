@@ -24,11 +24,28 @@ import org.apache.spark.sql.types.LongType
   * expression of the same semantics; both are gated by the same DuckDB
   * `ASOF JOIN` oracle.
   */
+/** Match direction for the as-of join (time is Long, typically epoch ms).
+  *  - [[AsofDirection.Backward]]: latest right with `rt <= lt` (default).
+  *  - [[AsofDirection.Forward]]:  earliest right with `rt >= lt`.
+  *  - [[AsofDirection.Nearest]]:  whichever of the two is closer in time;
+  *    ties (equal distance) resolve backward.
+  * An optional tolerance bounds `|rt - lt|`; out-of-tolerance candidates
+  * leave the payload null, same as no match.
+  */
+sealed trait AsofDirection
+object AsofDirection {
+  case object Backward extends AsofDirection
+  case object Forward extends AsofDirection
+  case object Nearest extends AsofDirection
+}
+
 final case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    direction: AsofDirection = AsofDirection.Backward,
+    toleranceMs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -60,9 +77,9 @@ object PruneAsofJoinRight extends Rule[LogicalPlan] {
 /** Planner strategy: one physical candidate, children planned lazily. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, lt, rk, rt, payload) =>
+    case AsofJoinPlan(l, r, lk, lt, rk, rt, payload, dir, tol) =>
       AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt,
-        payload) :: Nil
+        payload, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -74,7 +91,11 @@ object AsofJoin {
     * @param payload right-side columns carried onto left rows
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
-      time: String, payload: Seq[String]): DataFrame = {
+      time: String, payload: Seq[String],
+      direction: AsofDirection = AsofDirection.Backward,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    toleranceMs.foreach(t => require(t >= 0,
+      s"asofJoinNative: tolerance must be non-negative, got $t"))
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     // Re-alias every right column: when both sides derive from the same
@@ -95,7 +116,8 @@ object AsofJoin {
       rk.dataType == LongType && rt.dataType == LongType,
       "asofJoinNative requires Long key/time columns")
     val pay = payload.map(attr(rPlan, _, "right"))
-    Shim.ofRows(spark, AsofJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay))
+    Shim.ofRows(spark, AsofJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay,
+      direction, toleranceMs))
   }
 
   /** Idempotent strategy + optimizer-rule registration on a live session.

@@ -25,7 +25,9 @@ final case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    direction: AsofDirection = AsofDirection.Backward,
+    toleranceMs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -80,6 +82,21 @@ final case class AsofJoinExec(
       val rBuf = rIter.buffered
       var lastPayload: UnsafeRow = null
       var lastKey = 0L
+      var lastTime = 0L
+      val tol = toleranceMs.getOrElse(Long.MaxValue)
+      // Forward leaves equal-time rows on `head` (rt >= lt is a forward
+      // match); backward/nearest consume them (rt <= lt matches backward,
+      // and at distance 0 backward always wins nearest's tie-break).
+      val consumeEqual = direction != AsofDirection.Forward
+      val useBackward = direction != AsofDirection.Forward
+      val useForward = direction != AsofDirection.Backward
+
+      def headUsable(k: Long): Boolean = rBuf.hasNext && {
+        val head = rBuf.head
+        !(rMayBeNull &&
+          (head.isNullAt(rKeyOrd) || head.isNullAt(rTimeOrd))) &&
+          head.getLong(rKeyOrd) == k
+      }
 
       lIter.map { lRow =>
         if (lMayBeNull &&
@@ -97,17 +114,30 @@ final case class AsofJoinExec(
               advance = rBuf.hasNext
             } else {
               val rk = head.getLong(rKeyOrd)
-              if (rk < k || (rk == k && head.getLong(rTimeOrd) <= t)) {
+              val rt = head.getLong(rTimeOrd)
+              if (rk < k ||
+                  (rk == k && (rt < t || (consumeEqual && rt == t)))) {
                 val r = rBuf.next()
-                lastKey = r.getLong(rKeyOrd)
+                lastKey = rk
+                lastTime = rt
                 // copy: the projection buffer is reused by the next call
                 lastPayload = payloadProj(r).copy()
                 advance = rBuf.hasNext
               } else advance = false
             }
           }
-          val p =
-            if (lastPayload != null && lastKey == k) lastPayload
+          val backOk = useBackward && lastPayload != null &&
+            lastKey == k && t - lastTime <= tol
+          val fwdOk = useForward && headUsable(k) &&
+            rBuf.head.getLong(rTimeOrd) - t <= tol
+          val p: InternalRow =
+            if (backOk && fwdOk) {
+              // nearest: both candidates in tolerance; ties go backward
+              if (t - lastTime <= rBuf.head.getLong(rTimeOrd) - t)
+                lastPayload
+              else payloadProj(rBuf.head)
+            } else if (backOk) lastPayload
+            else if (fwdOk) payloadProj(rBuf.head)
             else nullPayload
           resultProj(joined(lRow, p))
         }

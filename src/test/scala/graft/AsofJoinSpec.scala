@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.plans.AsofJoin
+import graft.operators.CustomJoins
+import graft.plans.{AsofDirection, AsofJoin}
 
 /** Native as-of join operator (LogicalPlan + Strategy + Exec). */
 class AsofJoinSpec extends SparkSpec {
@@ -87,6 +88,62 @@ class AsofJoinSpec extends SparkSpec {
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("direction and tolerance variants on a hand-checked fixture") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 10L, 200L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 90L, 6L), (10L, 100L, 7L), (10L, 160L, 9L))
+      .toDF("k", "t", "pay")
+    def run(dir: AsofDirection, tol: Option[Long] = None): Seq[Option[Long]] =
+      AsofJoin.asofJoinNative(left, right, "k", "t", Seq("pay"), dir, tol)
+        .orderBy("id").collect().toSeq
+        .map(r => if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    assert(run(AsofDirection.Backward) == Seq(Some(7L), None, Some(9L)),
+      "backward: equal time matches; t=50 has no earlier right")
+    assert(run(AsofDirection.Forward) == Seq(Some(7L), Some(6L), None),
+      "forward: equal time matches; t=200 has no later right")
+    assert(run(AsofDirection.Nearest) == Seq(Some(7L), Some(6L), Some(9L)),
+      "nearest: distance 0 / 40-forward / 40-backward")
+    assert(run(AsofDirection.Backward, Some(30L)) ==
+      Seq(Some(7L), None, None),
+      "tolerance 30: t=100→100 is 0ms ok, t=200→160 is 40ms out")
+  }
+
+  test("nearest ties resolve backward; tolerance bounds both directions") {
+    val left = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val right = Seq((10L, 60L, 1L), (10L, 140L, 2L)).toDF("k", "t", "pay")
+    val tie = AsofJoin.asofJoinNative(left, right, "k", "t", Seq("pay"),
+      AsofDirection.Nearest).collect()(0)
+    assert(tie.getLong(3) == 1L, "equal 40ms distance → backward wins")
+    val outOfTol = AsofJoin.asofJoinNative(left, right, "k", "t",
+      Seq("pay"), AsofDirection.Nearest, Some(30L)).collect()(0)
+    assert(outOfTol.isNullAt(3), "both candidates beyond tolerance → null")
+  }
+
+  test("composed forward/tolerance forms equal the native operator") {
+    def strip(rows: Array[org.apache.spark.sql.Row]) = rows.toSeq
+    val (s, dir) = (spark, sfDir)
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ms")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_ms").as("purchase_ms"))
+      .agg(max("event_id").as("purchase_id"))
+      .select(col("user_id"), col("purchase_ms").as("ts_ms"),
+        col("purchase_id"), col("purchase_ms"))
+    for {
+      d <- Seq(AsofDirection.Backward, AsofDirection.Forward)
+      tol <- Seq(None, Some(1800000L))
+    } {
+      val composed = CustomJoins.asofJoin(clicks, purchases, "user_id",
+        "ts_ms", Seq("purchase_id", "purchase_ms"), d, tol)
+        .orderBy("event_id").collect()
+      val native = AsofJoin.asofJoinNative(clicks, purchases, "user_id",
+        "ts_ms", Seq("purchase_id", "purchase_ms"), d, tol)
+        .orderBy("event_id").collect()
+      assert(strip(composed) == strip(native), s"direction=$d tol=$tol")
     }
   }
 
