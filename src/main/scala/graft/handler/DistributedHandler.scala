@@ -44,6 +44,43 @@ final class DistributedHandler private (
       implicit et: Encoder[(A, B)]): Dataset[C] =
     spark.createDataset(as.zip(bs)).map { case (a, b) => f(a, b) }
 
+  /** Reference `client.map(f, it1, it2, it3)`: ternary typed form. */
+  def map3[A, B, C, D: Encoder](as: Seq[A], bs: Seq[B], cs: Seq[C])(
+      f: (A, B, C) => D)(implicit et: Encoder[(A, B, C)]): Dataset[D] =
+    spark.createDataset(as.lazyZip(bs).lazyZip(cs).toSeq)
+      .map { case (a, b, c) => f(a, b, c) }
+
+  /** Reference `client.map(f, *iterables)` at arbitrary arity: iterables
+    * are zipped positionally (truncating to the shortest, like `zip`) and
+    * `f` receives one `Seq` of aligned arguments. Heterogeneous element
+    * types mean no product Encoder exists, so rows ride kryo — prefer the
+    * typed `map`/`map2`/`map3` when arity is known.
+    */
+  def mapN[B: Encoder](iterables: Seq[Seq[Any]])(
+      f: Seq[Any] => B): Dataset[B] =
+    spark.createDataset(zipped(iterables))(
+      org.apache.spark.sql.Encoders.kryo[Seq[Any]]).map(f)
+
+  /** Variadic `batched_map(f, *iterables, batch_size)` (reference :93) —
+    * [[mapN]] zipping with [[batchedMap]]'s task-count bounding.
+    */
+  def batchedMapN[B: Encoder](iterables: Seq[Seq[Any]],
+      batchSize: Int = defaultBatchSize)(f: Seq[Any] => B): Dataset[B] = {
+    val rows = zipped(iterables)
+    val bs = math.max(1, batchSize)
+    val numParts = math.max(1, (rows.size + bs - 1) / bs)
+    spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.kryo[Seq[Any]])
+      .repartition(numParts).mapPartitions(_.map(f))
+  }
+
+  private def zipped(iterables: Seq[Seq[Any]]): Seq[Seq[Any]] = {
+    require(iterables.nonEmpty, "map needs at least one iterable")
+    val indexed = iterables.map(_.toIndexedSeq)
+    val n = indexed.map(_.size).min
+    (0 until n).map(i => indexed.map(_(i)))
+  }
+
   /** Chunked map: at most `ceil(n / batchSize)` concurrent tasks, each
     * processing `batchSize` items — the scheduler never holds per-item
     * state (the reference's whole reason to exist).

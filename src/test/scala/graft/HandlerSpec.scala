@@ -45,6 +45,32 @@ class HandlerSpec extends SparkSpec {
     assert(got == items.map(x => x + x * 10).sorted)
   }
 
+  test("map3 and mapN zip n iterables like reference client.map(f, *its)") {
+    val h = DistributedHandler()
+    val (as, bs, cs) = (items, items.map(_ * 10), items.map(_ * 100))
+    val expected = as.lazyZip(bs).lazyZip(cs).map(_ + _ + _).sorted
+    val got3 = h.gather(h.map3(as, bs, cs)(_ + _ + _)).sorted
+    assert(got3 == expected)
+    val gotN = h.gather(
+      h.mapN(Seq(as, bs, cs))(_.map(_.asInstanceOf[Int]).sum)).sorted
+    assert(gotN == expected)
+  }
+
+  test("mapN zips heterogeneous types, truncates to the shortest") {
+    val h = DistributedHandler()
+    val got = h.gather(h.mapN(Seq(Seq(1, 2, 3), Seq("a", "b")))(
+      xs => s"${xs(0)}${xs(1)}")).sorted
+    assert(got == Seq("1a", "2b"))
+  }
+
+  test("batchedMapN matches mapN and bounds tasks") {
+    val h = DistributedHandler()
+    val ds = h.batchedMapN(Seq(items, items), 25)(
+      xs => xs.map(_.asInstanceOf[Int]).sum)
+    assert(ds.rdd.getNumPartitions == 4) // ceil(100/25)
+    assert(h.gather(ds).sorted == items.map(_ * 2).sorted)
+  }
+
   test("defaultBatchSize is the cluster parallelism") {
     val h = DistributedHandler()
     assert(h.defaultBatchSize == spark.sparkContext.defaultParallelism)
