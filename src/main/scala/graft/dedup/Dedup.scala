@@ -109,23 +109,69 @@ object Dedup {
     * [raw double]) with a_id < b_id and jaccard >= tau. Shared by
     * dedup_ngram_jaccard and pipeline_prepare.
     *
-    * Scale: postings-list join is linear in Σ df²; for web-scale corpora
-    * cap df (shingles with df > cap cannot create high-jaccard pairs
-    * alone) and salt hot shingles. No cap needed at this df profile.
+    * Scale: the postings-list join is linear in Σ df². `dfCap` is the
+    * web-scale guard: shingles with df > cap (boilerplate present in
+    * thousands of documents) are dropped from CANDIDATE GENERATION — one
+    * viral shingle otherwise contributes df² join rows — and surviving
+    * candidates are verified with the exact jaccard over the FULL shingle
+    * sets, so the cap can cost recall only for pairs whose every shared
+    * shingle is viral (boilerplate-only overlap — exactly the pairs a
+    * near-dup τ is not after). Capped candidates come straight out of the
+    * per-shingle postings list (≤ cap²/2 pairs each, bounded memory), no
+    * self-join.
     */
-  def jaccardPairs(shingleTable: DataFrame, tau: Double): DataFrame = {
+  def jaccardPairs(shingleTable: DataFrame, tau: Double,
+      dfCap: Option[Int] = None): DataFrame = dfCap match {
+    case None =>
+      val ex = shingleTable
+        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
+      val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"),
+        col("sh"))
+      val b = ex.select(col("doc_id").as("b_id"), col("nsh").as("nb"),
+        col("sh"))
+      a.join(b, "sh")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= tau)
+        .select("a_id", "b_id", "jaccard")
+    case Some(cap) =>
+      val sets = shingleTable
+        .select(col("doc_id"), col("sh"), col("nsh"))
+      jaccardCandidates(shingleTable, cap)
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+          col("nsh").as("na")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+          col("nsh").as("nb")), "b_id")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= tau)
+        .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Distinct candidate pairs (a_id < b_id) sharing ≥1 shingle with
+    * df ≤ cap: postings grouped per shingle (ONE exchange over the
+    * exploded postings, map-side combined), hot shingles dropped whole,
+    * pairs generated inside each ≤cap-long list.
+    */
+  def jaccardCandidates(shingleTable: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, s"dfCap must be >= 2 to ever pair documents, got $cap")
     val ex = shingleTable
-      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
-    val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("sh"))
-    val b = ex.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("sh"))
-    a.join(b, "sh")
+      .select(explode(col("sh")).as("sh"), col("doc_id"))
+    // thin df pre-pass (map-side combined counts) BEFORE any postings list
+    // exists — a viral shingle must never materialize its list at all
+    val kept = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, cap)).select("sh")
+    val postings = ex.join(kept, "sh")
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+    postings
+      .select(explode(col("ds")).as("a_id"), col("ds"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select("a_id", "b_id", "jaccard")
+      .distinct()
   }
 
   // --------------------------------------------------- dedup_ngram_jaccard

@@ -35,6 +35,30 @@ class DedupSpec extends SparkSpec {
     assert(pairSet("dedup_embedding_lsh") == exact)
   }
 
+  test("df-capped jaccard bounds candidates with recall unchanged at TAU") {
+    import org.apache.spark.sql.functions._
+    val shingleTable = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        dedup.Dedup.shingles(text.TextOps.tokens(col("text")), 3).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .localCheckpoint()
+    def pairs(cap: Option[Int]) =
+      dedup.Dedup.jaccardPairs(shingleTable, dedup.Dedup.TAU, cap)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped == exactJaccard, "fixture matches the gated query")
+    assert(pairs(Some(50)) == uncapped,
+      "cap=50 keeps every TAU pair on this corpus (recall unchanged)")
+    // candidate mass shrinks monotonically as the cap tightens
+    val candLoose = dedup.Dedup.jaccardCandidates(shingleTable, 50).count()
+    val candTight = dedup.Dedup.jaccardCandidates(shingleTable, 5).count()
+    info(s"candidates: cap=50 → $candLoose, cap=5 → $candTight")
+    assert(candTight <= candLoose)
+    assert(candLoose >= uncapped.size.toLong,
+      "candidates must cover every verified pair")
+  }
+
   test("exact dedup marks nothing in a duplicate-free corpus") {
     val d = SparkEntry.queries("dedup_exact")(spark, sfDir)
     assert(d.filter("is_dup").count() == 0)
