@@ -28,7 +28,13 @@ class KnnSpec extends SparkSpec {
     val ivf = pairs("knn_ivf")
     val recall = (ivf & exact).size.toDouble / exact.size
     info(s"knn_ivf recall@5 = $recall")
-    assert(recall >= 0.5)
+    // nprobe/nlist = 8/16 scans ~50% of this isotropic corpus; a random
+    // half-scan would expect recall 0.5 — the trained codebook must beat
+    // it by a clear margin. (The old first-16-ids codebook scored 0.94
+    // here only because the test queries vec_id<10 WERE centroids, so
+    // each query always probed its own neighborhood — a leak, not
+    // quantizer quality.)
+    assert(recall >= 0.75)
   }
 
   test("cosine_sim rejects mismatched vector lengths") {
