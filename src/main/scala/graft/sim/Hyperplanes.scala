@@ -20,36 +20,37 @@ object Hyperplanes {
     Array.fill(tables, bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  private def dot(v: Column, plane: Array[Double]): Column =
-    graft.functions.CosineSim.dotProduct(v, typedLit(plane.toSeq))
-
-  /** Sign-bit bucket of `v` in table `t` (one bit per hyperplane). */
-  def bucketFor(planes: Array[Array[Array[Double]]], v: Column,
-      t: Int): Column =
-    planes(t).indices.map { b =>
-      when(dot(v, planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Raw `array<int>` signature (bucket id per table) via the single
+    * codegen'd [[graft.functions.HyperplaneBuckets]] kernel. The bank
+    * rides as one reference object instead of tables·bits·dim literals —
+    * the literal form made Catalyst analysis + Janino compilation the
+    * dominant cost of every LSH query.
+    */
+  def rawSignature(planes: Array[Array[Array[Double]]], v: Column): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      graft.functions.HyperplaneBuckets(
+        org.apache.spark.sql.graft.Shim.expression(v),
+        planes.flatten.flatten, planes.length, planes(0).length,
+        planes(0)(0).length))
 
   /** array<struct<tbl:int,bucket:int>> signature for a vector column. */
   def buckets(planes: Array[Array[Array[Double]]], v: Column): Column =
-    array(planes.indices.map { t =>
-      struct(lit(t).as("tbl"), bucketFor(planes, v, t).as("bucket"))
-    }: _*)
+    transform(rawSignature(planes, v),
+      (b, t) => struct(t.cast("int").as("tbl"), b.as("bucket")))
 
   /** Multiprobe signature: the exact bucket plus every 1-bit-flip
     * neighbor (bits near the hyperplane are the likeliest to disagree for
     * true neighbors). Probing 1+bits buckets per table lifts recall
     * without growing the corpus index — the standard query-side/state-side
-    * trade at scale.
+    * trade at scale. Flips are int XORs on the computed signature, not
+    * re-evaluated dot products.
     */
-  def probeBuckets(planes: Array[Array[Array[Double]]], v: Column): Column =
-    array(planes.indices.flatMap { t =>
-      val bits = planes(t).length
-      val bucket = bucketFor(planes, v, t)
-      struct(lit(t).as("tbl"), bucket.as("bucket")) +:
-        (0 until bits).map { flip =>
-          struct(lit(t).as("tbl"),
-            bucket.bitwiseXOR(lit(1 << flip)).as("bucket"))
-        }
-    }: _*)
+  def probeBuckets(planes: Array[Array[Array[Double]]], v: Column): Column = {
+    val bits = planes(0).length
+    val masks = lit(0) +: (0 until bits).map(f => lit(1 << f))
+    flatten(transform(rawSignature(planes, v),
+      (b, t) => array(masks.map(m =>
+        struct(t.cast("int").as("tbl"),
+          b.bitwiseXOR(m).as("bucket"))): _*)))
+  }
 }
