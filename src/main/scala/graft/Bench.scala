@@ -11,6 +11,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed session warm-up: first-action costs (parquet reader +
+    // whole-stage-codegen framework + shuffle machinery init, ~4-5 s)
+    // otherwise land entirely on whichever query Map order puts first
+    // (pipeline_prepare today), corrupting its number.
+    import org.apache.spark.sql.functions.col
+    spark.range(1000).repartition(4).groupBy(col("id") % 7).count()
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let

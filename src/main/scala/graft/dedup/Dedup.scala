@@ -20,18 +20,16 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  /** Distinct k-word shingles from a token array (empty when < k tokens —
-    * guarded: `sequence(1, 0)` would step DOWN, not produce empty).
-    * `slice` + `array_join` embeds the token expression once per lambda
-    * instead of k times (k `element_at`s) — a third of the codegen.
+  /** Distinct k-word shingles straight from the text (empty when < k
+    * tokens), via the codegen'd [[graft.functions.WordShingles]] kernel —
+    * the composed `transform(sequence, array_join(slice))` +
+    * `array_distinct` form was an interpreted HOF chain re-splitting the
+    * text per evaluation, and it dominated the dedup/pipeline suites.
     */
-  def shingles(toks: Column, k: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (k - 1)),
-      i => array_join(slice(toks, i, lit(k)), " "))
-    when(size(toks) >= k, array_distinct(grams))
-      .otherwise(typedLit(Seq.empty[String]))
-  }
+  def shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Shim.expression(text), k))
 
   private val K = 3          // shingle width
   /** Jaccard near-dup threshold (planted dups ≥0.9; clean gap below).
@@ -51,7 +49,7 @@ object Dedup {
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), shingles(TextOps.tokens(col("text")), K).as("sh"))
+      .select(col("doc_id"), shingles(col("text"), K).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .localCheckpoint()
 

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd single-pass text kernels.
+  *
+  * The composed forms — `filter(split(text, " "), t => t =!= "")` for
+  * tokens, `size(filter(toks, isInCollection(set)))` for stopword/marker
+  * counts, `array_distinct(transform(sequence(...), array_join(slice)))`
+  * for shingles — are built on higher-order functions, which are
+  * CodegenFallback: every evaluation re-splits the text interpreted, and
+  * the dedup/pipeline/text suites evaluate several of them per row. Each
+  * kernel here is ONE generated static call scanning the UTF-8 bytes once.
+  *
+  * Oracle equivalence (hash-gate critical): a token is a maximal run of
+  * non-space bytes (0x20 never occurs inside a UTF-8 multibyte sequence),
+  * exactly `list_filter(string_split(text, ' '), t -> t <> '')`; shingles
+  * are space-joined k-gram runs deduped in first-occurrence order,
+  * exactly the old transform+array_distinct composition.
+  */
+object TextKernels {
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Maximal non-space byte runs, in order, empties dropped. */
+  def tokenize(s: UTF8String): Array[UTF8String] = {
+    val b = s.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val start = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > start) out.add(UTF8String.fromBytes(b, start, i - start))
+    }
+    out.toArray(new Array[UTF8String](out.size))
+  }
+
+  def tokens(s: UTF8String): ArrayData =
+    new GenericArrayData(tokenize(s).asInstanceOf[Array[Any]])
+
+  def matchCount(s: UTF8String,
+      set: java.util.HashSet[UTF8String]): Int = {
+    val toks = tokenize(s)
+    var c = 0
+    var i = 0
+    while (i < toks.length) {
+      if (set.contains(toks(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def shingles(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= toks.length - k) {
+      seen.add(UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*))
+      i += 1
+    }
+    new GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
+  }
+}
+
+/** Shared scaffolding: string input, null-intolerant, one static call. */
+sealed trait TextKernelExpression { self: UnaryExpression =>
+  final override def nullIntolerant: Boolean = true
+  final override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string column, got ${other.simpleString}")
+    }
+}
+
+/** `tokens(text)` → array<string>: whitespace tokens, empties dropped. */
+case class Tokens(child: Expression)
+    extends UnaryExpression with TextKernelExpression {
+  override def prettyName: String = "tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokens(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.tokens($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `token_match_count(text)` → int: tokens contained in a fixed set. */
+case class TokenMatchCount(child: Expression, words: Seq[String])
+    extends UnaryExpression with TextKernelExpression {
+  override def prettyName: String = "token_match_count"
+  override def dataType: DataType = IntegerType
+
+  private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.matchCount(input.asInstanceOf[UTF8String], set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+      s"${ev.value} = graft.functions.TextKernels.matchCount($a, $ref);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `word_shingles(text)` → array<string>: distinct space-joined k-grams
+  * (first-occurrence order), straight from the text — no intermediate
+  * token array in the plan.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with TextKernelExpression {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.shingles($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}

@@ -21,9 +21,8 @@ object Pipelines {
   private val prepare = Q(
     "pipeline_prepare",
     (s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val nTok = size(toks)
-      val swRatio = size(filter(toks, t => t.isInCollection(TextOps.stopwords)))
+      val nTok = size(TextOps.tokens(col("text")))
+      val swRatio = TextOps.tokenMatchCount(col("text"), TextOps.stopwords)
         .cast("double") / nTok
       // 1. quality filter
       val quality = Tables(s, dir, "documents")
@@ -44,7 +43,7 @@ object Pipelines {
       // post-explode projection and re-evaluate it once per exploded row
       // (≈500× per doc) on both join sides.
       val sh = deduped
-        .select(col("doc_id"), Dedup.shingles(toks, 3).as("sh"))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .withColumn("nsh", size(col("sh")))
         .localCheckpoint()
       val drops = Dedup.jaccardPairs(sh, Dedup.TAU)

@@ -17,10 +17,23 @@ import graft.{Q, Tables}
 object TextOps {
 
   /** Whitespace tokenizer shared by §2.4/§2.6 — mirrors DuckDB
-    * `list_filter(string_split(text,' '), t -> t <> '')`.
+    * `list_filter(string_split(text,' '), t -> t <> '')`, as the codegen'd
+    * [[graft.functions.Tokens]] kernel (the composed
+    * `filter(split(...))` is an interpreted HOF that re-splits per
+    * evaluation).
     */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    org.apache.spark.sql.graft.Shim.column(
+      graft.functions.Tokens(
+        org.apache.spark.sql.graft.Shim.expression(text)))
+
+  /** Count of tokens ∈ `words` — codegen'd single pass; mirrors DuckDB
+    * `len(list_filter(string_split(text,' '), t -> t IN (...)))`.
+    */
+  def tokenMatchCount(text: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      graft.functions.TokenMatchCount(
+        org.apache.spark.sql.graft.Shim.expression(text), words))
 
   /** Normalized-content md5 (lower, trim, collapse runs of spaces) —
     * the shared fingerprint of text_fingerprint / dedup_exact /
@@ -54,7 +67,7 @@ object TextOps {
         round(nonSpace.cast("double") / nTok, 6).as("avg_token_len"),
         round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
           .cast("double") / length(col("text")), 6).as("punct_ratio"),
-        round(size(filter(toks, t => t.isInCollection(stopwords)))
+        round(tokenMatchCount(col("text"), stopwords)
           .cast("double") / nTok, 6).as("stopword_ratio"))
         .orderBy("doc_id")
     },
@@ -88,11 +101,10 @@ object TextOps {
   private val langid = Q(
     "text_langid",
     (s, dir) => {
-      val toks = tokens(col("text"))
       val scored = markers.foldLeft(Tables(s, dir, "documents")) {
         case (df, (lang, ms)) =>
           df.withColumn(s"score_$lang",
-            size(filter(toks, t => t.isInCollection(ms))).cast("long"))
+            tokenMatchCount(col("text"), ms).cast("long"))
       }
       val best = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
       // first alphabetical lang reaching the max count (markers is sorted,

@@ -39,7 +39,7 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val shingleTable = Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
-        dedup.Dedup.shingles(text.TextOps.tokens(col("text")), 3).as("sh"))
+        dedup.Dedup.shingles(col("text"), 3).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .localCheckpoint()
     def pairs(cap: Option[Int]) =
