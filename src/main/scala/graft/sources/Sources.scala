@@ -40,6 +40,16 @@ object Sources {
     r.json(path)
   }
 
+  /** ORC is self-describing like parquet: schema optional, predicate
+    * pushdown + column pruning reach the stripe reader.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.orc(path)
+  }
+
   // ------------------------------------------------------------- writers
   def writeParquet(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil,
@@ -56,6 +66,14 @@ object Sources {
   def writeJson(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*)
+    w.orc(path)
+  }
 
   /** Bucketed + sorted table write: co-located joins/aggregations on
     * `bucketCol` read back with NO exchange (and no sort, when `sortCol`

@@ -47,6 +47,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == df.count())
   }
 
+  test("orc roundtrip with pushed filter and pruned columns") {
+    val dir = tmp() + "/nation_orc"
+    Sources.writeOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+      .filter(col("n_regionkey") === 1).select("n_name")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), " +
+      "EqualTo(n_regionkey,1)]"), plan)
+    assert(back.count() == df.filter(col("n_regionkey") === 1).count())
+  }
+
   test("json roundtrip preserves rows") {
     val dir = tmp() + "/nation_json"
     Sources.writeJson(df, dir)
