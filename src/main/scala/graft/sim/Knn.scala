@@ -194,28 +194,22 @@ object Knn {
 
   /** Nearest-centroid assignment WITHOUT a corpus shuffle: the codebook
     * collapses to one broadcast row holding a cent_id-sorted
-    * array<struct>, and each corpus vector folds over it keeping the
-    * strictly-best cosine — strict `>` over the sorted array == ordering
-    * by (cosine DESC, cent_id ASC). The fold is an interpreted HOF, but
-    * it runs 2·NLIST eval-mode [[cosineSim]] kernels per row with zero
-    * exchange — at 100 TB that beats shuffling NLIST× the corpus into a
+    * array<struct>, and each corpus vector picks its argmax-cosine entry
+    * via the codegen'd [[graft.functions.NearestCentroid]] kernel
+    * (strict `>` over the sorted array == ordering by (cosine DESC,
+    * cent_id ASC) — the exact DuckDB row_number tie-break). Zero
+    * exchange: at 100 TB this beats shuffling NLIST× the corpus into a
     * window by orders of magnitude.
     */
   private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(
       array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("cs"))
-    val best = aggregate(
-      col("cs"),
-      struct(lit(Long.MaxValue).as("cent_id"), lit(-2.0).as("cos")),
-      (acc, c) => {
-        val cs = cosineSim(col("v"), c.getField("cv"))
-        when(cs > acc.getField("cos"),
-          struct(c.getField("cent_id").as("cent_id"), cs.as("cos")))
-          .otherwise(acc)
-      })
     e.crossJoin(broadcast(centArr))
-      .withColumn("b", best)
-      .select(col("vec_id"), col("v"), col("b.cent_id").as("cent_id"))
+      .withColumn("cent_id", org.apache.spark.sql.graft.Shim.column(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.graft.Shim.expression(col("v")),
+          org.apache.spark.sql.graft.Shim.expression(col("cs")))))
+      .select("vec_id", "v", "cent_id")
   }
 
   /** Seeded-sample + Lloyd codebook (16 rows, checkpointed per iteration

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shim
+
+import graft.functions.{NearestCentroid, TokenMatchCount, Tokens, WordShingles}
+
+/** The codegen kernels must be drop-in equal to the composed (HOF) forms
+  * they replaced — checked here on adversarial inputs (multi-space runs,
+  * leading/trailing spaces, empty/only-space strings, multibyte UTF-8)
+  * and on the real corpus.
+  */
+class KernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nasty = Seq(
+    "plain words here",
+    "  leading and   multiple   spaces  ",
+    "", "   ", "single",
+    "unicode héllo wörld 东京 рядом mixed",
+    "a a a repeated a a",
+    "tab\tis not a separator",
+    "trailing space ")
+
+  private def kernelCol(c: org.apache.spark.sql.Column) = c
+
+  test("Tokens kernel == filter(split) composition") {
+    val df = nasty.toDF("text")
+    val kernel = df.select(Shim.column(Tokens(Shim.expression(col("text"))))
+      .as("t")).collect().map(_.getSeq[String](0))
+    val composed = df.select(
+      filter(split(col("text"), " "), t => t =!= lit("")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(kernel.toSeq == composed.toSeq)
+  }
+
+  test("TokenMatchCount kernel == size(filter(isInCollection))") {
+    val words = Seq("a", "the", "东京")
+    val df = nasty.toDF("text")
+    val kernel = df.select(Shim.column(
+      TokenMatchCount(Shim.expression(col("text")), words)).as("c"))
+      .collect().map(_.getInt(0))
+    val composed = df.select(size(filter(
+      filter(split(col("text"), " "), t => t =!= lit("")),
+      t => t.isInCollection(words))).as("c"))
+      .collect().map(_.getInt(0))
+    assert(kernel.toSeq == composed.toSeq)
+  }
+
+  test("WordShingles kernel == transform+array_join+array_distinct") {
+    for (k <- Seq(1, 2, 3, 5)) {
+      val df = nasty.toDF("text")
+      val kernel = df.select(Shim.column(
+        WordShingles(Shim.expression(col("text")), k)).as("s"))
+        .collect().map(_.getSeq[String](0))
+      val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+      val grams = transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " "))
+      val composed = df.select(
+        when(size(toks) >= k, array_distinct(grams))
+          .otherwise(typedLit(Seq.empty[String])).as("s"))
+        .collect().map(_.getSeq[String](0))
+      assert(kernel.toSeq == composed.toSeq, s"k=$k")
+    }
+  }
+
+  test("kernels agree with composed forms on the real corpus") {
+    val d = Tables(spark, sfDir, "documents")
+    val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+    val mismatches = d.select(
+      Shim.column(Tokens(Shim.expression(col("text")))).as("kt"),
+      toks.as("ct"),
+      Shim.column(WordShingles(Shim.expression(col("text")), 3)).as("ks"),
+      when(size(toks) >= 3, array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " "))))
+        .otherwise(typedLit(Seq.empty[String])).as("cs"))
+      .filter(col("kt") =!= col("ct") || col("ks") =!= col("cs"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("NearestCentroid kernel == window argmax over the codebook") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val kernel = sim.Knn.assign(e, cents)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cos = graft.functions.CosineSim.cosineSim(col("v"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(cos.desc, col("cent_id"))
+    val window = e.crossJoin(broadcast(cents))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kernel == window)
+  }
+}
