@@ -70,6 +70,40 @@ object TextKernels {
     new GenericArrayData(
       seen.toArray(new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
   }
+
+  /** Occurrence count of the most frequent k-gram (0 when < k tokens) —
+    * per-document repetition signal, one local pass, no shuffle.
+    */
+  def maxShingleCount(s: UTF8String, k: Int): Int = {
+    val toks = tokenize(s)
+    if (toks.length < k) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var max = 0
+    var i = 0
+    while (i <= toks.length - k) {
+      val g = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      val c = counts.getOrDefault(g, 0) + 1
+      counts.put(g, c)
+      if (c > max) max = c
+      i += 1
+    }
+    max
+  }
+
+  /** All k-grams in order, duplicates KEPT (term-frequency consumers). */
+  def shinglesAll(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    var i = 0
+    while (i <= toks.length - k) {
+      out(i) = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Shared scaffolding: string input, null-intolerant, one static call. */
@@ -125,22 +159,47 @@ case class TokenMatchCount(child: Expression, words: Seq[String])
       : Expression = copy(child = newChild)
 }
 
-/** `word_shingles(text)` → array<string>: distinct space-joined k-grams
-  * (first-occurrence order), straight from the text — no intermediate
-  * token array in the plan.
+/** `max_shingle_count(text)` → int: occurrences of the most frequent
+  * k-gram — the Gopher-style repetition signal, computed per document
+  * with zero shuffle.
   */
-case class WordShingles(child: Expression, k: Int)
+case class MaxShingleCount(child: Expression, k: Int)
+    extends UnaryExpression with TextKernelExpression {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+  override def prettyName: String = "max_shingle_count"
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.maxShingleCount(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.maxShingleCount($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `word_shingles(text)` → array<string>: space-joined k-grams straight
+  * from the text — no intermediate token array in the plan. `distinct`
+  * keeps first-occurrence-order uniques (set-similarity consumers) or
+  * every gram in order (term-frequency consumers).
+  */
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression with TextKernelExpression {
   require(k >= 1, s"shingle width must be >= 1, got $k")
   override def prettyName: String = "word_shingles"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    TextKernels.shingles(input.asInstanceOf[UTF8String], k)
+    if (distinct) TextKernels.shingles(input.asInstanceOf[UTF8String], k)
+    else TextKernels.shinglesAll(input.asInstanceOf[UTF8String], k)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TextKernels.shingles($a, $k);")
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = if (distinct) "shingles" else "shinglesAll"
+      s"${ev.value} = graft.functions.TextKernels.$m($a, $k);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

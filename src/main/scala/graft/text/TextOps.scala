@@ -181,6 +181,53 @@ object TextOps {
         AS term FROM documents)
     GROUP BY term ORDER BY freq DESC, term LIMIT 30"""))
 
+  // ----------------------------------------------------- text_repetition
+  /** Gopher-style repetition signals (Rae et al., "Scaling Language
+    * Models", §A1.1 repetition filters): vocabulary richness (distinct /
+    * total tokens) and the token fraction covered by the most frequent
+    * 2-/3-gram. Everything is a per-document integer count via the
+    * codegen'd kernels — zero shuffle before the output sort, bit-exact
+    * ratios (`round(x,6)` mirrored).
+    */
+  private val repetition = Q(
+    "text_repetition",
+    (s, dir) => {
+      def uniq1 = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 1))
+      def maxGram(k: Int) = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.MaxShingleCount(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), k))
+      val nTok = size(tokens(col("text")))
+      Tables(s, dir, "documents")
+        .filter(nTok > 0)
+        .select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          round(size(uniq1) * 1.0 / nTok, 6).as("uniq_token_frac"),
+          round(maxGram(2) * 2.0 / nTok, 6).as("top2_frac"),
+          round(maxGram(3) * 3.0 / nTok, 6).as("top3_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    g2 AS (SELECT doc_id, MAX(c) AS m2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            for i in range(1, greatest(len(w), 1))]) AS g
+          FROM d) GROUP BY doc_id, g) GROUP BY doc_id),
+    g3 AS (SELECT doc_id, MAX(c) AS m3 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in range(1, greatest(len(w)-1, 1))]) AS g
+          FROM d) GROUP BY doc_id, g) GROUP BY doc_id)
+    SELECT d.doc_id, len(w) AS n_tokens,
+      round(len(list_distinct(w)) * 1.0 / len(w), 6) AS uniq_token_frac,
+      round(COALESCE(m2, 0) * 2.0 / len(w), 6) AS top2_frac,
+      round(COALESCE(m3, 0) * 3.0 / len(w), 6) AS top3_frac
+    FROM d LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+    WHERE len(w) > 0 ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- text_chunk
   private val CHUNK = 32 // tokens per chunk (context-length slicing)
 
@@ -221,5 +268,6 @@ object TextOps {
       md5(chunk) AS chunk_md5
     FROM c ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[Q] = Seq(stats, langid, fingerprint, topTokens, chunk)
+  val all: Seq[Q] = Seq(stats, langid, fingerprint, topTokens, repetition,
+    chunk)
 }
