@@ -87,6 +87,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("asof variants all plan through the native AsofJoinExec") {
+    for (name <- Seq("asof_join_native", "asof_join_tolerance",
+        "asof_join_forward", "asof_join_nearest")) {
+      val plan = physical(name)
+      assert(plan.contains("AsofJoin"), s"$name must use AsofJoinExec")
+      assert(!plan.contains("Window"),
+        s"$name must not fall back to the union+window composition")
+    }
+  }
+
+  test("text_repetition is scan + kernels + sort: no join, no aggregate") {
+    val plan = physical("text_repetition")
+    assert(plan.contains("max_shingle_count"), "kernel must be in-plan")
+    assert(!plan.contains("Join"), "per-doc signals need no join")
+    assert(!plan.contains("HashAggregate"),
+      "per-doc signals need no aggregation exchange")
+  }
+
+  test("LSH signatures use the single hyperplane_buckets kernel") {
+    // knn_lsh keeps the kernel in its final plan; dedup_embedding_lsh
+    // checkpoints the signature table, so assert on that stage directly
+    assert(physical("knn_lsh").contains("hyperplane_buckets"))
+    import org.apache.spark.sql.functions.col
+    val bank = sim.Hyperplanes.bank(4, 4, 64, 7)
+    val sigPlan = Tables(spark, sfDir, "embeddings")
+      .select(sim.Hyperplanes.buckets(bank,
+        col("embedding").cast("array<double>")).as("bs"))
+      .queryExecution.executedPlan.toString
+    assert(sigPlan.contains("hyperplane_buckets"))
+  }
+
+  test("IVF assignment uses the nearest_centroid kernel, no window") {
+    val plan = physical("knn_ivf")
+    assert(plan.contains("nearest_centroid"))
+  }
+
   test("dedup_minhash signature aggregation is partially aggregated") {
     // partial_min on the map side means the exchange carries one row per
     // doc, not the exploded shingle stream
