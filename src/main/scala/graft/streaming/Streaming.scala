@@ -21,6 +21,19 @@ final case class Session(userId: Long, sessionId: Long, nEvents: Long,
 final case class SessionState(sessionId: Long, nEvents: Long, startMs: Long,
     endMs: Long, totalCents: Long)
 
+/** A click/purchase event for streaming as-of enrichment. */
+final case class AsofEv(eventId: Long, userId: Long, tsMs: Long,
+    isPurchase: Boolean)
+
+/** A click enriched with the latest prior-or-equal purchase (None when no
+  * purchase precedes it).
+  */
+final case class EnrichedClick(eventId: Long, userId: Long, tsMs: Long,
+    purchaseId: Option[Long], purchaseMs: Option[Long])
+
+/** Latest-purchase state for [[Streaming.asofEnrich]]. */
+final case class AsofState(purchaseMs: Long, purchaseId: Long)
+
 /** Structured Streaming operators — SURVEY.md §2.8.
   *
   * Both operators are the streaming mirrors of batch queries gated by the
@@ -79,6 +92,53 @@ object Streaming {
           col("purchase_time") + expr(s"INTERVAL $windowMs MILLISECOND"))
       .select("purchase_id", "user_id", "purchase_ms", "click_ms",
         "click_value")
+  }
+
+  /** Streaming backward as-of enrichment — the online mirror of the
+    * native [[graft.plans.AsofJoinExec]]: every click picks up the
+    * latest prior-or-equal purchase of the same user. Per-user state is
+    * ONE (purchaseMs, purchaseId) pair — O(1), hash-partitioned by user,
+    * exactly the operator's batch merge-state moved into
+    * `flatMapGroupsWithState`.
+    *
+    * Contract: for streams in event-time order across micro-batches this
+    * equals the batch operator exactly (in-batch disorder is handled by
+    * sorting each group's batch slice; equal-time purchases sort before
+    * clicks, so equal timestamps match, and same-(user,ts) purchases
+    * resolve to the max eventId — the batch dedup rule). Late purchases
+    * never rewind state (a purchase older than the stored one is
+    * ignored); late clicks enrich against current state. State never
+    * expires (a purchase stays matchable forever, like the batch
+    * semantics); bound it with a timeout if the user domain is unbounded.
+    */
+  def asofEnrich(events: Dataset[AsofEv]): Dataset[EnrichedClick] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AsofState, EnrichedClick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsofEv], state: GroupState[AsofState]) =>
+          // purchases before clicks at equal ts (equal timestamps match);
+          // eventId last so the max id wins same-(user,ts) purchase dedup
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.tsMs, !e.isPurchase, e.eventId))
+          val out = Seq.newBuilder[EnrichedClick]
+          var cur = state.getOption.orNull
+          for (e <- sorted) {
+            if (e.isPurchase) {
+              if (cur == null || e.tsMs > cur.purchaseMs ||
+                  (e.tsMs == cur.purchaseMs && e.eventId > cur.purchaseId))
+                cur = AsofState(e.tsMs, e.eventId)
+            } else {
+              out += (if (cur != null && cur.purchaseMs <= e.tsMs)
+                EnrichedClick(e.eventId, userId, e.tsMs,
+                  Some(cur.purchaseId), Some(cur.purchaseMs))
+              else EnrichedClick(e.eventId, userId, e.tsMs, None, None))
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
   }
 
   /** Gap-based sessionizer via `flatMapGroupsWithState` with event-time

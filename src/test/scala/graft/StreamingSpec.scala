@@ -221,6 +221,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrich (streaming) equals the native batch asof join") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AsofEv
+    val all = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        (col("event_type") === "purchase").as("isPurchase"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (e, u, t, p) => AsofEv(e, u, t, p) }
+      .sortBy(e => (e.tsMs, e.eventId))
+    // split into 3 event-time-ordered micro-batches, never cutting inside
+    // a timestamp (an equal-ts click/purchase pair must share a batch for
+    // the in-batch purchase-first ordering to apply)
+    val n = all.length
+    def cut(target: Int): Int = {
+      var i = target
+      while (i < n && all(i).tsMs == all(i - 1).tsMs) i += 1
+      i
+    }
+    val (i1, i2) = (cut(n / 3), cut(2 * n / 3))
+    val batches = Seq(all.slice(0, i1), all.slice(i1, i2),
+      all.slice(i2, n)).filter(_.nonEmpty)
+    val mem = MemoryStream[AsofEv]
+    val q = Streaming.asofEnrich(mem.toDS()).writeStream.format("memory")
+      .queryName("asof_enrich").outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("asof_enrich")
+        .select("eventId", "purchaseId", "purchaseMs")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .sortBy(_._1).toSeq
+      val expected = SparkEntry.queries("asof_join_native")(spark, sfDir)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .sortBy(_._1).toSeq
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("sessionizer widens, never rewinds, on out-of-order events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
