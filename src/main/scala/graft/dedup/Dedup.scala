@@ -188,28 +188,27 @@ object Dedup {
 
   /** MinHash + LSH near-dup detection.
     *
-    * signatures: one hash-agg with PERMS (64) `min(xxhash64(sh, p))`
-    * partial aggregates (map-side combine — the exchange carries one
-    * 64-long row per doc, not the exploded shingles). Banding explodes
-    * BANDS (16) (band, bandhash) keys per doc (ROWS=4 minhashes each);
-    * the bucket self-join only materializes colliding pairs; exact
-    * jaccard verifies candidates. The oracle is the ground-truth pair
-    * set — passing proves full recall at this τ.
+    * signatures: the [[graft.functions.MinhashBands]] kernel computes all
+    * PERMS (64) seeded minhashes AND the BANDS (16) band hashes per doc
+    * in one map-side pass over the shingle array — ZERO exchange (the
+    * previous shape exploded the shingle stream through a 64-aggregate
+    * groupBy). The bucket self-join only materializes colliding pairs;
+    * exact jaccard verifies candidates. The oracle is the ground-truth
+    * pair set — passing proves full recall at this τ.
     */
   private val minhashLsh = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
       val ds = docShingles(s, dir)
-      val ex = ds.select(col("doc_id"), explode(col("sh")).as("sh"))
-      val sigCols = (0 until PERMS)
-        .map(p => min(xxhash64(col("sh"), lit(p))).as(s"m$p"))
-      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandStructs = (0 until BANDS).map { bnd =>
-        val cols = (0 until ROWS).map(r => col(s"m${bnd * ROWS + r}"))
-        struct(lit(bnd).as("band"), xxhash64(cols :+ lit(bnd): _*).as("bh"))
-      }
-      val buckets = sigs.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("b"))
+      // checkpoint: the band table feeds BOTH sides of the self-join —
+      // with live lineage each side recomputes the 64-perm kernel
+      val sigs = ds.select(col("doc_id"),
+          org.apache.spark.sql.graft.Shim.column(
+            graft.functions.MinhashBands(
+              org.apache.spark.sql.graft.Shim.expression(col("sh")),
+              PERMS, BANDS)).as("bs"))
+        .localCheckpoint()
+      val buckets = sigs.select(col("doc_id"), explode(col("bs")).as("b"))
         .select(col("doc_id"), col("b.band"), col("b.bh"))
       val cand = buckets.as("x").join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh")

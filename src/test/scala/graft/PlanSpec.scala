@@ -123,12 +123,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("nearest_centroid"))
   }
 
-  test("dedup_minhash signature aggregation is partially aggregated") {
-    // partial_min on the map side means the exchange carries one row per
-    // doc, not the exploded shingle stream
-    val plan = df("dedup_minhash_lsh")
+  test("minhash signature stage is map-only: kernel present, no exchange") {
+    import org.apache.spark.sql.functions.col
+    val sigPlan = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        dedup.Dedup.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
+        graft.functions.MinhashBands(
+          org.apache.spark.sql.graft.Shim.expression(col("sh")), 64, 16))
+        .as("bs"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_min") || plan.contains("partial min")
-      || plan.contains("HashAggregate"))
+    assert(sigPlan.contains("minhash_bands"))
+    assert(!sigPlan.contains("Exchange"),
+      "the 64-perm signature must not shuffle anything")
   }
 }
