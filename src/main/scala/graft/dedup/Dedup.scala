@@ -243,29 +243,22 @@ object Dedup {
     * `bit_count(xor) ≤ 3`.
     *
     * The token hash is the first 15 hex chars of md5 (60 bits, positive
-    * in a signed 64-bit lane) instead of xxhash64 precisely so the whole
-    * pipeline is integer-deterministic in BOTH engines and the oracle can
-    * mirror it end-to-end — same votes, same simhash, same bands.
+    * in a signed 64-bit lane) precisely so the whole pipeline is
+    * integer-deterministic in BOTH engines and the oracle mirrors it
+    * end-to-end. The Spark side computes the entire per-doc simhash in
+    * the map-only [[graft.functions.Simhash]] kernel (bit-identical to
+    * the mirrored SQL; previously explode → two exchanges); checkpointed
+    * because the band table feeds both sides of the self-join.
     */
   private val simhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-        .withColumn("h",
-          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-      // 60 partial-aggregated bit votes in ONE exchange (no posexplode of
-      // 60 rows/token): vote_i = Σ ±w by bit i of the token hash.
-      val voteCols = (0 until SIMBITS).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
-          .otherwise(-col("w"))).as(s"v$i"))
-      val sims = toks.groupBy("doc_id")
-        .agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until SIMBITS).map(i =>
-            when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+      val sims = Tables(s, dir, "documents")
+        .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
+          graft.functions.Simhash(
+            org.apache.spark.sql.graft.Shim.expression(col("text")),
+            SIMBITS)).as("simhash"))
+        .localCheckpoint()
       val width = SIMBITS / SIMBANDS
       val banded = sims.select(col("doc_id"), col("simhash"),
           explode(array((0 until SIMBANDS).map(bnd =>

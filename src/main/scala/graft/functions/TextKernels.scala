@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd single-pass text kernels.
@@ -91,6 +91,43 @@ object TextKernels {
     max
   }
 
+  /** Weighted SimHash over the token multiset; see [[Simhash]]. */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val toks = tokenize(s)
+    val tf = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < toks.length) {
+      tf.put(toks(i), tf.getOrDefault(toks(i), 0) + 1)
+      i += 1
+    }
+    val votes = new Array[Long](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val d = md.digest(e.getKey.getBytes)
+      md.reset()
+      // first 15 hex chars == top 60 bits of the first 8 digest bytes
+      var first8 = 0L
+      var j = 0
+      while (j < 8) { first8 = (first8 << 8) | (d(j) & 0xffL); j += 1 }
+      val h = first8 >>> 4
+      val w = e.getValue.longValue()
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += w else votes(b) -= w
+        b += 1
+      }
+    }
+    var sim = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+
   /** All k-grams in order, duplicates KEPT (term-frequency consumers). */
   def shinglesAll(s: UTF8String, k: Int): ArrayData = {
     val toks = tokenize(s)
@@ -104,6 +141,32 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** `simhash(text)` → long: weighted `bits`-bit SimHash in one map-side
+  * pass — tokenize, term-frequency weights, per-token 60-bit md5-prefix
+  * hash, signed bit votes. Bit-identical to the previous composed form
+  * (explode → groupBy(doc,tok) → `bits` vote aggregates → groupBy(doc),
+  * TWO exchanges) and to the DuckDB mirror: the token hash is the first
+  * 15 md5 hex chars as a long — numerically the top 60 bits of the
+  * digest's first 8 bytes — and votes are exact integer sums, so the
+  * value survives any evaluation order.
+  */
+case class Simhash(child: Expression, bits: Int)
+    extends UnaryExpression with TextKernelExpression {
+  require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+  override def prettyName: String = "simhash"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.simhash($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** Shared scaffolding: string input, null-intolerant, one static call. */
