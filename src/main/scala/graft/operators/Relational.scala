@@ -530,7 +530,31 @@ object Relational {
       ${sqlSum2("value", "total_value")}
     FROM h GROUP BY user_id, session_id ORDER BY user_id, start_ms"""))
 
+  // ---------------------------------------------------------------- q25
+  /** Set operators: customers ordering in BOTH 1995 and 1996 (INTERSECT)
+    * minus anyone with a 1997 order (EXCEPT). Each leg is a pruned scan +
+    * distinct; Catalyst plans INTERSECT/EXCEPT as left-semi/anti joins on
+    * the deduplicated keys — no full materialization of either side.
+    */
+  private val q25 = Q(
+    "q25_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def buyersIn(year: Int) =
+        o.filter(expr(s"year(o_orderdate) = $year"))
+          .select(col("o_custkey")).distinct()
+      buyersIn(1995).intersect(buyersIn(1996))
+        .except(buyersIn(1997))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    ORDER BY o_custkey"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }
