@@ -31,18 +31,25 @@ final case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long,
   */
 object Multimodal {
 
+  /** Exact 8-bin byte histogram — the integer core of [[decodeStub]],
+    * oracle-gated through [[Multimodal.all]]'s `mm_feature_hist`.
+    */
+  def byteBins(payload: Array[Byte]): Array[Long] = {
+    val bins = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xFF) >>> 5) += 1L
+      i += 1
+    }
+    bins
+  }
+
   /** STUB — replace with a real decoder. Deterministic 8-bin byte
     * histogram, L1-normalized: schema- and batch-shape-faithful.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val bins = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      bins((payload(i) & 0xFF) >>> 5) += 1f
-      i += 1
-    }
     val n = math.max(1, payload.length).toFloat
-    bins.map(_ / n)
+    byteBins(payload).map(_ / n)
   }
 
   /** Batched decode/feature-extract: one decoder instantiation per batch,
@@ -130,5 +137,43 @@ object Multimodal {
       md5(text) AS payload_md5
     FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(binaryStats)
+  /** The REAL typed decode path under the oracle gate: documents →
+    * `Dataset[MediaRecord]` → batched partition-local feature extraction,
+    * emitting the stub decoder's integer byte-histogram bins (exact in
+    * both engines; the corpus is ASCII, so DuckDB's per-char `ord // 32`
+    * is the same byte binning).
+    */
+  private val featureHist = Q(
+    "mm_feature_hist",
+    (s, dir) => {
+      import s.implicits._
+      val hist = mediaFromDocuments(s, dir)
+        .mapPartitions(_.map(r =>
+          (r.mediaId, r.payload.length.toLong, byteBins(r.payload).toSeq)))
+        .toDF("media_id", "n_bytes", "bins")
+      hist.select(Seq(col("media_id"), col("n_bytes")) ++
+          (0 until 8).map(i =>
+            element_at(col("bins"), i + 1).as(s"b$i")): _*)
+        .orderBy("media_id")
+    },
+    Some("""WITH chars AS (
+      SELECT doc_id, unnest(range(length(text))) AS i, text FROM documents),
+    bytes AS (
+      SELECT doc_id, ord(substr(text, i + 1, 1)) // 32 AS bin FROM chars),
+    bins AS (
+      SELECT doc_id, bin, COUNT(*) AS c FROM bytes GROUP BY doc_id, bin)
+    SELECT d.doc_id AS media_id,
+      octet_length(encode(d.text)) AS n_bytes,
+      COALESCE(MAX(CASE WHEN bin = 0 THEN c END), 0) AS b0,
+      COALESCE(MAX(CASE WHEN bin = 1 THEN c END), 0) AS b1,
+      COALESCE(MAX(CASE WHEN bin = 2 THEN c END), 0) AS b2,
+      COALESCE(MAX(CASE WHEN bin = 3 THEN c END), 0) AS b3,
+      COALESCE(MAX(CASE WHEN bin = 4 THEN c END), 0) AS b4,
+      COALESCE(MAX(CASE WHEN bin = 5 THEN c END), 0) AS b5,
+      COALESCE(MAX(CASE WHEN bin = 6 THEN c END), 0) AS b6,
+      COALESCE(MAX(CASE WHEN bin = 7 THEN c END), 0) AS b7
+    FROM documents d LEFT JOIN bins ON d.doc_id = bins.doc_id
+    GROUP BY d.doc_id, d.text ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureHist)
 }
