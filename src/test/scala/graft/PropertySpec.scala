@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shim
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextKernels, Tokens, WordShingles}
+import graft.plans.{AsofDirection, AsofJoin}
+
+/** Property-based cross-checks: kernels vs composed references on
+  * generated inputs, and the native asof merge vs an in-memory reference
+  * model on random key/time data (duplicates, unmatched keys, nulls are
+  * exercised by construction).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  // words over a small alphabet (forces shingle collisions), plus unicode
+  private val word: Gen[String] = Gen.oneOf(
+    "a", "b", "ab", "the", "x1", "héllo", "东京", "zz")
+  private val text: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, word)
+    sep <- Gen.listOfN(math.max(0, n - 1), Gen.oneOf(" ", "  ", "   "))
+    lead <- Gen.oneOf("", " ", "  ")
+    trail <- Gen.oneOf("", " ")
+  } yield lead + (ws, sep :+ "").zipped.map(_ + _).mkString + trail
+
+  /** Reference tokenizer: the exact semantics the kernels must keep. */
+  private def refTokens(s: String): Seq[String] =
+    s.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  test("Tokens kernel == split-filter reference on generated text") {
+    check(forAll(text) { s =>
+      val got = TextKernels.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toSeq.map(_.toString)
+      got == refTokens(s)
+    })
+  }
+
+  test("shingles kernel == sliding-distinct reference on generated text") {
+    check(forAll(text, Gen.choose(1, 4)) { (s, k) =>
+      val got = TextKernels.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+        .toSeq[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString)
+      val toks = refTokens(s)
+      val want =
+        if (toks.length < k) Seq.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    })
+  }
+
+  test("maxShingleCount kernel == groupBy-count reference") {
+    check(forAll(text, Gen.choose(1, 3)) { (s, k) =>
+      val got = TextKernels.maxShingleCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+      val toks = refTokens(s)
+      val want =
+        if (toks.length < k) 0
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max
+      got == want
+    })
+  }
+
+  /** In-memory reference asof: brute force over all (direction, tol). */
+  private def refAsof(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)], dir: AsofDirection,
+      tol: Option[Long]): Map[Long, Option[Long]] =
+    left.map { case (id, k, t) =>
+      val back = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (-r._2, -r._3)).headOption
+        .filter(r => tol.forall(t - r._2 <= _))
+      val fwd = right.filter(r => r._1 == k && r._2 >= t)
+        .sortBy(r => (r._2, -r._3)).headOption
+        .filter(r => tol.forall(r._2 - t <= _))
+      val pick = dir match {
+        case AsofDirection.Backward => back
+        case AsofDirection.Forward => fwd
+        case AsofDirection.Nearest => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      id -> pick.map(_._3)
+    }.toMap
+
+  test("native asof == reference model on random keys/times/directions") {
+    import spark.implicits._
+    val smallLong = Gen.choose(0L, 4L)
+    val ts = Gen.choose(0L, 20L)
+    val leftGen = Gen.listOfN(40,
+      Gen.zip(smallLong, ts)).map(_.zipWithIndex.map {
+        case ((k, t), i) => (i.toLong, k, t) })
+    // right side unique per (key, time): index the pairs, payload = index
+    val rightGen = Gen.listOfN(25, Gen.zip(smallLong, ts))
+      .map(_.distinct.zipWithIndex.map {
+        case ((k, t), i) => (k, t, 1000L + i) })
+    val dirGen = Gen.oneOf[AsofDirection](AsofDirection.Backward,
+      AsofDirection.Forward, AsofDirection.Nearest)
+    val tolGen = Gen.oneOf[Option[Long]](None, Some(0L), Some(3L), Some(10L))
+    val prop: Prop = forAll(leftGen, rightGen, dirGen, tolGen) {
+      (l, r, dir, tol) =>
+        val left = l.toDF("id", "k", "t")
+        val right = r.toDF("k", "t", "pay")
+        val got = AsofJoin.asofJoinNative(left, right, "k", "t",
+          Seq("pay"), dir, tol).collect()
+          .map(row => row.getLong(0) ->
+            (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+        got == refAsof(l, r, dir, tol)
+    }
+    check(prop, minSuccessful(30))
+  }
+
+  private def minSuccessful(n: Int) =
+    org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n)
+  private def check(p: Prop,
+      params: org.scalacheck.Test.Parameters =
+        org.scalacheck.Test.Parameters.default): Unit = {
+    val res = org.scalacheck.Test.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+}
