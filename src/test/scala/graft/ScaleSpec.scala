@@ -21,6 +21,38 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(salted.getDouble(1) - plain.getDouble(1)) < 1e-6)
   }
 
+  test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key (50k rows) among 100 — a single reducer partition far
+      // over the 8KB threshold, the shape salting/AQE exists for
+      val left = spark.range(50000)
+        .select((col("id") % lit(100) * when(col("id") < 49900, 0)
+          .otherwise(1)).as("k"), col("id").as("v"))
+      val right = spark.range(100).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // collect() on THIS dataframe: count() would run a different
+      // execution and leave this plan un-finalized (isFinalPlan=false)
+      assert(j.collect().length == 50000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SortMergeJoin, got:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedAgg equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_suppkey")
