@@ -105,13 +105,7 @@ object TextKernels {
     val it = tf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val d = md.digest(e.getKey.getBytes)
-      md.reset()
-      // first 15 hex chars == top 60 bits of the first 8 digest bytes
-      var first8 = 0L
-      var j = 0
-      while (j < 8) { first8 = (first8 << 8) | (d(j) & 0xffL); j += 1 }
-      val h = first8 >>> 4
+      val h = md5Prefix60(md, e.getKey)
       val w = e.getValue.longValue()
       var b = 0
       while (b < bits) {
@@ -126,6 +120,52 @@ object TextKernels {
       b += 1
     }
     sim
+  }
+
+  /** 60-bit md5-prefix hash of a UTF8String (the cross-engine token
+    * hash: `('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB).
+    */
+  private def md5Prefix60(md: java.security.MessageDigest,
+      s: UTF8String): Long = {
+    val d = md.digest(s.getBytes)
+    var first8 = 0L
+    var j = 0
+    while (j < 8) { first8 = (first8 << 8) | (d(j) & 0xffL); j += 1 }
+    first8 >>> 4
+  }
+
+  /** Winnowed fingerprints: min k-gram hash of every full `w`-gram
+    * window (rolling monotonic-deque min, O(grams)), deduped and sorted.
+    * Docs with fewer than `w` grams yield none. See [[Winnow]].
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = tokenize(s)
+    val nGrams = toks.length - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = md5Prefix60(md, UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(toks, i, i + k): _*))
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]() // indices, increasing hash
+    i = 0
+    while (i < nGrams) {
+      while (!deque.isEmpty && hashes(deque.peekLast) >= hashes(i))
+        deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - w) deque.pollFirst()
+      if (i >= w - 1) out.add(hashes(deque.peekFirst))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
   }
 
   /** All k-grams in order, duplicates KEPT (term-frequency consumers). */
@@ -164,6 +204,34 @@ case class Simhash(child: Expression, bits: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextKernels.simhash($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `winnow(text)` → array<long>: winnowed document fingerprints
+  * (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+  * Document Fingerprinting", SIGMOD 2003): hash every k-gram (60-bit
+  * md5 prefix — the cross-engine token hash), slide a w-window over the
+  * hash sequence keeping each window's minimum via a rolling
+  * monotonic-deque (O(1) amortized per gram), dedup + sort. Winnowing
+  * guarantees any shared substring of ≥ w+k-1 tokens contributes a
+  * shared fingerprint, with ~2/(w+1) density — the rolling-hash
+  * fingerprint family, distinct from the whole-document md5 of
+  * `text_fingerprint`.
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with TextKernelExpression {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  override def prettyName: String = "winnow"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.winnow($a, $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

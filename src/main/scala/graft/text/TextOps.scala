@@ -181,6 +181,43 @@ object TextOps {
         AS term FROM documents)
     GROUP BY term ORDER BY freq DESC, term LIMIT 30"""))
 
+  // --------------------------------------------------------- text_winnow
+  /** Winnowed rolling-hash fingerprints (k=3-gram hashes, window w=4):
+    * any two documents sharing ≥ w+k-1 = 6 consecutive tokens share a
+    * fingerprint, at ~2/(w+1) storage density — the local-fingerprint
+    * complement to `text_fingerprint`'s whole-document hash. Map-only
+    * kernel per doc; the oracle mirrors the window-min over the same
+    * 60-bit md5-prefix gram hashes.
+    */
+  private val winnowed = Q(
+    "text_winnow",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graft.Shim.column(
+            graft.functions.Winnow(
+              org.apache.spark.sql.graft.Shim.expression(col("text")),
+              3, 4))).as("fp"))
+        .orderBy("doc_id", "fp"),
+    Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    g0 AS (
+      SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i
+      FROM d),
+    g AS (
+      SELECT doc_id, i,
+        ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' ||
+          w[i+3]), 1, 15))::BIGINT AS h
+      FROM g0),
+    m AS (
+      SELECT doc_id, i,
+        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM g)
+    SELECT DISTINCT doc_id, fp FROM m WHERE i >= 3
+    ORDER BY doc_id, fp"""))
+
   // ----------------------------------------------------- text_repetition
   /** Gopher-style repetition signals (Rae et al., "Scaling Language
     * Models", §A1.1 repetition filters): vocabulary richness (distinct /
@@ -268,6 +305,6 @@ object TextOps {
       md5(chunk) AS chunk_md5
     FROM c ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[Q] = Seq(stats, langid, fingerprint, topTokens, repetition,
-    chunk)
+  val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
+    repetition, chunk)
 }

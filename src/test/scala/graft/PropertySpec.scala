@@ -68,6 +68,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("winnow rolling-deque min == naive window-min reference") {
+    check(forAll(text, Gen.choose(1, 3), Gen.choose(1, 5)) { (s, k, w) =>
+      val got = TextKernels.winnow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+        .toLongArray().toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(g: String): Long = {
+        val d = md.digest(g.getBytes("UTF-8"))
+        ((0 until 8).foldLeft(0L)((a, j) => (a << 8) | (d(j) & 0xffL))
+          >>> 4)
+      }
+      val toks = refTokens(s)
+      val grams = if (toks.length < k) Seq.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val want = if (grams.length < w) Seq.empty
+        else grams.map(h60).sliding(w).map(_.min).toSeq.distinct.sorted
+      got == want
+    })
+  }
+
   /** In-memory reference asof: brute force over all (direction, tol). */
   private def refAsof(left: Seq[(Long, Long, Long)],
       right: Seq[(Long, Long, Long)], dir: AsofDirection,
