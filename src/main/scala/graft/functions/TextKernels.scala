@@ -136,12 +136,14 @@ object TextKernels {
 
   /** Winnowed fingerprints: min k-gram hash of every full `w`-gram
     * window (rolling monotonic-deque min, O(grams)), deduped and sorted.
-    * Docs with fewer than `w` grams yield none. See [[Winnow]].
+    * A doc with fewer than `w` grams is one short window: it emits the
+    * global min (every non-empty doc gets ≥1 fingerprint — the paper's
+    * short-document rule). See [[Winnow]].
     */
   def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
     val toks = tokenize(s)
     val nGrams = toks.length - k + 1
-    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
     val hashes = new Array[Long](nGrams)
     var i = 0
@@ -150,6 +152,8 @@ object TextKernels {
         java.util.Arrays.copyOfRange(toks, i, i + k): _*))
       i += 1
     }
+    if (nGrams < w)
+      return new GenericArrayData(Array[Any](hashes.min))
     val out = new java.util.TreeSet[java.lang.Long]()
     val deque = new java.util.ArrayDeque[Int]() // indices, increasing hash
     i = 0

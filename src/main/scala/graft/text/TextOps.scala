@@ -213,9 +213,10 @@ object TextOps {
     m AS (
       SELECT doc_id, i,
         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+        COUNT(*) OVER (PARTITION BY doc_id) AS ng
       FROM g)
-    SELECT DISTINCT doc_id, fp FROM m WHERE i >= 3
+    SELECT DISTINCT doc_id, fp FROM m WHERE i >= least(3, ng - 1)
     ORDER BY doc_id, fp"""))
 
   // ----------------------------------------------------- text_repetition
