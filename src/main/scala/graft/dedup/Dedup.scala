@@ -136,18 +136,7 @@ object Dedup {
         .filter(col("jaccard") >= tau)
         .select("a_id", "b_id", "jaccard")
     case Some(cap) =>
-      val sets = shingleTable
-        .select(col("doc_id"), col("sh"), col("nsh"))
-      jaccardCandidates(shingleTable, cap)
-        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha"),
-          col("nsh").as("na")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb"),
-          col("nsh").as("nb")), "b_id")
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= tau)
-        .select("a_id", "b_id", "jaccard")
+      verifyJaccard(jaccardCandidates(shingleTable, cap), shingleTable, tau)
   }
 
   /** Distinct candidate pairs (a_id < b_id) sharing ≥1 shingle with
@@ -171,6 +160,26 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .distinct()
   }
+
+  /** Exact-jaccard verification of candidate (a_id, b_id) pairs against
+    * the full shingle sets — the shared verify tail of every candidate
+    * strategy (capped inverted index, minhash LSH, winnow). Returns RAW
+    * jaccard ≥ tau; callers round for output. `nsh ≥ 1` is guaranteed by
+    * candidates only pairing docs that produced index entries, so the
+    * denominator `na + nb - inter ≥ max(na, nb) > 0`.
+    */
+  private def verifyJaccard(cand: DataFrame, shingleTable: DataFrame,
+      tau: Double): DataFrame =
+    cand
+      .join(shingleTable.select(col("doc_id").as("a_id"),
+        col("sh").as("sha"), col("nsh").as("na")), "a_id")
+      .join(shingleTable.select(col("doc_id").as("b_id"),
+        col("sh").as("shb"), col("nsh").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
 
   // --------------------------------------------------- dedup_ngram_jaccard
   private val ngramJaccard = Q(
@@ -201,8 +210,11 @@ object Dedup {
     (s, dir) => {
       val ds = docShingles(s, dir)
       // checkpoint: the band table feeds BOTH sides of the self-join —
-      // with live lineage each side recomputes the 64-perm kernel
-      val sigs = ds.select(col("doc_id"),
+      // with live lineage each side recomputes the 64-perm kernel.
+      // nsh > 0: a doc with NO shingles must emit no signature (the old
+      // explode-based shape dropped it naturally; an all-MaxValue
+      // signature would make every short-doc pair a candidate)
+      val sigs = ds.filter(col("nsh") > 0).select(col("doc_id"),
           org.apache.spark.sql.graft.Shim.column(
             graft.functions.MinhashBands(
               org.apache.spark.sql.graft.Shim.expression(col("sh")),
@@ -215,18 +227,8 @@ object Dedup {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val withSets = cand
-        .join(ds.select(col("doc_id").as("a_id"), col("sh").as("sha"),
-          col("nsh").as("na")), "a_id")
-        .join(ds.select(col("doc_id").as("b_id"), col("sh").as("shb"),
-          col("nsh").as("nb")), "b_id")
-      withSets
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")) >= TAU)
-        .select("a_id", "b_id", "jaccard")
+      verifyJaccard(cand, ds, TAU)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")
     },
     Some(sqlExactJaccardPairs))
@@ -243,7 +245,8 @@ object Dedup {
     * shingle postings. τ=0.6 near-dups here are near-copies whose shortest shared run here is 11 tokens, and the oracle is the exact ground-truth pair
     * set, so the green row PROVES full recall at these parameters.
     */
-  private val WINDOW = 9     // winnow window: detect runs >= 3+9-1 = 11
+  private val WINDOW = 9          // detect runs >= 3+9-1 = 11 tokens
+  private val MIN_SHARED_FPS = 2L // precision dial (see honesty note)
 
   private val winnowDedup = Q(
     "dedup_winnow",
@@ -260,12 +263,16 @@ object Dedup {
               K, WINDOW))).as("fp"))
         .localCheckpoint()
       // MOSS ranks matches by shared-fingerprint COUNT; requiring
-      // min(2, |fps_a|, |fps_b|) here drops the long tail of long-doc
-      // pairs sharing a single ~11-token phrase (150k pairs on this
-      // shared-vocabulary corpus) before the expensive set-intersection
-      // verify, while a short doc that only OWNS one fingerprint still
-      // matches on it. Near-copies at τ=0.6 share most of their windows,
-      // so the ground-truth oracle stays green.
+      // min(MIN_SHARED_FPS, |fps_a|, |fps_b|) drops the long tail of
+      // long-doc pairs sharing a single ~11-token phrase (150k pairs on
+      // this shared-vocabulary corpus) before the expensive
+      // set-intersection verify, while a short doc that only OWNS one
+      // fingerprint still matches on it. HONESTY NOTE: the run guarantee
+      // only promises ONE shared fingerprint per ≥t-token run
+      // (overlapping windows can all share a single min), so any
+      // threshold above 1 is MOSS's precision dial, not implied by the
+      // guarantee — the exact-pair oracle proves it loses nothing on
+      // this corpus; set MIN_SHARED_FPS = 1 for the pure guarantee.
       val nfp = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
       val cand = fps.as("x").join(fps.as("y"),
           col("x.fp") === col("y.fp")
@@ -276,19 +283,11 @@ object Dedup {
           col("nfp").as("nfa"))), "a_id")
         .join(broadcast(nfp.select(col("doc_id").as("b_id"),
           col("nfp").as("nfb"))), "b_id")
-        .filter(col("shared_fps") >= least(lit(2L), col("nfa"), col("nfb")))
+        .filter(col("shared_fps") >=
+          least(lit(MIN_SHARED_FPS), col("nfa"), col("nfb")))
         .select("a_id", "b_id")
-      cand
-        .join(ds.select(col("doc_id").as("a_id"), col("sh").as("sha"),
-          col("nsh").as("na")), "a_id")
-        .join(ds.select(col("doc_id").as("b_id"), col("sh").as("shb"),
-          col("nsh").as("nb")), "b_id")
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")) >= TAU)
-        .select("a_id", "b_id", "jaccard")
+      verifyJaccard(cand, ds, TAU)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")
     },
     Some(sqlExactJaccardPairs))

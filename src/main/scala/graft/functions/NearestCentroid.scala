@@ -58,8 +58,11 @@ case class NearestCentroid(left: Expression, right: Expression)
     }
     var best = -2.0
     var bestId = Long.MaxValue
+    var nanChosen = false
     var j = 0
     val k = cents.numElements()
+    if (k == 0) throw new IllegalArgumentException(
+      s"$prettyName: empty codebook")
     while (j < k) {
       val st = cents.getStruct(j, 2)
       val cv = st.getArray(1)
@@ -75,7 +78,15 @@ case class NearestCentroid(left: Expression, right: Expression)
         i += 1
       }
       val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (cos > best) { best = cos; bestId = st.getLong(0) }
+      // a zero-norm side makes cos NaN; both engines' DESC orderings
+      // rank NaN first, so the lowest-cent_id NaN entry must win —
+      // plain `cos > best` would silently skip it
+      if (cos.isNaN) {
+        if (!nanChosen) { bestId = st.getLong(0); nanChosen = true }
+      } else if (!nanChosen && cos > best) {
+        best = cos
+        bestId = st.getLong(0)
+      }
       j += 1
     }
     bestId
@@ -97,6 +108,7 @@ case class NearestCentroid(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val c = ctx.freshName("c")
       val cos = ctx.freshName("cos")
+      val nanChosen = ctx.freshName("nanChosen")
       s"""
         int $dim = $a.numElements();
         double[] $vv = new double[$dim];
@@ -107,7 +119,11 @@ case class NearestCentroid(left: Expression, right: Expression)
         }
         double $best = -2.0;
         long $bestId = Long.MAX_VALUE;
+        boolean $nanChosen = false;
         int $k = $b.numElements();
+        if ($k == 0) {
+          throw new IllegalArgumentException("$prettyName: empty codebook");
+        }
         for (int $j = 0; $j < $k; $j++) {
           org.apache.spark.sql.catalyst.InternalRow $st =
             $b.getStruct($j, 2);
@@ -126,7 +142,14 @@ case class NearestCentroid(left: Expression, right: Expression)
           }
           double $cos = $dot /
             (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-          if ($cos > $best) { $best = $cos; $bestId = $st.getLong(0); }
+          // NaN (zero-norm side) ranks FIRST in both engines' DESC
+          // orderings: first NaN entry wins, mirroring the window form
+          if (Double.isNaN($cos)) {
+            if (!$nanChosen) { $bestId = $st.getLong(0); $nanChosen = true; }
+          } else if (!$nanChosen && $cos > $best) {
+            $best = $cos;
+            $bestId = $st.getLong(0);
+          }
         }
         ${ev.value} = $bestId;
       """

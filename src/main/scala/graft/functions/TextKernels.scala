@@ -27,6 +27,12 @@ object TextKernels {
 
   private val SPACE = UTF8String.fromString(" ")
 
+  // MessageDigest.getInstance is a synchronized JCA provider lookup —
+  // per-row calls in the simhash/winnow kernels would put it on the
+  // hottest map-side path; digest(input) resets the instance after use
+  private val MD5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** Maximal non-space byte runs, in order, empties dropped. */
   def tokenize(s: UTF8String): Array[UTF8String] = {
     val b = s.getBytes
@@ -101,7 +107,7 @@ object TextKernels {
       i += 1
     }
     val votes = new Array[Long](bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MD5.get()
     val it = tf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -144,7 +150,7 @@ object TextKernels {
     val toks = tokenize(s)
     val nGrams = toks.length - k + 1
     if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MD5.get()
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {

@@ -33,9 +33,14 @@ object CustomJoins {
     require(direction != AsofDirection.Nearest,
       "nearest needs two window passes here — use asofJoinNative")
     val l = left.withColumn("_is_right", lit(0))
+    // the matched right row travels as ONE struct: carrying payload
+    // columns individually with last(ignoreNulls) would let a NULL
+    // payload field fall through to an OLDER right row than the carried
+    // _r_time — the struct is non-null per right row, so time and
+    // payload stay atomic
     val r = right.select(
-      Seq(col(key), col(time), lit(1).as("_is_right"),
-        col(time).as("_r_time")) ++ payload.map(col): _*)
+      col(key), col(time), lit(1).as("_is_right"),
+      struct(col(time).as("_r_time") +: payload.map(col): _*).as("_r"))
     val unioned = l.drop(payload: _*)
       .unionByName(r, allowMissingColumns = true)
     // forward = the same carry trick traversed in reverse time order;
@@ -45,18 +50,19 @@ object CustomJoins {
     val w = Window.partitionBy(col(key))
       .orderBy(ord, col("_is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (payload :+ "_r_time").foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }.filter(col("_is_right") === 0).drop("_is_right")
-    val bounded = toleranceMs.fold(carried) { tol =>
+    val carried = unioned
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_is_right") === 0).drop("_is_right")
+    val inTol = toleranceMs.fold(lit(true)) { tol =>
       val dist =
-        if (direction == AsofDirection.Forward) col("_r_time") - col(time)
-        else col(time) - col("_r_time")
-      payload.foldLeft(carried) { (df, p) =>
-        df.withColumn(p, when(dist <= tol, col(p)))
-      }
+        if (direction == AsofDirection.Forward)
+          col("_r._r_time") - col(time)
+        else col(time) - col("_r._r_time")
+      dist <= tol
     }
-    bounded.drop("_r_time")
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, when(inTol, col(s"_r.$p")))
+    }.drop("_r")
   }
 
   /** Shared fixture for every asof query: click events joined against

@@ -147,6 +147,23 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("tolerance with nullable payloads: no leak-through to older rows") {
+    val left = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val right = Seq((10L, 80L, Some(6L)), (10L, 90L, None: Option[Long]))
+      .toDF("k", "t", "pay")
+    // tol 15: the match is t=90 (pay=null, in tolerance); t=80's pay=6
+    // is OUT of tolerance and must not fall through the null payload
+    for (form <- Seq("composed", "native")) {
+      val row = (if (form == "composed")
+        CustomJoins.asofJoin(left, right, "k", "t", Seq("pay"),
+          AsofDirection.Backward, Some(15L))
+      else
+        AsofJoin.asofJoinNative(left, right, "k", "t", Seq("pay"),
+          AsofDirection.Backward, Some(15L))).collect()(0)
+      assert(row.isNullAt(3), s"$form leaked an out-of-tolerance payload")
+    }
+  }
+
   test("rejects non-Long key/time and missing columns") {
     val l = Seq((1, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {

@@ -23,8 +23,6 @@ class KernelSpec extends SparkSpec {
     "tab\tis not a separator",
     "trailing space ")
 
-  private def kernelCol(c: org.apache.spark.sql.Column) = c
-
   test("Tokens kernel == filter(split) composition") {
     val df = nasty.toDF("text")
     val kernel = df.select(Shim.column(Tokens(Shim.expression(col("text"))))
@@ -80,6 +78,19 @@ class KernelSpec extends SparkSpec {
       .filter(col("kt") =!= col("ct") || col("ks") =!= col("cs"))
       .count()
     assert(mismatches == 0)
+  }
+
+  test("NearestCentroid: zero-norm vector picks the first centroid " +
+      "(NaN ranks first, like both engines' DESC orderings)") {
+    import spark.implicits._
+    val e = Seq((100L, Seq(0.0, 0.0)), (101L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val cents = Seq((5L, Seq(0.0, 1.0)), (7L, Seq(1.0, 0.0)))
+      .toDF("cent_id", "cv")
+    val got = sim.Knn.assign(e, cents).select("vec_id", "cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(100L) == 5L, "all-NaN cosines → lowest cent_id")
+    assert(got(101L) == 7L, "regular argmax unaffected")
   }
 
   test("NearestCentroid kernel == window argmax over the codebook") {
