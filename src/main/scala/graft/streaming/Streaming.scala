@@ -94,6 +94,61 @@ object Streaming {
         "click_value")
   }
 
+  /** Streaming MinHash near-dup suppression via `foreachBatch` + a
+    * persisted bucket-state table — the production shape for dedup
+    * against all history: per micro-batch, compute each doc's banded
+    * MinHash signature (the map-only [[graft.functions.MinhashBands]]
+    * kernel — stateless, zero exchange), flag docs sharing ANY band
+    * bucket with the state table OR an earlier doc of the same batch,
+    * then append the batch's buckets to state. State is a plain parquet
+    * directory: partition-local joins, restart-safe, unbounded history
+    * without executor-memory state (the same recipe works against a
+    * Delta table with MERGE at cluster scale).
+    *
+    * Batch-equivalence contract (asserted in StreamingSpec): feeding the
+    * corpus in doc_id order yields exactly the batch rule "doc b is a
+    * near-dup candidate iff some a < b shares a band bucket".
+    *
+    * @param out    receives (doc_id, is_neardup) per micro-batch
+    */
+  def minhashDedupSink(stateDir: String, perms: Int, bands: Int)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val buckets = batch
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graft.Shim.column(
+            graft.functions.MinhashBands(
+              org.apache.spark.sql.graft.Shim.expression(
+                graft.dedup.Dedup.shingles(col("text"), 3)),
+              perms, bands))).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bh"))
+        .localCheckpoint()
+      val state = try {
+        spark.read.parquet(stateDir)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            buckets.schema)
+      }
+      // seen before: in state, or claimed by a lower doc_id this batch
+      val vsState = buckets.join(state,
+        Seq("band", "bh"), "left_semi").select("doc_id")
+      val vsBatch = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"))
+      val dups = vsState.union(vsBatch).distinct()
+      out(batch.select("doc_id")
+        .join(dups.withColumn("is_neardup", lit(true)), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("is_neardup"), lit(false)).as("is_neardup")))
+      buckets.select("band", "bh").distinct()
+        .write.mode("append").parquet(stateDir)
+  }
+
   /** Streaming backward as-of enrichment — the online mirror of the
     * native [[graft.plans.AsofJoinExec]]: every click picks up the
     * latest prior-or-equal purchase of the same user. Per-user state is

@@ -262,6 +262,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch minhash dedup equals the batch earlier-bucket rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nds").toString
+    val flags = scala.collection.mutable.Map[Long, Boolean]()
+    val sink = Streaming.minhashDedupSink(s"$tmp/state", 64, 16) { out =>
+      out.collect().foreach(r => flags(r.getLong(0)) = r.getBoolean(1))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      val n = docs.length
+      Seq(docs.slice(0, n / 3), docs.slice(n / 3, 2 * n / 3),
+        docs.slice(2 * n / 3, n)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch rule: doc b is a near-dup candidate iff some a < b shares a
+    // band bucket (computed from the same kernel signature table)
+    val buckets = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.Shim.column(
+          graft.functions.MinhashBands(
+            org.apache.spark.sql.graft.Shim.expression(
+              graft.dedup.Dedup.shingles(col("text"), 3)), 64, 16)))
+        .as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+      .localCheckpoint()
+    val expectedDups = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flags.size == docs.length)
+    assert(flags.filter(_._2).keySet == expectedDups)
+  }
+
   test("sessionizer widens, never rewinds, on out-of-order events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
