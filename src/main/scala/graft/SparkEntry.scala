@@ -26,7 +26,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.CustomJoins.all ++
       operators.Sketches.all ++ text.TextOps.all ++ text.Sampling.all ++
       text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++
-      multimodal.Multimodal.all
+      sim.Quantize.all ++ multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
