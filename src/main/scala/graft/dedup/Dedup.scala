@@ -205,23 +205,35 @@ object Dedup {
     * exact jaccard verifies candidates. The oracle is the ground-truth
     * pair set — passing proves full recall at this τ.
     */
+  /** (doc_id, band, bh) banded MinHash bucket keys for a corpus with a
+    * `text` column — THE shared signature pipeline of the batch query,
+    * the streaming `minhashDedupSink`, and their specs, so the
+    * empty-shingle guard and parameters cannot drift apart. Docs with
+    * NO shingles emit no buckets (an all-MaxValue signature would pair
+    * every short doc with every other).
+    */
+  def bandBuckets(docs: DataFrame, perms: Int = PERMS,
+      bands: Int = BANDS): DataFrame = {
+    val sh = shingles(col("text"), K)
+    docs
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
+        graft.functions.MinhashBands(
+          org.apache.spark.sql.graft.Shim.expression(col("sh")),
+          perms, bands)).as("b"))
+      .select(col("doc_id"), explode(col("b")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+  }
+
   private val minhashLsh = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
       val ds = docShingles(s, dir)
       // checkpoint: the band table feeds BOTH sides of the self-join —
-      // with live lineage each side recomputes the 64-perm kernel.
-      // nsh > 0: a doc with NO shingles must emit no signature (the old
-      // explode-based shape dropped it naturally; an all-MaxValue
-      // signature would make every short-doc pair a candidate)
-      val sigs = ds.filter(col("nsh") > 0).select(col("doc_id"),
-          org.apache.spark.sql.graft.Shim.column(
-            graft.functions.MinhashBands(
-              org.apache.spark.sql.graft.Shim.expression(col("sh")),
-              PERMS, BANDS)).as("bs"))
+      // with live lineage each side recomputes the 64-perm kernel
+      val buckets = bandBuckets(Tables(s, dir, "documents"))
         .localCheckpoint()
-      val buckets = sigs.select(col("doc_id"), explode(col("bs")).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bh"))
       val cand = buckets.as("x").join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
             && col("x.doc_id") < col("y.doc_id"))

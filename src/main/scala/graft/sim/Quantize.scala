@@ -20,21 +20,31 @@ import graft.{Q, Tables}
   */
 object Quantize {
 
-  /** (codes: array<long>, scale: double) columns for a vector column. */
-  def int8Codes(v: Column): (Column, Column) = {
-    val scale = array_max(transform(v, x => abs(x))) / 127.0
-    val codes = transform(v, x =>
-      when(scale === 0.0, lit(0L)).otherwise(round(x / scale).cast("long")))
-    (codes, scale)
-  }
+  /** int8 codes for a vector column given its precomputed scale. The
+    * scale must be a MATERIALIZED attribute, not the max-abs expression:
+    * CollapseProject would inline that expression into the per-element
+    * lambda and re-run the O(d) max once per element (O(d²)/row).
+    */
+  def int8Codes(v: Column, scaleAttr: Column): Column =
+    transform(v, x => when(scaleAttr === 0.0, lit(0L))
+      .otherwise(round(x / scaleAttr).cast("long")))
+
+  /** Per-vector scale = max|x| / 127. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / 127.0
 
   private val quantize = Q(
     "emb_quantize",
     (s, dir) => {
+      // checkpoint so scale_raw is a plain attribute inside the code
+      // lambdas (see int8Codes); the table is small and the HOFs here
+      // run O(d) per element on it — this is a storage/demo op, the hot
+      // kernels live in graft.functions
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val (codes, scale) = int8Codes(col("v"))
-      e.withColumn("codes", codes).withColumn("scale_raw", scale)
+        .withColumn("scale_raw", int8Scale(col("v")))
+        .localCheckpoint()
+      e.withColumn("codes", int8Codes(col("v"), col("scale_raw")))
         .select(
           col("vec_id"),
           round(col("scale_raw"), 6).as("scale"),

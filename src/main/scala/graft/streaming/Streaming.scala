@@ -115,38 +115,44 @@ object Streaming {
       out: DataFrame => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val buckets = batch
-        .select(col("doc_id"), explode(
-          org.apache.spark.sql.graft.Shim.column(
-            graft.functions.MinhashBands(
-              org.apache.spark.sql.graft.Shim.expression(
-                graft.dedup.Dedup.shingles(col("text"), 3)),
-              perms, bands))).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bh"))
+      val buckets = graft.dedup.Dedup.bandBuckets(batch, perms, bands)
         .localCheckpoint()
-      val state = try {
-        spark.read.parquet(stateDir)
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            buckets.schema)
-      }
-      // seen before: in state, or claimed by a lower doc_id this batch
-      val vsState = buckets.join(state,
-        Seq("band", "bh"), "left_semi").select("doc_id")
-      val vsBatch = buckets.as("x").join(buckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-            && col("x.doc_id") > col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"))
-      val dups = vsState.union(vsBatch).distinct()
-      out(batch.select("doc_id")
-        .join(dups.withColumn("is_neardup", lit(true)), Seq("doc_id"),
-          "left")
-        .select(col("doc_id"),
-          coalesce(col("is_neardup"), lit(false)).as("is_neardup")))
-      buckets.select("band", "bh").distinct()
-        .write.mode("append").parquet(stateDir)
+      try {
+        val path = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // replay-idempotent: state is partitioned by the writing batch's
+        // id and a replayed batch (failure between state write and
+        // checkpoint commit) only reads STRICTLY older batches, then
+        // dynamically overwrites its own partition — a real read error
+        // propagates instead of silently restarting with empty history
+        val state =
+          if (fs.exists(path))
+            spark.read.parquet(stateDir)
+              .filter(col("batch_id") < batchId)
+          else
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              buckets.schema.add("batch_id", "long"))
+        // seen before: in state, or claimed by a lower doc_id this batch
+        val vsState = buckets.join(state,
+          Seq("band", "bh"), "left_semi").select("doc_id")
+        val vsBatch = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+              && col("x.doc_id") > col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id"))
+        val dups = vsState.union(vsBatch).distinct()
+        out(batch.select("doc_id")
+          .join(dups.withColumn("is_neardup", lit(true)), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("is_neardup"), lit(false)).as("is_neardup")))
+        buckets.select("band", "bh").distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      } finally buckets.unpersist() // free this batch's checkpoint blocks
   }
 
   /** Streaming backward as-of enrichment — the online mirror of the

@@ -284,15 +284,9 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
     // batch rule: doc b is a near-dup candidate iff some a < b shares a
-    // band bucket (computed from the same kernel signature table)
-    val buckets = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.Shim.column(
-          graft.functions.MinhashBands(
-            org.apache.spark.sql.graft.Shim.expression(
-              graft.dedup.Dedup.shingles(col("text"), 3)), 64, 16)))
-        .as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    // band bucket (via the SAME shared signature helper the sink uses)
+    val buckets = dedup.Dedup
+      .bandBuckets(Tables(spark, sfDir, "documents"))
       .localCheckpoint()
     val expectedDups = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
@@ -301,6 +295,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(flags.size == docs.length)
     assert(flags.filter(_._2).keySet == expectedDups)
+  }
+
+  test("minhashDedupSink replays a micro-batch idempotently") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndsr").toString
+    var lastFlags = Map.empty[Long, Boolean]
+    val sink = Streaming.minhashDedupSink(s"$tmp/state", 64, 16) { out =>
+      lastFlags = out.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val docsDF = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(50).localCheckpoint()
+    sink(docsDF, 0L)
+    val first = lastFlags
+    assert(first.nonEmpty)
+    // simulate a failure AFTER the state write: the same batch id re-runs
+    // and must produce identical flags (its own buckets are not "history")
+    sink(docsDF, 1L) // a later batch writes too, then...
+    sink(docsDF, 1L) // ...is replayed
+    val replayed = lastFlags
+    sink(docsDF, 0L) // even the FIRST batch replaying sees no history
+    assert(lastFlags == first, "replayed batch 0 must match its first run")
+    // batch 1 sees batch 0's state: everything it re-sends is a dup
+    assert(replayed.values.forall(identity),
+      "batch 1 re-sending batch 0's docs must flag them all")
   }
 
   test("sessionizer widens, never rewinds, on out-of-order events") {
