@@ -25,7 +25,11 @@ object Bench {
       // noop sink materializes every output column (count() would let
       // Catalyst prune projections out of the measured plan).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // never silent: an erroring query would otherwise record a tiny
+        // time and LOOK fast (stderr only — stdout is the JSON contract)
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
