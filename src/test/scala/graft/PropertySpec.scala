@@ -91,6 +91,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("simhash kernel == independent weighted-vote reference") {
+    check(forAll(text) { s =>
+      val got = TextKernels.simhash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(tok: String): Long = {
+        // reference path: hex-string parse, NOT the byte arithmetic
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      val votes = new Array[Long](60)
+      refTokens(s).groupBy(identity).foreach { case (tok, occ) =>
+        val h = h60(tok)
+        for (b <- 0 until 60)
+          votes(b) += (if (((h >> b) & 1L) == 1L) occ.size else -occ.size)
+      }
+      val want = (0 until 60).map(b =>
+        if (votes(b) > 0) 1L << b else 0L).sum
+      got == want
+    })
+  }
+
   /** In-memory reference asof: brute force over all (direction, tol). */
   private def refAsof(left: Seq[(Long, Long, Long)],
       right: Seq[(Long, Long, Long)], dir: AsofDirection,
