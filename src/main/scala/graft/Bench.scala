@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Timed iterations per query; the reported number is their MEDIAN
+    * (machine-load spikes corrupt any single-shot measurement — BENCH_r02
+    * recorded 93.9 s where a controlled rerun of the same build totals
+    * 58 s). The min is reported alongside as the load-free floor.
+    */
+  private val REPS = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -13,29 +20,34 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed session warm-up: first-action costs (parquet reader +
     // whole-stage-codegen framework + shuffle machinery init, ~4-5 s)
-    // otherwise land entirely on whichever query Map order puts first
-    // (pipeline_prepare today), corrupting its number.
+    // otherwise land entirely on whichever query Map order puts first,
+    // corrupting its number.
     import org.apache.spark.sql.functions.col
     spark.range(1000).repartition(4).groupBy(col("id") % 7).count()
       .write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column (count() would let
-      // Catalyst prune projections out of the measured plan).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        // never silent: an erroring query would otherwise record a tiny
-        // time and LOOK fast (stderr only — stdout is the JSON contract)
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to REPS).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column (count() would let
+        // Catalyst prune projections out of the measured plan).
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          // never silent: an erroring query would otherwise record a tiny
+          // time and LOOK fast (stderr only — stdout is the JSON contract)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> (times(REPS / 2), times.head) // (median, min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val totalMin = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$REPS,"total_min":$totalMin,"queries":${obj(_._1)},"queries_min":${obj(_._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,26 +117,81 @@ object Dedup {
     * near-dup τ is not after). Capped candidates come straight out of the
     * per-shingle postings list (≤ cap²/2 pairs each, bounded memory), no
     * self-join.
+    *
+    * The cap is ON by default ([[DEFAULT_DF_CAP]] = 1000): pointing the
+    * uncapped form at web data is the one plan in this suite that
+    * detonates (a boilerplate shingle in 10⁵ docs contributes 10¹⁰ join
+    * rows), so unbounded is the explicit opt-out (`dfCap = None`), not
+    * the default. 1000 is far above the max df at every test SF (25 at
+    * sf0.1 — the ground-truth oracle proves recall is untouched) and far
+    * below where df² hurts.
+    *
+    * The capped plan stays count-based (no per-pair array materialization
+    * unless forced): the self-join runs over kept shingles only
+    * (2 ≤ df ≤ cap — df=1 shingles pair nothing, dropping them is free
+    * and exact), yielding each pair's EXACT intersection count over kept
+    * shingles. With `V` = number of distinct dropped (viral) shingles —
+    * one in-plan scalar — the true jaccard is bracketed by
+    * `[j(inter_kept), j(min(inter_kept+V, min(na,nb)))]`; pairs whose
+    * bracket tops out below τ are rejected exactly, and only pairs whose
+    * bracket reaches τ go through the full-array verify. When nothing is
+    * dropped (V=0, every test SF) the bracket is tight and the verify
+    * stage receives ZERO rows — the capped plan costs one extra thin df
+    * aggregate over the uncapped one; at web scale the verify volume is
+    * proportional to near-dup mass, not to Σdf².
     */
+  val DEFAULT_DF_CAP = 1000
+
   def jaccardPairs(shingleTable: DataFrame, tau: Double,
-      dfCap: Option[Int] = None): DataFrame = dfCap match {
-    case None =>
-      val ex = shingleTable
-        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
-      val a = ex.select(col("doc_id").as("a_id"), col("nsh").as("na"),
-        col("sh"))
-      val b = ex.select(col("doc_id").as("b_id"), col("nsh").as("nb"),
-        col("sh"))
-      a.join(b, "sh")
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= tau)
-        .select("a_id", "b_id", "jaccard")
-    case Some(cap) =>
-      verifyJaccard(jaccardCandidates(shingleTable, cap), shingleTable, tau)
+      dfCap: Option[Int] = Some(DEFAULT_DF_CAP)): DataFrame = {
+    val ex = shingleTable
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
+    val kept = dfCap match {
+      case None => ex
+      case Some(cap) =>
+        require(cap >= 2,
+          s"dfCap must be >= 2 to ever pair documents, got $cap")
+        ex.join(ex.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, cap)).select("sh"), "sh")
+    }
+    val a = kept.select(col("doc_id").as("a_id"), col("nsh").as("na"),
+      col("sh"))
+    val b = kept.select(col("doc_id").as("b_id"), col("nsh").as("nb"),
+      col("sh"))
+    val counted = a.join(b, "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    dfCap match {
+      case None =>
+        counted
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= tau)
+          .select("a_id", "b_id", "jaccard")
+      case Some(cap) =>
+        // structurally identical to the df aggregate feeding `kept`, so
+        // the planner shares ONE exchange between them (ReusedExchange)
+        val nViral = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+          .agg(coalesce(sum(when(col("df") > cap, 1L).otherwise(0L)),
+            lit(0L)).as("n_viral"))
+        val bracketed = counted.crossJoin(broadcast(nViral))
+        val jLow = col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))
+        val interHigh = least(col("inter") + col("n_viral"),
+          least(col("na"), col("nb")))
+        val jHigh = interHigh.cast("double") /
+          (col("na") + col("nb") - interHigh)
+        // V=0 ⇒ the bracket is a point: emit exactly, verify nothing
+        val certain = bracketed
+          .filter(col("n_viral") === 0L && jLow >= tau)
+          .select(col("a_id"), col("b_id"), jLow.as("jaccard"))
+        val uncertain = bracketed
+          .filter(col("n_viral") > 0L && jHigh >= tau)
+          .select("a_id", "b_id")
+        certain.unionByName(
+          verifyJaccard(uncertain, shingleTable, tau))
+    }
   }
 
   /** Distinct candidate pairs (a_id < b_id) sharing ≥1 shingle with
@@ -213,10 +268,20 @@ object Dedup {
     * every short doc with every other).
     */
   def bandBuckets(docs: DataFrame, perms: Int = PERMS,
-      bands: Int = BANDS): DataFrame = {
-    val sh = shingles(col("text"), K)
-    docs
-      .select(col("doc_id"), sh.as("sh"))
+      bands: Int = BANDS): DataFrame =
+    bandBucketsFromShingles(
+      docs.select(col("doc_id"), shingles(col("text"), K).as("sh")),
+      perms, bands)
+
+  /** [[bandBuckets]] over a precomputed `(doc_id, sh)` shingle table —
+    * the batch query feeds its (checkpointed) verification shingle frame
+    * here so each document is shingled ONCE per run; the text-based entry
+    * point above remains for callers without one (streaming sink).
+    */
+  def bandBucketsFromShingles(shingleTable: DataFrame, perms: Int = PERMS,
+      bands: Int = BANDS): DataFrame =
+    shingleTable
+      .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
         graft.functions.MinhashBands(
@@ -224,15 +289,16 @@ object Dedup {
           perms, bands)).as("b"))
       .select(col("doc_id"), explode(col("b")).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-  }
 
   private val minhashLsh = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
       val ds = docShingles(s, dir)
-      // checkpoint: the band table feeds BOTH sides of the self-join —
-      // with live lineage each side recomputes the 64-perm kernel
-      val buckets = bandBuckets(Tables(s, dir, "documents"))
+      // signatures come from the SAME checkpointed shingle table the
+      // verify stage reads (one shingling pass per doc per run);
+      // checkpoint again: the band table feeds BOTH sides of the
+      // self-join — with live lineage each side recomputes the kernel
+      val buckets = bandBucketsFromShingles(ds)
         .localCheckpoint()
       val cand = buckets.as("x").join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
@@ -326,7 +392,12 @@ object Dedup {
   private val simhash = Q(
     "dedup_simhash",
     (s, dir) => {
+      // token-less docs are dropped BEFORE signing (mirroring the oracle,
+      // where such docs produce no tok rows and vanish at unnest) — the
+      // kernel would otherwise emit simhash=0 for every empty doc and the
+      // band join would pair them all at hamming 0
       val sims = Tables(s, dir, "documents")
+        .filter(size(TextOps.tokens(col("text"))) > 0)
         .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
           graft.functions.Simhash(
             org.apache.spark.sql.graft.Shim.expression(col("text")),

@@ -109,10 +109,30 @@ object Streaming {
     * corpus in doc_id order yields exactly the batch rule "doc b is a
     * near-dup candidate iff some a < b shares a band bucket".
     *
+    * State growth is bounded two ways (both preserve the contract,
+    * asserted across a compaction boundary in StreamingSpec):
+    *  - every `compactEvery` batches, all partitions STRICTLY older than
+    *    the previous batch are folded (distinct band/bh) into the
+    *    previous batch's partition and their directories deleted, so the
+    *    per-batch read scans O(compactEvery) partitions instead of one
+    *    per batch ever run. Replay-safe by construction: a replayed
+    *    batch B still reads `batch_id < B`, which contains the compacted
+    *    partition (id B-1 < B); a crash between the compacted write and
+    *    the old-partition delete only leaves duplicate bucket rows,
+    *    harmless under the semi-join.
+    *  - `retentionBatches = Some(n)` additionally forgets buckets whose
+    *    partition is older than n batches (docs older than the horizon
+    *    stop suppressing new near-dups — the standard TTL trade).
+    *    Compaction coarsens the clock: folded rows adopt the compacted
+    *    partition's id, so retention is an at-LEAST bound with
+    *    granularity `compactEvery`.
+    *
     * @param out    receives (doc_id, is_neardup) per micro-batch
     */
-  def minhashDedupSink(stateDir: String, perms: Int, bands: Int)(
+  def minhashDedupSink(stateDir: String, perms: Int, bands: Int,
+      compactEvery: Int = 16, retentionBatches: Option[Long] = None)(
       out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val buckets = graft.dedup.Dedup.bandBuckets(batch, perms, bands)
@@ -120,19 +140,27 @@ object Streaming {
       try {
         val path = new org.apache.hadoop.fs.Path(stateDir)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stateSchema = buckets.schema.add("batch_id", "long")
+        // explicit schema: a state dir holding only _SUCCESS (an earlier
+        // batch produced zero shingles) must load as zero rows, not fail
+        // schema inference — while a real read error still propagates
+        def readState(): DataFrame =
+          spark.read.schema(stateSchema).parquet(stateDir)
         // replay-idempotent: state is partitioned by the writing batch's
         // id and a replayed batch (failure between state write and
         // checkpoint commit) only reads STRICTLY older batches, then
         // dynamically overwrites its own partition — a real read error
         // propagates instead of silently restarting with empty history
+        val horizon = retentionBatches.fold(Long.MinValue)(n => batchId - n)
         val state =
           if (fs.exists(path))
-            spark.read.parquet(stateDir)
-              .filter(col("batch_id") < batchId)
+            readState()
+              .filter(col("batch_id") < batchId &&
+                col("batch_id") >= horizon)
           else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              buckets.schema.add("batch_id", "long"))
+              stateSchema)
         // seen before: in state, or claimed by a lower doc_id this batch
         val vsState = buckets.join(state,
           Seq("band", "bh"), "left_semi").select("doc_id")
@@ -152,6 +180,40 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(stateDir)
+        // fold history into the PREVIOUS batch's partition (never this
+        // one: a replay of batch `batchId` reads strictly older ids, so
+        // the compacted rows must stay visible to it)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val target = batchId - 1
+          val old = readState().filter(col("batch_id") < target &&
+            col("batch_id") >= horizon)
+          val oldIds = old.select("batch_id").distinct()
+            .collect().map(_.getLong(0)) // ≤ compactEvery ids, driver-tiny
+          if (oldIds.nonEmpty) {
+            // materialize BEFORE writing: the fold reads the very
+            // partitions the dynamic overwrite rewrites — checkpointing
+            // breaks the read-while-overwrite cycle
+            val folded = old.select("band", "bh")
+              .union(readState().filter(col("batch_id") === target)
+                .select("band", "bh"))
+              .distinct()
+              .localCheckpoint()
+            try {
+              folded
+                .withColumn("batch_id", lit(target))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(stateDir)
+            } finally folded.unpersist()
+            // delete AFTER the fold is durable; a crash in between only
+            // leaves duplicates the semi-join ignores
+            oldIds.foreach { id =>
+              fs.delete(new org.apache.hadoop.fs.Path(path,
+                s"batch_id=$id"), true)
+            }
+          }
+        }
       } finally buckets.unpersist() // free this batch's checkpoint blocks
   }
 

@@ -48,8 +48,14 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val uncapped = pairs(None)
     assert(uncapped == exactJaccard, "fixture matches the gated query")
+    assert(pairs(Some(dedup.Dedup.DEFAULT_DF_CAP)) == uncapped,
+      "the shipped default cap loses nothing vs the uncapped plan")
     assert(pairs(Some(50)) == uncapped,
       "cap=50 keeps every TAU pair on this corpus (recall unchanged)")
+    // a cap BELOW the max df forces the viral-bracket verify branch
+    // (n_viral > 0): the full-array verify must recover the exact pairs
+    assert(pairs(Some(5)) == uncapped,
+      "tight cap: bracket + verify still yields the exact TAU pairs")
     // candidate mass shrinks monotonically as the cap tightens
     val candLoose = dedup.Dedup.jaccardCandidates(shingleTable, 50).count()
     val candTight = dedup.Dedup.jaccardCandidates(shingleTable, 5).count()
@@ -62,5 +68,23 @@ class DedupSpec extends SparkSpec {
   test("exact dedup marks nothing in a duplicate-free corpus") {
     val d = SparkEntry.queries("dedup_exact")(spark, sfDir)
     assert(d.filter("is_dup").count() == 0)
+  }
+
+  test("simhash drops token-less docs instead of pairing them at zero") {
+    import org.apache.spark.sql.functions._
+    // the oracle's unnest produces no tok rows for empty docs, so they
+    // vanish there; the Spark side must drop them too, not sign them 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simhash").toString
+    spark.createDataFrame(Seq(
+        (1L, ""), (2L, "   "),
+        (3L, "the exact same sentence of text"),
+        (4L, "the exact same sentence of text")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("dedup_simhash")(spark, tmp)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 4L)),
+      "only the identical non-empty docs may pair; empty docs never")
   }
 }

@@ -66,7 +66,9 @@ class PlanSpec extends SparkSpec {
   private val intendedNestedLoop = Set(
     "knn_bruteforce",   // broadcast query set vs corpus (no equi key exists)
     "knn_ivf",          // broadcast 16-centroid codebook
-    "q18_corr_scalar")  // broadcast 1-row aggregate threshold
+    "q18_corr_scalar",  // broadcast 1-row aggregate threshold
+    "dedup_ngram_jaccard", // broadcast 1-row viral-shingle count (dfCap)
+    "pipeline_prepare")    // same, via the shared jaccardPairs
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {

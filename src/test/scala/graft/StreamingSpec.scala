@@ -322,6 +322,62 @@ class StreamingSpec extends SparkSpec {
       "batch 1 re-sending batch 0's docs must flag them all")
   }
 
+  test("minhashDedupSink compaction preserves flags and bounds state") {
+    def run(every: Int): (Seq[Map[Long, Boolean]], String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ndc").toString
+      val seen = Seq.newBuilder[Map[Long, Boolean]]
+      val sink = Streaming.minhashDedupSink(s"$tmp/state", 64, 16,
+        compactEvery = every) { out =>
+        seen += out.collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      }
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "text").filter(col("doc_id") < 240)
+        .localCheckpoint()
+      (0 until 6).foreach { b =>
+        sink(docs.filter(col("doc_id") >= b * 40 &&
+          col("doc_id") < (b + 1) * 40).localCheckpoint(), b.toLong)
+      }
+      (seen.result(), s"$tmp/state")
+    }
+    val (flagsCompacted, stateCompacted) = run(every = 2)
+    val (flagsPlain, statePlain) = run(every = 100) // never compacts here
+    assert(flagsCompacted == flagsPlain,
+      "per-batch flags must be identical across compaction boundaries")
+    def partDirs(dir: String): Int =
+      new java.io.File(dir).listFiles.count(_.getName.startsWith("batch_id="))
+    assert(partDirs(statePlain) == 6)
+    assert(partDirs(stateCompacted) <= 3,
+      "compaction must fold history instead of one partition per batch")
+    // the folded state still holds the full bucket history (distinct)
+    val a = spark.read.parquet(stateCompacted)
+      .select("band", "bh").distinct().count()
+    val b = spark.read.parquet(statePlain)
+      .select("band", "bh").distinct().count()
+    assert(a == b)
+  }
+
+  test("minhashDedupSink tolerates a zero-shingle first batch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nde").toString
+    var lastFlags = Map.empty[Long, Boolean]
+    val sink = Streaming.minhashDedupSink(s"$tmp/state", 64, 16) { out =>
+      lastFlags = out.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    // batch 0: docs too short to shingle → zero-row state (_SUCCESS only)
+    sink(Seq((1L, ""), (2L, "two words")).toDF("doc_id", "text"), 0L)
+    assert(lastFlags == Map(1L -> false, 2L -> false))
+    // batch 1 reads that empty state — must see empty history, not fail
+    // parquet schema inference
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(20).localCheckpoint()
+    sink(docs, 1L)
+    assert(lastFlags.size == 20)
+    sink(docs, 2L) // history now real: everything re-sent is a dup
+    assert(lastFlags.values.forall(identity))
+  }
+
   test("sessionizer widens, never rewinds, on out-of-order events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
