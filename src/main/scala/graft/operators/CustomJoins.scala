@@ -14,14 +14,18 @@ import graft.plans.AsofDirection
 object CustomJoins {
 
   // ----------------------------------------------------------- asof join
-  /** Point-in-time (as-of backward) left join, composed as union + window:
-    * tag right rows, union with left rows on the shared (key, time) axis,
+  /** Point-in-time (as-of) left join, composed as union + window: tag
+    * right rows, union with left rows on the shared (key, time) axis,
     * and carry the latest right payload forward with
     * `last(_, ignoreNulls)` over (key ORDER BY time, rightFirst) — equal
     * timestamps match (right sorts first). One shuffle on the key, NO
     * row-explosion: at 100 TB this is strictly cheaper than the
     * inequality-join rewrite (which degenerates to per-key cross products)
-    * and never materializes candidate pairs.
+    * and never materializes candidate pairs. Forward is the same carry
+    * traversed in reverse time order; Nearest runs BOTH carries over the
+    * one key-partitioning (two sorts, still one exchange) and picks the
+    * closer candidate, ties backward — the full surface of the native
+    * operator ([[graft.plans.AsofJoin.asofJoinNative]]), spec-equal to it.
     *
     * Right must be unique per (key, time) — pre-aggregate to make the
     * match deterministic.
@@ -30,8 +34,6 @@ object CustomJoins {
       payload: Seq[String],
       direction: AsofDirection = AsofDirection.Backward,
       toleranceMs: Option[Long] = None): DataFrame = {
-    require(direction != AsofDirection.Nearest,
-      "nearest needs two window passes here — use asofJoinNative")
     val l = left.withColumn("_is_right", lit(0))
     // the matched right row travels as ONE struct: carrying payload
     // columns individually with last(ignoreNulls) would let a NULL
@@ -43,26 +45,46 @@ object CustomJoins {
       struct(col(time).as("_r_time") +: payload.map(col): _*).as("_r"))
     val unioned = l.drop(payload: _*)
       .unionByName(r, allowMissingColumns = true)
-    // forward = the same carry trick traversed in reverse time order;
-    // right still sorts before left at equal times (equal matches both ways)
-    val ord =
-      if (direction == AsofDirection.Forward) col(time).desc else col(time)
-    val w = Window.partitionBy(col(key))
+    def carryWindow(ord: Column) = Window.partitionBy(col(key))
       .orderBy(ord, col("_is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_is_right") === 0).drop("_is_right")
-    val inTol = toleranceMs.fold(lit(true)) { tol =>
-      val dist =
-        if (direction == AsofDirection.Forward)
-          col("_r._r_time") - col(time)
-        else col(time) - col("_r._r_time")
-      dist <= tol
+    def carry(df: DataFrame, as: String, ord: Column): DataFrame =
+      df.withColumn(as,
+        last(col("_r"), ignoreNulls = true).over(carryWindow(ord)))
+    val tol = toleranceMs.getOrElse(Long.MaxValue)
+    direction match {
+      case AsofDirection.Backward | AsofDirection.Forward =>
+        val ord = if (direction == AsofDirection.Forward) col(time).desc
+          else col(time)
+        val carried = carry(unioned, "_m", ord)
+          .filter(col("_is_right") === 0).drop("_is_right")
+        val dist = if (direction == AsofDirection.Forward)
+          col("_m._r_time") - col(time)
+        else col(time) - col("_m._r_time")
+        payload.foldLeft(carried) { (df, p) =>
+          df.withColumn(p, when(dist <= tol, col(s"_m.$p")))
+        }.drop("_m", "_r")
+      case AsofDirection.Nearest =>
+        // both windows share the key partitioning: Catalyst plans ONE
+        // exchange and two in-partition sorts (asc, then desc)
+        val carried = carry(carry(unioned, "_mb", col(time)),
+            "_mf", col(time).desc)
+          .filter(col("_is_right") === 0).drop("_is_right")
+        val bDist = col(time) - col("_mb._r_time")
+        val fDist = col("_mf._r_time") - col(time)
+        // null dists (no candidate on that side) must read as FALSE, not
+        // null: a null fOk would otherwise null out `useB` below and
+        // drop a perfectly good backward match (3-valued logic)
+        val bOk = coalesce(bDist <= tol, lit(false))
+        val fOk = coalesce(fDist <= tol, lit(false))
+        // at distance 0 both candidates exist and backward wins the tie,
+        // matching AsofJoinExec's rule
+        val useB = bOk && (!fOk || bDist <= fDist)
+        val chosen = when(useB, col("_mb")).when(fOk, col("_mf"))
+        payload.foldLeft(carried.withColumn("_m", chosen)) { (df, p) =>
+          df.withColumn(p, col(s"_m.$p"))
+        }.drop("_m", "_mb", "_mf", "_r")
     }
-    payload.foldLeft(carried) { (df, p) =>
-      df.withColumn(p, when(inTol, col(s"_r.$p")))
-    }.drop("_r")
   }
 
   /** Shared fixture for every asof query: click events joined against

@@ -311,5 +311,129 @@ object Knn {
       WHERE p.query_id <> a.vec_id)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(bruteforce, lsh, ivf)
+  // ---------------------------------------------------- knn_ivf_quantized
+  /** IVF with int8-quantized candidate scoring — the 100 TB memory play:
+    * the probe-list scan reads 1-byte codes (4× smaller than float32,
+    * 8× than these float64 test vectors) and scores candidates with an
+    * INTEGER dot product times two per-vector scales; only the top
+    * [[RERANK]] quantized hits per query are re-scored with the exact
+    * float cosine. Training, assignment, and probing are identical to
+    * [[ivf]] (same decimal-exact Lloyd codebook), so the memory saving
+    * composes with the same recall story, and KnnSpec asserts the
+    * quantized recall@5 stays within 0.02 of the float path.
+    *
+    * Fully deterministic, so oracle-gated end-to-end: codes/scales
+    * mirror emb_quantize (round parity proven there), the quantized
+    * score is an exact integer sum (|code| ≤ 127, dim 64 ⇒ dot ≤ ~10⁶,
+    * exact in double, order-independent) times two IEEE multiplies in
+    * fixed left-to-right association, ties broken by vec_id.
+    *
+    * Scale shape: codes attach to the inverted lists ONCE (a build-time
+    * join on vec_id); probes travel with the query codes as one
+    * broadcast; the candidate scan never touches the float vectors,
+    * which are re-joined only for the ≤ RERANK·|Q| survivors.
+    */
+  private val RERANK = 50
+
+  private val ivfQuantized = Q(
+    "knn_ivf_quantized",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // scale materialized before the code lambda reads it (emb_quantize
+      // re-evaluation trap), then the code table materialized before the
+      // joins below inline the O(d) transform into join projections
+      val qz = e.withColumn("s", Quantize.int8Scale(col("v")))
+        .localCheckpoint()
+      val codes = qz.select(col("vec_id"),
+          Quantize.int8Codes(col("v"), col("s")).cast("array<double>")
+            .as("c"), col("s"))
+        .localCheckpoint()
+      val cents = codebook(e)
+      // inverted lists carry (cent_id, codes, scale) — no float vectors
+      val lists = assign(e, cents).select("vec_id", "cent_id")
+        .join(codes, "vec_id")
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val qSim = cosineSim(col("qv"), col("cv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(qSim.desc, col("cent_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= NPROBE)
+        .select(col("query_id"), col("cent_id"))
+        .join(codes.select(col("vec_id").as("query_id"),
+          col("c").as("qc"), col("s").as("qs")), "query_id")
+      // integer dot × scales, fixed (dot·qs)·s association both engines
+      val qscore =
+        (graft.functions.CosineSim.dotProduct(col("qc"), col("c")) *
+          col("qs")) * col("s")
+      val wQ = Window.partitionBy(col("query_id"))
+        .orderBy(qscore.desc, col("vec_id"))
+      val topr = lists.join(broadcast(probes), "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("rr", row_number().over(wQ))
+        .filter(col("rr") <= RERANK)
+        .select("query_id", "vec_id")
+      // float re-rank of the survivors only
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      topr.join(e, "vec_id").join(broadcast(q), "query_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    qz AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+    codes AS (SELECT vec_id,
+        list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+          ELSE round(x / s) END) AS c, s
+      FROM qz),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        vec_id
+      LIMIT $NLIST),
+    ${sqlLloyd("c0", "a1", "c1")},
+    ${sqlLloyd("c1", "a2", "c2")},
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, c2 c) WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQ),
+    probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.query_id, c.cent_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM q, c2 c) WHERE rk <= $NPROBE),
+    topr AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY list_dot_product(qc.c, cc.c) * qc.s * cc.s DESC,
+              a.vec_id) AS rr
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        JOIN codes qc ON qc.vec_id = p.query_id
+        JOIN codes cc ON cc.vec_id = a.vec_id
+        WHERE p.query_id <> a.vec_id) WHERE rr <= $RERANK)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT t.query_id, t.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY t.query_id
+          ORDER BY list_cosine_similarity(q.qv, e.v) DESC, t.vec_id)
+          AS rank,
+        round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+      FROM topr t
+      JOIN q ON t.query_id = q.query_id
+      JOIN e ON t.vec_id = e.vec_id)
+    WHERE rank <= $K ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfQuantized)
 }

@@ -76,17 +76,31 @@ object Sources {
   }
 
   /** Bucketed + sorted table write: co-located joins/aggregations on
-    * `bucketCol` read back with NO exchange (and no sort, when `sortCol`
-    * matches the join key) — the 100 TB answer to repeated large-large
-    * joins on a stable key. Bucket metadata lives in the session catalog,
-    * so this writes a managed table rather than a bare path.
+    * `bucketCol` read back with NO exchange (and no sort, when
+    * `sortCols` covers the operator's required ordering — e.g.
+    * (key, time) for the native as-of join) — the 100 TB answer to
+    * repeated large-large joins on a stable key. Bucket metadata lives
+    * in the session catalog, so this writes a managed table rather than
+    * a bare path.
+    *
+    * The frame is pre-shuffled onto the bucket key so each bucket lands
+    * in ONE file: the scan only reports its sort order when every bucket
+    * is single-file, and the sort-elision above depends on it.
+    * (`repartition` and `bucketBy` share the same murmur3 hash
+    * partitioning, so the task→bucket mapping is 1:1.) Readers that want
+    * the sort elided (e.g. a zero-exchange zero-sort native as-of join —
+    * AsofJoinSpec proves the plan) must also set
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`: Spark 3
+    * stopped reporting bucket sort order because multi-file buckets
+    * would need a merge, which single-file buckets don't (SPARK-28595).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int, sortCol: Option[String] = None): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.repartition(nBuckets, df.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)
-    sortCol.foreach(c => w.sortBy(c))
+    if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)
   }
 }

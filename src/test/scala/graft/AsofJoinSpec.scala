@@ -122,7 +122,7 @@ class AsofJoinSpec extends SparkSpec {
     assert(outOfTol.isNullAt(3), "both candidates beyond tolerance → null")
   }
 
-  test("composed forward/tolerance forms equal the native operator") {
+  test("composed direction/tolerance forms equal the native operator") {
     def strip(rows: Array[org.apache.spark.sql.Row]) = rows.toSeq
     val (s, dir) = (spark, sfDir)
     val e = Tables.events(s, dir)
@@ -134,7 +134,8 @@ class AsofJoinSpec extends SparkSpec {
       .select(col("user_id"), col("purchase_ms").as("ts_ms"),
         col("purchase_id"), col("purchase_ms"))
     for {
-      d <- Seq(AsofDirection.Backward, AsofDirection.Forward)
+      d <- Seq(AsofDirection.Backward, AsofDirection.Forward,
+        AsofDirection.Nearest)
       tol <- Seq(None, Some(1800000L))
     } {
       val composed = CustomJoins.asofJoin(clicks, purchases, "user_id",
@@ -161,6 +162,69 @@ class AsofJoinSpec extends SparkSpec {
         AsofJoin.asofJoinNative(left, right, "k", "t", Seq("pay"),
           AsofDirection.Backward, Some(15L))).collect()(0)
       assert(row.isNullAt(3), s"$form leaked an out-of-tolerance payload")
+    }
+  }
+
+  test("bucketed+sorted tables drive the native asof with ZERO exchange") {
+    import graft.sources.Sources
+    // the repeated-point-in-time-join shape at 100 TB: both sides stored
+    // bucketed on the key and sorted (key, time) satisfy AsofJoinExec's
+    // requiredChildDistribution/Ordering straight off the scan — no
+    // exchange, no sort, just the merge pass
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ms")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max("event_id").as("purchase_id"))
+      .select(col("user_id"), col("ts_ms"), col("purchase_id"),
+        col("ts_ms").as("purchase_ms"))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      // sorted-bucket scans stopped reporting outputOrdering in Spark 3
+      // (SPARK-28595: multi-file buckets would need a merge); with ONE
+      // file per bucket (writeBucketed pre-shuffles) the legacy flag
+      // soundly restores it — that's what elides the Sort
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      Seq("b_clicks", "b_purchases").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // the catalog is per-JVM but the warehouse dir persists: a stale
+        // location from an earlier run fails CREATE TABLE validation
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      Sources.writeBucketed(clicks, "b_clicks", "user_id", 4,
+        sortCols = Seq("user_id", "ts_ms"))
+      Sources.writeBucketed(purchases, "b_purchases", "user_id", 4,
+        sortCols = Seq("user_id", "ts_ms"))
+      val joined = AsofJoin.asofJoinNative(
+        spark.table("b_clicks"), spark.table("b_purchases"),
+        "user_id", "ts_ms", Seq("purchase_id", "purchase_ms"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed asof must not shuffle:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"single-file sorted buckets must satisfy the ordering:\n$plan")
+      val got = joined.orderBy("event_id").collect().toSeq
+      val expected = AsofJoin.asofJoinNative(clicks, purchases,
+          "user_id", "ts_ms", Seq("purchase_id", "purchase_ms"))
+        .orderBy("event_id").collect().toSeq
+      assert(got == expected)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -37,6 +37,17 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.75)
   }
 
+  test("int8-quantized IVF scoring keeps recall within 0.02 of float") {
+    val ivf = pairs("knn_ivf")
+    val quant = pairs("knn_ivf_quantized")
+    val rFloat = (ivf & exact).size.toDouble / exact.size
+    val rQuant = (quant & exact).size.toDouble / exact.size
+    info(s"knn_ivf recall@5 = $rFloat, quantized = $rQuant")
+    // same codebook/probes; the int8 probe scan + top-50 float re-rank
+    // must not cost recall (quantization noise << top-5/top-50 gap)
+    assert(rQuant >= rFloat - 0.02)
+  }
+
   test("cosine_sim rejects mismatched vector lengths") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D))")

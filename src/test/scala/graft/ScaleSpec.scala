@@ -85,10 +85,10 @@ class ScaleSpec extends SparkSpec {
       "spark.sql.adaptive.enabled" -> "false") {
       Sources.writeBucketed(
         Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey"),
-        "b_orders", "o_custkey", 4, sortCol = Some("o_custkey"))
+        "b_orders", "o_custkey", 4, sortCols = Seq("o_custkey"))
       Sources.writeBucketed(
         Tables(spark, sfDir, "customer").select("c_custkey", "c_name"),
-        "b_customer", "c_custkey", 4, sortCol = Some("c_custkey"))
+        "b_customer", "c_custkey", 4, sortCols = Seq("c_custkey"))
       val joined = spark.table("b_orders").join(spark.table("b_customer"),
         col("o_custkey") === col("c_custkey"))
       val plan = joined.queryExecution.executedPlan.toString
