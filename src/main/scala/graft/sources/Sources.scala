@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Sources/sinks — SURVEY.md §2.9. Thin, typed wrappers around the
@@ -103,4 +104,61 @@ object Sources {
     if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)
   }
+
+  /** MERGE-style keyed upsert into a hash-bucketed parquet layout — the
+    * table-format-free emulation of `MERGE INTO target USING updates ON
+    * target.key = updates.key WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+    * THEN INSERT`. Rows live under `_bucket = pmod(hash(key), nBuckets)`
+    * partition directories; an upsert
+    *  1. buckets the updates the same way,
+    *  2. reads back ONLY the touched buckets (static partition pruning —
+    *     the bucket list is ≤ nBuckets values, driver-tiny by design),
+    *  3. anti-joins the old rows of those buckets on the key,
+    *  4. rewrites exactly the touched partitions via dynamic partition
+    *     overwrite (untouched buckets are never read or written —
+    *     asserted by file-mtime in SourcesSpec).
+    *
+    * Scale: per-upsert cost is O(touched buckets), not O(table); pick
+    * nBuckets so a bucket ≈ a comfortable task (the same dial as
+    * [[writeBucketed]]). The merged frame is materialized before the
+    * overwrite (the plan reads the very partitions it rewrites); at
+    * cluster scale use reliable `checkpoint()`/a staging dir so task
+    * retries re-read, or a transactional table format's MERGE where one
+    * is available — this emulation is crash-safe only per-partition
+    * (parquet dir swap), not multi-partition-atomic.
+    *
+    * Updates must be unique per `key` (pre-aggregate otherwise): both
+    * duplicates would survive, like a real MERGE's multi-match error.
+    */
+  def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucketed = updates.withColumn("_bucket",
+      pmod(hash(col(key)), lit(nBuckets)))
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fsPath)) {
+      bucketed.write.partitionBy("_bucket").parquet(path)
+    } else {
+      val touched = bucketed.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val survivors = spark.read.parquet(path)
+        .filter(col("_bucket").isin(touched: _*))
+        .join(bucketed.select(key).distinct(), Seq(key), "left_anti")
+      val merged = survivors.unionByName(bucketed).localCheckpoint()
+      try {
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_bucket")
+          .parquet(path)
+      } finally merged.unpersist()
+    }
+  }
+
+  /** Read an [[upsertParquet]] table (the `_bucket` helper column is an
+    * implementation detail and dropped; keep it by reading the path
+    * directly when bucket-local processing wants it).
+    */
+  def readUpserted(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("_bucket")
 }

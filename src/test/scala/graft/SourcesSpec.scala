@@ -68,4 +68,50 @@ class SourcesSpec extends SparkSpec {
       df.select("n_name").as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().sorted.toSeq)
   }
+
+  test("keyed upsert merges like MERGE and rewrites only touched buckets") {
+    import spark.implicits._
+    val dir = tmp() + "/upsert"
+    val n = 16
+    // seed: 100 keys, version 1
+    Sources.upsertParquet(spark,  dir,
+      (0L until 100L).map(k => (k, s"v1_$k")).toDF("id", "payload"),
+      "id", n)
+    assert(Sources.readUpserted(spark, dir).count() == 100)
+    // capture per-bucket parquet file names+mtimes before the upsert
+    def bucketFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("_bucket="))
+        .map(d => d.getName -> d.listFiles
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = bucketFiles()
+    // update 3 existing keys, insert 2 new ones
+    val updates = Seq((5L, "v2_5"), (6L, "v2_6"), (7L, "v2_7"),
+      (100L, "v1_100"), (101L, "v1_101")).toDF("id", "payload")
+    Sources.upsertParquet(spark, dir, updates, "id", n)
+    val after = bucketFiles()
+    val got = Sources.readUpserted(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 102, "100 seeds - 0 deletes + 2 inserts")
+    assert(got(5L) == "v2_5" && got(6L) == "v2_6" && got(7L) == "v2_7",
+      "matched keys take the update")
+    assert(got(4L) == "v1_4" && got(99L) == "v1_99",
+      "unmatched keys survive untouched")
+    assert(got(100L) == "v1_100" && got(101L) == "v1_101",
+      "unmatched updates insert")
+    // buckets not containing any update key must be byte-identical
+    val touched = updates.select(
+        pmod(hash(col("id")), lit(n)).as("b")).distinct()
+      .collect().map(r => s"_bucket=${r.getInt(0)}").toSet
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "fixture must leave some buckets alone")
+    for (b <- untouched)
+      assert(after(b) == before(b), s"$b was rewritten but had no updates")
+    for (b <- touched)
+      assert(after(b) != before(b), s"$b had updates but was not rewritten")
+    // upserts are idempotent: replaying the same updates changes nothing
+    Sources.upsertParquet(spark, dir, updates, "id", n)
+    assert(Sources.readUpserted(spark, dir)
+      .as[(Long, String)].collect().toMap == got)
+  }
 }
