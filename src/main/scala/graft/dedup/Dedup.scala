@@ -290,25 +290,32 @@ object Dedup {
       .select(col("doc_id"), explode(col("b")).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
 
+  /** Verified MinHash-LSH near-dup pairs (a_id < b_id, RAW jaccard ≥ TAU)
+    * — the shared candidate→verify pipeline of `dedup_minhash_lsh` and
+    * the cluster roll-up `dedup_clusters`.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ds = docShingles(s, dir)
+    // signatures come from the SAME checkpointed shingle table the
+    // verify stage reads (one shingling pass per doc per run);
+    // checkpoint again: the band table feeds BOTH sides of the
+    // self-join — with live lineage each side recomputes the kernel
+    val buckets = bandBucketsFromShingles(ds)
+      .localCheckpoint()
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, ds, TAU)
+  }
+
   private val minhashLsh = Q(
     "dedup_minhash_lsh",
-    (s, dir) => {
-      val ds = docShingles(s, dir)
-      // signatures come from the SAME checkpointed shingle table the
-      // verify stage reads (one shingling pass per doc per run);
-      // checkpoint again: the band table feeds BOTH sides of the
-      // self-join — with live lineage each side recomputes the kernel
-      val buckets = bandBucketsFromShingles(ds)
-        .localCheckpoint()
-      val cand = buckets.as("x").join(buckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      verifyJaccard(cand, ds, TAU)
+    (s, dir) =>
+      minhashPairs(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("a_id", "b_id")
-    },
+        .orderBy("a_id", "b_id"),
     Some(sqlExactJaccardPairs))
 
   // -------------------------------------------------------- dedup_winnow
@@ -562,7 +569,103 @@ object Dedup {
     },
     Some(sqlExactCosinePairs))
 
+  // ------------------------------------------------------- dedup_clusters
+  /** Connected components over an undirected edge set by iterative
+    * min-label propagation — the DataFrame re-expression of GraphX's
+    * Pregel `connectedComponents` (each round every node takes the min of
+    * its own label and its neighbors' labels; labels only decrease, so
+    * the fixpoint assigns every node the min id of its component).
+    *
+    * `edges`: (u, v) pairs in any orientation, u ≠ v. Returns (id, label)
+    * for every node that appears in an edge; isolated nodes are the
+    * caller's coalesce.
+    *
+    * Scale: one round = one equi-join + one map-side-combined min
+    * aggregate, both shuffling THIN (id, label) longs on the id key — a
+    * 1000-executor cluster reuses the same hash partitioning every round.
+    * Rounds = component diameter; near-dup graphs are dense star-ish
+    * clusters (diameter ≤ 3–4 even at web scale, because every member
+    * overlaps the same template), so the bound that matters in practice
+    * is small — for adversarially chained graphs swap in the
+    * alternating-star algorithm (Kiveris et al., MRC'14), same join
+    * shape. Labels are checkpointed per round (lineage would otherwise
+    * grow by one join per iteration), and convergence is a LIMIT-1 probe
+    * (labels strictly decrease, so one surviving row ⇒ not converged).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("id")).agg(min("label").as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTER roll-up — what a dedup pipeline actually consumes
+    * (keep one doc per cluster), not the raw pair list: connected
+    * components over the verified MinHash-LSH pairs, cluster id = min
+    * doc_id of the component, singletons cluster to themselves. The
+    * oracle computes the transitive closure of the ground-truth exact
+    * jaccard pairs with a recursive CTE — a green row proves BOTH the
+    * LSH pair recall and the component fixpoint.
+    */
+  private val clusters = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val labels = connectedComponents(pairs)
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlShingleCte,
+    p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= $TAU),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    cmin AS (SELECT u AS doc_id, MIN(v) AS m FROM reach GROUP BY u)
+    SELECT d2.doc_id AS doc_id,
+      COALESCE(LEAST(c.m, d2.doc_id), d2.doc_id) AS cluster_id,
+      COALESCE(LEAST(c.m, d2.doc_id), d2.doc_id) <> d2.doc_id AS is_dup
+    FROM documents d2 LEFT JOIN cmin c ON d2.doc_id = c.doc_id
+    ORDER BY d2.doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
-      embeddingLsh)
+      embeddingLsh, clusters)
 }

@@ -70,6 +70,38 @@ class DedupSpec extends SparkSpec {
     assert(d.filter("is_dup").count() == 0)
   }
 
+  test("connected components match a driver-side union-find fixpoint") {
+    import org.apache.spark.sql.functions._
+    // brute-force union-find over the collected TAU pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exactJaccard.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (exactJaccard.flatMap(p => Seq(p._1, p._2)))
+      .map(id => id -> find(id)).toMap
+    val got = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge endpoint lands on the union-find root
+    want.foreach { case (id, root) => assert(got(id) == root) }
+    // everything else is a singleton cluster of itself
+    got.foreach { case (id, cid) =>
+      if (!want.contains(id)) assert(cid == id)
+    }
+    // chains converge: a synthetic 1-2-3-4-5 path collapses to min=1
+    val chain = spark.createDataFrame(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 6L)))
+      .toDF("u", "v").repartition(4)
+    val labels = dedup.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(labels(_) == 1L))
+    assert(labels(6L) == 6L && labels(7L) == 6L)
+  }
+
   test("simhash drops token-less docs instead of pairing them at zero") {
     import org.apache.spark.sql.functions._
     // the oracle's unnest produces no tok rows for empty docs, so they
