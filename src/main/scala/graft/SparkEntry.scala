@@ -25,6 +25,7 @@ object SparkEntry {
   private def suites: Seq[Q] =
     operators.Relational.all ++ operators.CustomJoins.all ++
       operators.Sketches.all ++ text.TextOps.all ++ text.Sampling.all ++
+      text.Decontam.all ++
       text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++
       sim.Quantize.all ++ multimodal.Multimodal.all
 
