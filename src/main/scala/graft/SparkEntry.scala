@@ -27,7 +27,7 @@ object SparkEntry {
       operators.Sketches.all ++ text.TextOps.all ++ text.Sampling.all ++
       text.Decontam.all ++
       text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++
-      sim.Quantize.all ++ multimodal.Multimodal.all
+      sim.Quantize.all ++ sim.SemDedup.all ++ multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -188,7 +188,7 @@ object Knn {
     * real clustered embedding corpora the same operator prunes far
     * harder at fixed recall.
     */
-  private val NLIST = 16
+  private[sim] val NLIST = 16
   private val NPROBE = 8
   private val ITER = 2
 
@@ -240,7 +240,7 @@ object Knn {
     .mkString("[", ",\n          ", "]")
 
   /** One Lloyd iteration in SQL: assign to `prev`, group means. */
-  private def sqlLloyd(prev: String, a: String, c: String): String =
+  private[sim] def sqlLloyd(prev: String, a: String, c: String): String =
     s"""$a AS (SELECT vec_id, v, cent_id FROM (
         SELECT e.vec_id, e.v, c.cent_id,
           row_number() OVER (PARTITION BY e.vec_id
