@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side model checks for the hash samplers (both oracle-gated). */
+class SamplingSpec extends SparkSpec {
+
+  private def md5Bucket(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("stratified sampling == integer-threshold model; min source fully kept") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val mn = counts.values.min
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      src -> (rows.length.toLong,
+        rows.count(r => md5Bucket(r._2) * counts(src) < mn * 65536L).toLong)
+    }
+    val got = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    // the smallest source runs at rate 1.0: every doc clears hb < 65536
+    val minSrc = counts.minBy { case (s, n) => (n, s) }._1
+    assert(got(minSrc)._1 == got(minSrc)._2)
+    // every source is downsampled toward the min (never upsampled)
+    got.foreach { case (_, (n, k)) => assert(k <= n) }
+  }
+
+  test("stratified samples nest: lower rate selects a subset") {
+    // raising n (lowering the rate) can only REMOVE docs: the accept set
+    // {hb : hb*n < mn*65536} shrinks monotonically in n
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val mn = 10L
+    val keepAt = (n: Long) => docs.filter(t => md5Bucket(t) * n < mn * 65536L)
+    assert(keepAt(40L).toSet.subsetOf(keepAt(20L).toSet))
+  }
+}
