@@ -266,6 +266,78 @@ object TextOps {
     FROM d LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
     WHERE len(w) > 0 ORDER BY doc_id"""))
 
+  // --------------------------------------------------------- text_quality
+  /** Gopher-style composite quality FILTER (Rae et al. §A1.1): the named
+    * per-document rules a pretraining pipeline actually gates on, each
+    * exposed as its own boolean plus the combined keep flag — downstream
+    * can re-weight rules without recomputing signals. Thresholds are
+    * corpus-tuned so every discriminating rule actually splits this data
+    * (len/stop/uniq/rep fail 2–10% each); word-length bounds are kept at
+    * the published [3,10] for surface parity even though this corpus
+    * never trips them.
+    *
+    * Everything is per-document integer counting via the codegen kernels
+    * (Tokens/TokenMatchCount/WordShingles/MaxShingleCount) — zero
+    * shuffle before the output sort. Ratio comparisons are a single IEEE
+    * division of exact integers on both engines, so the boundary
+    * semantics are bit-identical.
+    */
+  private val MIN_TOKENS = 20
+  private val MAX_TOKENS = 1000
+  private val MIN_UNIQ = 0.32
+  private val MAX_TOP2 = 0.2
+
+  private val quality = Q(
+    "text_quality",
+    (s, dir) => {
+      def uniq1 = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 1))
+      def maxGram(k: Int) = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.MaxShingleCount(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), k))
+      val nTok = size(tokens(col("text")))
+      val nonSpace = length(regexp_replace(col("text"), " ", ""))
+      val rLen = nTok.between(MIN_TOKENS, MAX_TOKENS)
+      val awl = nonSpace.cast("double") / nTok
+      val rWordlen = awl.between(3.0, 10.0)
+      val rStop = tokenMatchCount(col("text"), stopwords) >= 1
+      val rUniq = size(uniq1) * 1.0 / nTok >= MIN_UNIQ
+      val rRep2 = maxGram(2) * 2.0 / nTok <= MAX_TOP2
+      val rules = Seq(rLen, rWordlen, rStop, rUniq, rRep2)
+      Tables(s, dir, "documents")
+        .filter(nTok > 0)
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+          rLen.as("r_len"), rWordlen.as("r_wordlen"), rStop.as("r_stop"),
+          rUniq.as("r_uniq"), rRep2.as("r_rep2"),
+          (lit(rules.size) - rules.map(_.cast("int")).reduce(_ + _))
+            .cast("long").as("n_failed"),
+          rules.reduce(_ && _).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, text,
+        list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    g2 AS (SELECT doc_id, MAX(c) AS m2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            for i in range(1, greatest(len(w), 1))]) AS g
+          FROM d) GROUP BY doc_id, g) GROUP BY doc_id),
+    r AS (SELECT d.doc_id, len(w) AS n_tokens,
+        len(w) BETWEEN $MIN_TOKENS AND $MAX_TOKENS AS r_len,
+        length(replace(text,' ','')) * 1.0 / len(w) BETWEEN 3.0 AND 10.0
+          AS r_wordlen,
+        len(list_filter(w, t -> t IN ($stopwordsSql))) >= 1 AS r_stop,
+        len(list_distinct(w)) * 1.0 / len(w) >= $MIN_UNIQ AS r_uniq,
+        COALESCE(m2, 0) * 2.0 / len(w) <= $MAX_TOP2 AS r_rep2
+      FROM d LEFT JOIN g2 USING (doc_id) WHERE len(w) > 0)
+    SELECT doc_id, n_tokens, r_len, r_wordlen, r_stop, r_uniq, r_rep2,
+      (5 - (r_len::INT + r_wordlen::INT + r_stop::INT + r_uniq::INT
+        + r_rep2::INT))::BIGINT AS n_failed,
+      r_len AND r_wordlen AND r_stop AND r_uniq AND r_rep2 AS keep
+    FROM r ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- text_chunk
   private val CHUNK = 32 // tokens per chunk (context-length slicing)
 
@@ -307,5 +379,5 @@ object TextOps {
     FROM c ORDER BY doc_id, chunk_id"""))
 
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
-    repetition, chunk)
+    repetition, quality, chunk)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side model for the Gopher-rule composite filter. */
+class TextQualitySpec extends SparkSpec {
+
+  test("text_quality flags == independent per-doc rule model") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = SparkEntry.queries("text_quality")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getLong(7), r.getBoolean(8))).toMap
+    var kept = 0
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ").filter(_.nonEmpty)
+      if (w.nonEmpty) {
+        val rLen = w.length >= 20 && w.length <= 1000
+        val rWl = { val a = w.map(_.length).sum.toDouble / w.length
+          a >= 3.0 && a <= 10.0 }
+        val rStop = w.count(t => t == "the" || t == "a") >= 1
+        val rUniq = w.distinct.length * 1.0 / w.length >= 0.32
+        val rRep2 = {
+          val m2 = if (w.length < 2) 0
+            else w.sliding(2).map(_.mkString(" ")).toSeq
+              .groupBy(identity).values.map(_.size).max
+          m2 * 2.0 / w.length <= 0.2
+        }
+        val rules = Seq(rLen, rWl, rStop, rUniq, rRep2)
+        val (a, b, c, d, e, nf, keep) = got(id)
+        assert((a, b, c, d, e) == (rLen, rWl, rStop, rUniq, rRep2),
+          s"doc $id rules")
+        assert(nf == rules.count(!_) && keep == rules.forall(identity))
+        if (keep) kept += 1
+      } else assert(!got.contains(id), "zero-token docs are dropped")
+    }
+    // the filter discriminates: keeps most docs, drops a real minority
+    assert(kept > docs.length / 2 && kept < docs.length)
+  }
+}
