@@ -554,7 +554,65 @@ object Relational {
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
     ORDER BY o_custkey"""))
 
+  // ---------------------------------------------------------------- q26
+  /** Explicit NON-hierarchical GROUPING SETS — ((mktsegment), (year)):
+    * two independent aggregation lattices in one pass, which neither
+    * ROLLUP (q15) nor CUBE (q22) expresses. Spark 4's native
+    * `Dataset.groupingSets` plans ONE Expand + one hash aggregate — the
+    * same single-shuffle shape as a plain groupBy, not two jobs unioned.
+    */
+  private val q26 = Q(
+    "q26_grouping_sets",
+    (s, dir) => {
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("o_year", expr("year(o_orderdate)").cast("long"))
+      j.groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("o_year"))),
+          col("c_mktsegment"), col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum2(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+          col("o_year").asc_nulls_first)
+    },
+    Some(s"""SELECT c_mktsegment, year(o_orderdate)::BIGINT AS o_year,
+      COUNT(*) AS n_orders, ${sqlSum2("o_totalprice", "total")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)::BIGINT))
+    ORDER BY c_mktsegment ASC NULLS FIRST, o_year ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q27
+  /** RANGE-frame window (value-based, not row-based): per event, the
+    * exact-decimal sum and count of the SAME USER's events in the
+    * trailing hour — the sliding-lookback feature a feature-store
+    * pipeline computes. ROWS frames (q07/q23) bound by row offsets; the
+    * RANGE frame here bounds by the ordering VALUE (ts_ms − 3 600 000),
+    * so frame membership is deterministic regardless of tie order, and
+    * the decimal sum keeps the aggregate order-independent on top.
+    */
+  private val q27 = Q(
+    "q27_range_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("value").cast(DecimalType(18, 2)))
+          .over(w).cast("double"))
+        .select("user_id", "event_id", "ts_ms", "n_1h", "sum_1h")
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      COUNT(*) OVER w AS n_1h,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_ms, event_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

@@ -266,6 +266,60 @@ object TextOps {
     FROM d LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
     WHERE len(w) > 0 ORDER BY doc_id"""))
 
+  // ----------------------------------------------------------- text_tfidf
+  /** Top-5 characteristic terms per document by TF-IDF with a RAW
+    * (log-free) idf: score = tf · N / df, computed as one exact integer
+    * product divided once in IEEE double — bit-identical across engines,
+    * which `log(N/df)` is not guaranteed to be (libm vs JVM ulp drift is
+    * exactly the kind of cross-engine hazard the oracle gate exists to
+    * catch). Raw idf preserves the per-document ranking property that
+    * matters for keyword extraction; the log form only re-compresses the
+    * scale.
+    *
+    * Scale: tf = one map-side-combined (doc_id, term) aggregate; df = a
+    * thin |vocab|-row term aggregate joined back on the term key (NOT
+    * broadcast — web-scale vocabularies outgrow broadcast range, and the
+    * tf side is already term-keyed so AQE can plan the join off one
+    * exchange); top-k per doc is a bounded window.
+    */
+  private val TFIDF_K = 5
+
+  private val tfidf = Q(
+    "text_tfidf",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val terms = d.select(col("doc_id"), explode(tokens(col("text")))
+        .as("term"))
+      val tf = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val score = (col("tf") * col("n_docs")).cast("double") / col("df")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TFIDF_K)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(score, 6).as("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH t AS (
+      SELECT doc_id, unnest(list_filter(string_split(text,' '),
+        x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT doc_id, term, tf, df,
+        round((tf * n_docs) * 1.0 / df, 6) AS score,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY (tf * n_docs) * 1.0 / df DESC, term) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    WHERE rank <= $TFIDF_K ORDER BY doc_id, rank"""))
+
   // --------------------------------------------------------- text_quality
   /** Gopher-style composite quality FILTER (Rae et al. §A1.1): the named
     * per-document rules a pretraining pipeline actually gates on, each
@@ -379,5 +433,5 @@ object TextOps {
     FROM c ORDER BY doc_id, chunk_id"""))
 
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
-    repetition, quality, chunk)
+    repetition, quality, tfidf, chunk)
 }

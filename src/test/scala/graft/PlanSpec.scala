@@ -66,7 +66,10 @@ class PlanSpec extends SparkSpec {
   private val intendedNestedLoop = Set(
     "knn_bruteforce",   // broadcast query set vs corpus (no equi key exists)
     "knn_ivf",          // broadcast 16-centroid codebook
+    "knn_ivf_quantized", // same broadcast codebook argmax as knn_ivf
     "q18_corr_scalar",  // broadcast 1-row aggregate threshold
+    "sample_stratified", // broadcast 1-row min-source-count aggregate
+    "text_tfidf",       // broadcast 1-row corpus-count aggregate
     "dedup_ngram_jaccard", // broadcast 1-row viral-shingle count (dfCap)
     "pipeline_prepare")    // same, via the shared jaccardPairs
 
