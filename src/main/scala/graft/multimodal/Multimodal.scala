@@ -175,5 +175,40 @@ object Multimodal {
     FROM documents d LEFT JOIN bins ON d.doc_id = bins.doc_id
     GROUP BY d.doc_id, d.text ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(binaryStats, featureHist)
+  /** Content-hash dedup over binary payloads — the multimodal twin of
+    * `dedup_exact` (raw BYTE equality, no text normalization: two
+    * payloads dedup iff bit-identical, the right semantics for media
+    * blobs). Runs through the typed `Dataset[MediaRecord]` path with a
+    * per-partition `MessageDigest` (one instance per partition, the
+    * vectorized-decoder amortization shape), then one hash-agg exchange
+    * on the 32-char key — the same 100 TB posture as dedup_exact.
+    */
+  private val mmDedup = Q(
+    "mm_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val fp = mediaFromDocuments(s, dir)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            md.reset()
+            (r.mediaId, md.digest(r.payload).map("%02x".format(_)).mkString)
+          }
+        }.toDF("media_id", "payload_md5")
+      val keep = fp.groupBy("payload_md5")
+        .agg(min("media_id").as("keeper_id"))
+      fp.join(keep, "payload_md5")
+        .select(col("media_id"), col("payload_md5"), col("keeper_id"),
+          (col("media_id") =!= col("keeper_id")).as("is_dup"))
+        .orderBy("media_id")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id AS media_id, md5(text) AS payload_md5 FROM documents),
+    k AS (SELECT payload_md5, MIN(media_id) AS keeper_id
+      FROM f GROUP BY payload_md5)
+    SELECT media_id, f.payload_md5 AS payload_md5, keeper_id,
+      media_id <> keeper_id AS is_dup
+    FROM f JOIN k USING (payload_md5) ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup)
 }
