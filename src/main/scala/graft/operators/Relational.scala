@@ -612,7 +612,76 @@ object Relational {
       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
     ORDER BY user_id, ts_ms, event_id"""))
 
+  // ---------------------------------------------------------------- q28
+  /** Ordered funnel (view → click → purchase): per user, the first view,
+    * the first click AFTER that view, the first purchase AFTER that
+    * click — the product-analytics staple. Three thin per-user
+    * aggregates chained by broadcast-able joins (each stage's frame is
+    * one row per user); integer-millisecond arithmetic end-to-end.
+    */
+  private val q28 = Q(
+    "q28_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"))
+      def stage(t: String) = e.filter(col("event_type") === t)
+      val v = stage("view").groupBy("user_id")
+        .agg(min("ts_ms").as("t_view"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts_ms") > col("t_view"))
+        .groupBy("user_id").agg(min("ts_ms").as("t_click"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts_ms") > col("t_click"))
+        .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(ts_ms) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_ms > t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(ts_ms) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_ms > t_click
+      GROUP BY e.user_id)
+    SELECT user_id, t_view, t_click, t_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q29
+  /** Cohort retention matrix: users bucketed by the INTEGER epoch-week
+    * of their first event, counted distinct per (cohort week, active
+    * week). Pure integer week arithmetic (`ts_ms DIV 604800000`) — no
+    * calendar/timezone/week-start semantics to drift between engines.
+    * Two thin aggregates; the first-event frame joins back broadcast-
+    * style on user_id.
+    */
+  private val q29 = Q(
+    "q29_cohort",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms DIV 604800000").as("wk"))
+      val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      e.join(cohort, "user_id")
+        .groupBy("cohort_wk", "wk")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_wk", "wk")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+    c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+    SELECT cohort_wk, wk, COUNT(DISTINCT user_id) AS n_users
+    FROM e JOIN c USING (user_id)
+    GROUP BY cohort_wk, wk ORDER BY cohort_wk, wk"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+      q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+      q28, q29)
 }
