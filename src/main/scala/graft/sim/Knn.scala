@@ -435,5 +435,84 @@ object Knn {
       JOIN e ON t.vec_id = e.vec_id)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfQuantized)
+  // -------------------------------------------------------------- knn_join
+  /** kNN JOIN — the top-k neighbor graph over the WHOLE corpus (every
+    * vector, not a small query set): the building block for kNN-graph
+    * clustering and graph-based dedup. Same trained IVF machinery as
+    * [[ivf]], with the query side = the corpus itself: every vector
+    * probes its NPROBE nearest centroids and scores only those inverted
+    * lists.
+    *
+    * Scale shape: candidates are scored IN the join projection and
+    * immediately projected to thin (query_id, neighbor_id, cosine) rows,
+    * so the only wide exchange is the cent_id-keyed list join;
+    * the per-query top-k window is preceded by Spark's partial
+    * WindowGroupLimit, which cuts each partition to k rows per query
+    * BEFORE the window shuffle — the shuffle carries O(n·k), not
+    * O(n·n/nlist). Probes are NOT broadcast (n·NPROBE rows — the corpus
+    * is the query set); the join partitions by cent_id, where nlist
+    * bounds skew exactly like knn_ivf's lists.
+    */
+  private val JOIN_K = 3
+
+  private val knnJoin = Q(
+    "knn_join",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = codebook(e)
+      val assigned = assign(e, cents)
+      val qSim = cosineSim(col("qv"), col("cv"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(qSim.desc, col("cent_id"))
+      val probes = e
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= NPROBE)
+        .select(col("query_id"), col("qv"), col("cent_id"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      assigned.join(probes, "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= JOIN_K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        vec_id
+      LIMIT $NLIST),
+    ${sqlLloyd("c0", "a1", "c1")},
+    ${sqlLloyd("c1", "a2", "c2")},
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, c2 c) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, c2 c) WHERE rk <= $NPROBE)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY p.query_id
+          ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+            a.vec_id) AS rank,
+        round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE p.query_id <> a.vec_id)
+    WHERE rank <= $JOIN_K ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfQuantized, knnJoin)
 }

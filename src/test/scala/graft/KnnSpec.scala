@@ -48,6 +48,24 @@ class KnnSpec extends SparkSpec {
     assert(rQuant >= rFloat - 0.02)
   }
 
+  test("knn_join covers the whole corpus with partial top-k pushdown") {
+    val d = SparkEntry.queries("knn_join")(spark, sfDir)
+    val rows = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables(spark, sfDir, "embeddings").count()
+    // every vector gets a neighbor list, ranks are 1..k with no gaps
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.size == n, "one neighbor list per corpus vector")
+    byQuery.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length))
+      assert(g.forall(r => r._2 != r._1), "no self neighbors")
+    }
+    // the per-query top-k must be pre-reduced before the window shuffle
+    assert(d.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "partial WindowGroupLimit keeps the window shuffle at O(n*k)")
+  }
+
   test("cosine_sim rejects mismatched vector lengths") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D))")
