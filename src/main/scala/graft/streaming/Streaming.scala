@@ -217,6 +217,27 @@ object Streaming {
       } finally buckets.unpersist() // free this batch's checkpoint blocks
   }
 
+  /** Streaming benchmark decontamination — the online mirror of the
+    * batch `decontam_ngram` query for a corpus arriving as a stream: per
+    * micro-batch, every document's n-grams are checked against the FIXED
+    * benchmark gram set via the same broadcast hash join
+    * ([[graft.text.Decontam.flags]]), emitting (doc_id, n_hits,
+    * contaminated). Stateless by construction — the benchmark side of a
+    * decontamination check never grows with the stream — so any corpus
+    * slicing into micro-batches yields exactly the batch flags
+    * (asserted in StreamingSpec), and state is ZERO: the only
+    * distributed structure is the broadcast that ships with each batch's
+    * plan, the same 100 TB posture as the batch query.
+    */
+  def decontamSink(benchGrams: DataFrame)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    // materialize the (small) gram set once: re-deriving it per batch
+    // would rescan the benchmark source every few seconds
+    val grams = benchGrams.localCheckpoint()
+    (batch: DataFrame, _: Long) =>
+      out(graft.text.Decontam.flags(batch, grams))
+  }
+
   /** Streaming backward as-of enrichment — the online mirror of the
     * native [[graft.plans.AsofJoinExec]]: every click picks up the
     * latest prior-or-equal purchase of the same user. Per-user state is

@@ -37,6 +37,35 @@ object Decontam {
   /** Benchmark slice: content-hash bucket < 10% of the 16-bit space. */
   val BENCH_CUT = 6554
 
+  /** Distinct n-grams of a `(…, text)` frame — the benchmark side of the
+    * check (the shingle kernel already emits per-doc distinct grams;
+    * `distinct()` dedups across docs so the broadcast side is minimal).
+    */
+  def benchmarkGrams(bench: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bench
+      .select(explode(Dedup.shingles(col("text"), N)).as("g"))
+      .distinct()
+
+  /** Per-doc contamination flags of a `(doc_id, text)` frame against a
+    * benchmark gram set — the shared core of the batch query and the
+    * streaming sink ([[graft.streaming.Streaming.decontamSink]]): gram
+    * explode, broadcast hash join, map-side-combined hit count.
+    */
+  def flags(docs: org.apache.spark.sql.DataFrame,
+      benchGrams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hits = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), N)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   private val decontam = Q(
     "decontam_ngram",
     (s, dir) => {
@@ -45,22 +74,7 @@ object Decontam {
           Sampling.hashBucket(col("text")).as("hb"))
       val bench = docs.filter(col("hb") < BENCH_CUT)
       val train = docs.filter(col("hb") >= BENCH_CUT)
-      // distinct benchmark grams (the shingle kernel already emits each
-      // doc's grams distinct; distinct() here dedups ACROSS benchmark
-      // docs so the broadcast side is minimal)
-      val benchGrams = bench
-        .select(explode(Dedup.shingles(col("text"), N)).as("g"))
-        .distinct()
-      val hits = train
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), N)).as("g"))
-        .join(broadcast(benchGrams), "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      train.select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("contaminated", col("n_hits") > 0)
-        .orderBy("doc_id")
+      flags(train, benchmarkGrams(bench)).orderBy("doc_id")
     },
     Some(s"""WITH d AS (SELECT doc_id,
         ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT AS hb,

@@ -297,6 +297,40 @@ class StreamingSpec extends SparkSpec {
     assert(flags.filter(_._2).keySet == expectedDups)
   }
 
+  test("streaming decontamination equals the batch flags across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch query's exact slicing: hash bucket < cut is benchmark
+    val all = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        text.Sampling.hashBucket(col("text")).as("hb"))
+    val bench = all.filter(col("hb") < text.Decontam.BENCH_CUT)
+    val train = all.filter(col("hb") >= text.Decontam.BENCH_CUT)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val got = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    val sink = Streaming.decontamSink(text.Decontam.benchmarkGrams(bench)) {
+      out => out.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getLong(1), r.getBoolean(2)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dcs").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      val n = train.length
+      Seq(train.slice(0, n / 3), train.slice(n / 3, 2 * n / 3),
+        train.slice(2 * n / 3, n)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = SparkEntry.queries("decontam_ngram")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got.toMap == want,
+      "streamed flags must equal the batch decontam_ngram rows")
+  }
+
   test("minhashDedupSink replays a micro-batch idempotently") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_ndsr").toString
