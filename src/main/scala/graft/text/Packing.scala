@@ -77,14 +77,15 @@ object Packing {
           AS n_tokens
       FROM documents),
     o AS (SELECT doc_id, n_tokens,
-        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        (COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
           AS start_offset
       FROM d)
     SELECT doc_id, n_tokens, start_offset,
-      CASE WHEN n_tokens > 0 THEN start_offset // $CTX END AS seq_first,
-      CASE WHEN n_tokens > 0
-        THEN (start_offset + n_tokens - 1) // $CTX END AS seq_last
+      (CASE WHEN n_tokens > 0
+        THEN start_offset // $CTX END)::BIGINT AS seq_first,
+      (CASE WHEN n_tokens > 0
+        THEN (start_offset + n_tokens - 1) // $CTX END)::BIGINT AS seq_last
     FROM o ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(pack)

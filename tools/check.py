@@ -39,7 +39,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     order = key.sort_values(by=list(key.columns), kind="mergesort").index
     return out.loc[order].reset_index(drop=True)
 
+def kind(dtype) -> str:
+    # collapse dtype kinds into the classes the driver's hash is
+    # sensitive to: int-vs-float is a representation difference
+    # (DuckDB HUGEINT reaches pandas as float64 and hashes "0.0" while
+    # Spark's BIGINT hashes "0") — so it must FAIL here even when the
+    # values compare equal.
+    k = dtype.kind
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "m": "timedelta"}.get(k, "obj")
+
 def close(a, b):
+    # The driver hashes exact value representations — floats must be
+    # BIT-exact across engines, no tolerance (see CLAUDE.md invariants).
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -47,7 +59,7 @@ def close(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return fa == fb
     return a == b
 
 fails = 0
@@ -66,6 +78,12 @@ for name in sorted(oracle):
         fails += 1; continue
     if len(s) != len(d):
         print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); fails += 1; continue
+    badtype = [(c, kind(s[c].dtype), kind(d[c].dtype)) for c in s.columns
+               if kind(s[c].dtype) != kind(d[c].dtype)]
+    if badtype:
+        c, ks, kd = badtype[0]
+        print(f"FAIL {name}: dtype col {c}: spark={ks} duck={kd}")
+        fails += 1; continue
     bad = None
     for c in s.columns:
         for i, (x, y) in enumerate(zip(s[c], d[c])):
