@@ -212,6 +212,30 @@ object Knn {
       .select("vec_id", "v", "cent_id")
   }
 
+  /** NPROBE-nearest-centroid probe selection WITHOUT a shuffle: the
+    * top-k twin of [[assign]]. The query frame (any columns + `qv`)
+    * cross-joins the one-row broadcast codebook and explodes the
+    * codegen'd [[graft.functions.NearestCentroids]] top-k array
+    * map-side — reproducing exactly the rows of the
+    * `row_number() OVER (... ORDER BY cos DESC, cent_id) <= nprobe`
+    * form (KernelSpec pins the equality) with ZERO exchange. When the
+    * query set is the corpus itself (knn_join), the window form
+    * shuffled n·nlist rows each carrying the full query vector; this
+    * is the 100 TB difference between probe selection being free and
+    * being ~16× the corpus vector volume through one exchange.
+    */
+  private[graft] def probe(q: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("cs"))
+    q.crossJoin(broadcast(centArr))
+      .withColumn("cent_id", explode(org.apache.spark.sql.graft.Shim.column(
+        graft.functions.NearestCentroids(
+          org.apache.spark.sql.graft.Shim.expression(col("qv")),
+          org.apache.spark.sql.graft.Shim.expression(col("cs")), nprobe))))
+      .drop("cs")
+  }
+
   /** Seeded-sample + Lloyd codebook (16 rows, checkpointed per iteration
     * so downstream plans see plain attributes, not ITER nested lineages).
     */
@@ -257,12 +281,7 @@ object Knn {
       val assigned = assign(e, cents)
       val q = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val qSim = cosineSim(col("qv"), col("cv"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(qSim.desc, col("cent_id"))
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("rk", row_number().over(wProbe))
-        .filter(col("rk") <= NPROBE)
+      val probes = probe(q, cents, NPROBE)
         .select(col("query_id"), col("qv"), col("cent_id"))
       val cand = assigned.join(broadcast(probes), "cent_id")
         .filter(col("query_id") =!= col("vec_id"))
@@ -354,12 +373,7 @@ object Knn {
         .join(codes, "vec_id")
       val q = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val qSim = cosineSim(col("qv"), col("cv"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(qSim.desc, col("cent_id"))
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("rk", row_number().over(wProbe))
-        .filter(col("rk") <= NPROBE)
+      val probes = probe(q, cents, NPROBE)
         .select(col("query_id"), col("cent_id"))
         .join(codes.select(col("vec_id").as("query_id"),
           col("c").as("qc"), col("s").as("qs")), "query_id")
@@ -443,15 +457,18 @@ object Knn {
     * probes its NPROBE nearest centroids and scores only those inverted
     * lists.
     *
-    * Scale shape: candidates are scored IN the join projection and
-    * immediately projected to thin (query_id, neighbor_id, cosine) rows,
-    * so the only wide exchange is the cent_id-keyed list join;
-    * the per-query top-k window is preceded by Spark's partial
-    * WindowGroupLimit, which cuts each partition to k rows per query
-    * BEFORE the window shuffle — the shuffle carries O(n·k), not
-    * O(n·n/nlist). Probes are NOT broadcast (n·NPROBE rows — the corpus
-    * is the query set); the join partitions by cent_id, where nlist
-    * bounds skew exactly like knn_ivf's lists.
+    * Scale shape: probe selection is ZERO-exchange — the corpus-sized
+    * query set explodes its [[graft.functions.NearestCentroids]] top-k
+    * array map-side against the one-row broadcast codebook (see
+    * [[probe]]; a window formulation here shuffled n·nlist rows each
+    * carrying the full query vector). Candidates are scored IN the join
+    * projection and immediately projected to thin (query_id,
+    * neighbor_id, cosine) rows, so the only wide exchange is the
+    * cent_id-keyed list join (n·NPROBE probe rows — NOT broadcast, the
+    * corpus is the query set); the per-query top-k window is preceded
+    * by Spark's partial WindowGroupLimit, which cuts each partition to
+    * k rows per query BEFORE the window shuffle — the shuffle carries
+    * O(n·k), not O(n·n/nlist).
     */
   private val JOIN_K = 3
 
@@ -461,14 +478,9 @@ object Knn {
       val e = emb(s, dir)
       val cents = codebook(e)
       val assigned = assign(e, cents)
-      val qSim = cosineSim(col("qv"), col("cv"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(qSim.desc, col("cent_id"))
-      val probes = e
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("rk", row_number().over(wProbe))
-        .filter(col("rk") <= NPROBE)
+      val probes = probe(
+        e.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        cents, NPROBE)
         .select(col("query_id"), col("qv"), col("cent_id"))
       val cos = cosineSim(col("qv"), col("v"))
       val w = Window.partitionBy(col("query_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shim
 
-import graft.functions.{NearestCentroid, TokenMatchCount, Tokens, WordShingles}
+import graft.functions.{NearestCentroid, NearestCentroids, TokenMatchCount, Tokens, WordShingles}
 
 /** The codegen kernels must be drop-in equal to the composed (HOF) forms
   * they replaced — checked here on adversarial inputs (multi-space runs,
@@ -91,6 +91,53 @@ class KernelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got(100L) == 5L, "all-NaN cosines → lowest cent_id")
     assert(got(101L) == 7L, "regular argmax unaffected")
+  }
+
+  test("NearestCentroids top-k kernel == window rk<=k over the codebook") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("cs"))
+    val cos = graft.functions.CosineSim.cosineSim(col("v"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(cos.desc, col("cent_id"))
+    // k below, at, and above the codebook size — rank ORDER must match,
+    // not just the probe set
+    for (k <- Seq(1, 8, 16, 20)) {
+      val kernel = e.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), Shim.column(NearestCentroids(
+          Shim.expression(col("v")), Shim.expression(col("cs")), k))
+          .as("top"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val window = e.crossJoin(broadcast(cents))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("vec_id", "cent_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(_._1)
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_._3).map(_._2).toSeq }
+      assert(kernel == window, s"k=$k")
+    }
+  }
+
+  test("NearestCentroids: NaN cosine (zero-norm side) ranks first, " +
+      "array scan order breaks ties — like both engines' DESC orderings") {
+    val e = Seq((100L, Seq(1.0, 0.0)), (101L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val cents = Seq((5L, Seq(0.0, 1.0)), (7L, Seq(0.0, 0.0)),
+      (9L, Seq(1.0, 0.0))).toDF("cent_id", "cv")
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("cs"))
+    val got = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), Shim.column(NearestCentroids(
+        Shim.expression(col("v")), Shim.expression(col("cs")), 3)).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(100L) == Seq(7L, 9L, 5L),
+      "zero-norm CENTROID (NaN) first, then cosine desc")
+    assert(got(101L) == Seq(5L, 7L, 9L),
+      "zero-norm VECTOR: all NaN -> cent_id ascending")
   }
 
   test("NearestCentroid kernel == window argmax over the codebook") {

@@ -129,6 +129,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("nearest_centroid"))
   }
 
+  test("IVF probe selection is map-side: top-k kernel explodes with no " +
+      "corpus exchange") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val cents = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .localCheckpoint()
+    val probes = sim.Knn.probe(e, cents, 8)
+    probes.collect() // finalize the AQE plan
+    val plan = probes.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_centroids"), "kernel must be in-plan")
+    // the only allowed exchange is the SinglePartition collect_list of
+    // the 16-row codebook; the corpus-sized query side must reach the
+    // probe explode without shuffling (the window formulation put
+    // n·nlist wide rows through `Exchange hashpartitioning(query_id)`)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "probe selection must not shuffle the query set")
+  }
+
   test("minhash signature stage is map-only: kernel present, no exchange") {
     import org.apache.spark.sql.functions.col
     val sigPlan = Tables(spark, sfDir, "documents")
