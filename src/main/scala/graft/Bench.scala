@@ -18,15 +18,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.tune(spark)
     // Untimed session warm-up: first-action costs (parquet reader +
     // whole-stage-codegen framework + shuffle machinery init, ~4-5 s)
     // otherwise land entirely on whichever query Map order puts first,
-    // corrupting its number.
+    // corrupting its number. Warm EVERY table, not just a small one —
+    // the first cold scan of lineitem alone is ~1 s of page-cache and
+    // footer-read residue that otherwise inflates all reps of whichever
+    // query touches it first (BENCH_r03's q01_agg).
     import org.apache.spark.sql.functions.col
     spark.range(1000).repartition(4).groupBy(col("id") % 7).count()
       .write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
+    Tables.all.foreach { t =>
+      if (new java.io.File(s"$sfDir/$t.parquet").exists())
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to REPS).map { _ =>
         val t0 = System.nanoTime()
@@ -42,12 +49,20 @@ object Bench {
       }.sorted
       name -> (times(REPS / 2), times.head) // (median, min)
     }
+    // The driver captures a bounded window of output: keep the contract
+    // line COMPACT (3-decimal times, no per-query mins) so the whole
+    // object — total metric + all queries — fits. BENCH_r03 at full
+    // double precision with a second queries_min map blew the window and
+    // truncated 5 queries plus the total. Mins go to stderr as
+    // diagnostics only.
+    def r3(x: Double): String = f"$x%.3f"
     def obj(f: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+      results.map { case (k, v) => s"\"" + k + "\":" + r3(f(v)) }
         .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalMin = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$REPS,"total_min":$totalMin,"queries":${obj(_._1)},"queries_min":${obj(_._2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$REPS,"total_min":${r3(totalMin)},"queries":${obj(_._1)},"sf":"$sfDir"}""")
+    System.err.println(s"""[bench] queries_min=${obj(_._2)}""")
     spark.stop()
   }
 }
