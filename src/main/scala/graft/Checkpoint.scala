@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The materialization barrier every iterative / self-joining stage uses
+  * (shingle tables, LSH signatures, Lloyd codebooks, connected-component
+  * rounds): cuts lineage so Catalyst can't inline an expensive derived
+  * expression into post-explode projections (CollapseProject) or
+  * re-derive giant constraint trees through Filters, and so iterative
+  * plans don't nest ITER lineages deep.
+  *
+  * `localCheckpoint()` (the default) stores blocks in executor memory —
+  * fastest, but NOT fault-tolerant: losing an executor loses blocks with
+  * no lineage to recompute them, aborting the job. Fine on local[n];
+  * wrong posture for a 1000-executor cluster where executor loss is
+  * routine. Setting `spark.graft.checkpointDir` (session conf, or the
+  * `SPARK_GRAFT_CHECKPOINT_DIR` env var) flips EVERY barrier in the
+  * library to a reliable `checkpoint()` against that directory (HDFS/
+  * object store) — the documented 100 TB posture as one config switch,
+  * not a rewrite. CheckpointSpec proves results are identical either way.
+  */
+object Checkpoint {
+
+  val CONF_KEY = "spark.graft.checkpointDir"
+
+  private def reliableDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption(CONF_KEY)
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      .filter(_.nonEmpty)
+
+  /** Materialize `df` and cut its lineage — reliably when a checkpoint
+    * dir is configured, in executor memory otherwise.
+    */
+  def of(df: DataFrame): DataFrame = reliableDir(df) match {
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+}

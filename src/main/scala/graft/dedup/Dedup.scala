@@ -38,20 +38,21 @@ object Dedup {
   val TAU = 0.6
 
   /** (doc_id, sh: array<string>, nsh) for every document — materialized
-    * via localCheckpoint: every consumer self-joins this frame, and with a
-    * live lineage Catalyst re-inlines the whole split→filter→shingle
-    * expression tree on BOTH join sides AND re-derives it again during
-    * constraint propagation (the dominant planning cost here).
-    * Checkpointing evaluates the shingles exactly once and hands
-    * downstream plans plain attributes. At 100 TB this is the standard
-    * "materialize the shingle table" stage — use reliable `checkpoint()`
-    * (HDFS/object store) there so task retries can re-read it.
+    * via [[graft.Checkpoint.of]]: every consumer self-joins this frame,
+    * and with a live lineage Catalyst re-inlines the whole
+    * split→filter→shingle expression tree on BOTH join sides AND
+    * re-derives it again during constraint propagation (the dominant
+    * planning cost here). Checkpointing evaluates the shingles exactly
+    * once and hands downstream plans plain attributes. At 100 TB this is
+    * the standard "materialize the shingle table" stage — set
+    * `spark.graft.checkpointDir` to an HDFS/object-store path and every
+    * barrier becomes a reliable `checkpoint()` task retries can re-read.
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), K).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .localCheckpoint()
+      .transform(graft.Checkpoint.of)
 
   /** DuckDB-side shingle CTE mirroring [[shingles]] exactly. */
   private val sqlShingleCte =
@@ -139,6 +140,19 @@ object Dedup {
     * stage receives ZERO rows — the capped plan costs one extra thin df
     * aggregate over the uncapped one; at web scale the verify volume is
     * proportional to near-dup mass, not to Σdf².
+    *
+    * Documented recall edge of the cap trade (only reachable when V>0):
+    * a pair whose shared shingles are ALL viral has zero kept
+    * intersection, so the kept-shingle join never GENERATES it as a
+    * candidate and the bracket/verify stage never sees it — the bracket
+    * logic rejects exactly, but only among generated candidates. Such a
+    * miss requires both documents to be boilerplate-dominated: with
+    * kept intersection 0 and true jaccard ≥ τ, the shared viral set has
+    * ≥ τ(na+nb)/(1+τ) shingles, i.e. each doc is ≥ ~2τ/(1+τ) viral by
+    * shingle count (≥75% at τ=0.6). Near-dup detection on boilerplate-
+    * dominated docs is better served by first stripping the boilerplate
+    * (that is what df>cap identifies); callers who must pair them can
+    * opt out with `dfCap = None` on that slice.
     */
   val DEFAULT_DF_CAP = 1000
 
@@ -301,7 +315,7 @@ object Dedup {
     // checkpoint again: the band table feeds BOTH sides of the
     // self-join — with live lineage each side recomputes the kernel
     val buckets = bandBucketsFromShingles(ds)
-      .localCheckpoint()
+      .transform(graft.Checkpoint.of)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.doc_id") < col("y.doc_id"))
@@ -346,7 +360,7 @@ object Dedup {
             graft.functions.Winnow(
               org.apache.spark.sql.graft.Shim.expression(col("text")),
               K, WINDOW))).as("fp"))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       // MOSS ranks matches by shared-fingerprint COUNT; requiring
       // min(MIN_SHARED_FPS, |fps_a|, |fps_b|) drops the long tail of
       // long-doc pairs sharing a single ~11-token phrase (150k pairs on
@@ -409,7 +423,7 @@ object Dedup {
           graft.functions.Simhash(
             org.apache.spark.sql.graft.Shim.expression(col("text")),
             SIMBITS)).as("simhash"))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       val width = SIMBITS / SIMBANDS
       val banded = sims.select(col("doc_id"), col("simhash"),
           explode(array((0 until SIMBANDS).map(bnd =>
@@ -549,7 +563,7 @@ object Dedup {
       // projection and re-evaluates it per exploded row
       val sigs = e.select(col("vec_id"),
           graft.sim.Hyperplanes.buckets(eplanes, col("v")).as("bs"))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       val x = sigs.select(col("vec_id"), explode(col("bs")).as("b"))
         .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
       val cand = x.as("x").join(x.as("y"),
@@ -596,10 +610,10 @@ object Dedup {
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoint.of)
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .transform(graft.Checkpoint.of)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -611,7 +625,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") < col("o.label"))

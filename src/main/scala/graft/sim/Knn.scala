@@ -245,7 +245,7 @@ object Knn {
     val seeds = e
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), hk.as("hk"))
       .orderBy("hk", "cent_id").limit(NLIST).drop("hk")
-      .localCheckpoint()
+      .transform(graft.Checkpoint.of)
     (1 to ITER).foldLeft(seeds) { (cents, _) =>
       val sums = (0 until DIM).map(i =>
         sum(round(element_at(col("v"), i + 1), 6)
@@ -254,7 +254,7 @@ object Knn {
         .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
         .select(col("cent_id"), array((0 until DIM).map(i =>
           col(s"s$i").cast("double") / col("n")): _*).as("cv"))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
     }
   }
 
@@ -362,11 +362,11 @@ object Knn {
       // re-evaluation trap), then the code table materialized before the
       // joins below inline the O(d) transform into join projections
       val qz = e.withColumn("s", Quantize.int8Scale(col("v")))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       val codes = qz.select(col("vec_id"),
           Quantize.int8Codes(col("v"), col("s")).cast("array<double>")
             .as("c"), col("s"))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       val cents = codebook(e)
       // inverted lists carry (cent_id, codes, scale) — no float vectors
       val lists = assign(e, cents).select("vec_id", "cent_id")

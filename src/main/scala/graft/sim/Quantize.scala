@@ -43,7 +43,7 @@ object Quantize {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("scale_raw", int8Scale(col("v")))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       e.withColumn("codes", int8Codes(col("v"), col("scale_raw")))
         .select(
           col("vec_id"),

@@ -40,7 +40,7 @@ object SemDedup {
       val cents = Knn.codebook(e)
       // feeds both sides of the within-cluster self-join — checkpoint so
       // the broadcast-argmax kernel runs once per vector, not per side
-      val assigned = Knn.assign(e, cents).localCheckpoint()
+      val assigned = Knn.assign(e, cents).transform(graft.Checkpoint.of)
       val cos = cosineSim(col("va"), col("vb"))
       val dropped = assigned
         .select(col("cent_id"), col("vec_id").as("a_id"), col("v").as("va"))

@@ -185,15 +185,20 @@ object Streaming {
         // the compacted rows must stay visible to it)
         if (batchId > 0 && batchId % compactEvery == 0) {
           val target = batchId - 1
-          val old = readState().filter(col("batch_id") < target &&
-            col("batch_id") >= horizon)
+          // deletion candidates ignore the horizon: an EXPIRED partition
+          // (batch_id < horizon) is excluded from reads and from the
+          // fold, but its directory still sits on disk — without this it
+          // would never appear in oldIds and would accumulate forever
+          val old = readState().filter(col("batch_id") < target)
           val oldIds = old.select("batch_id").distinct()
             .collect().map(_.getLong(0)) // ≤ compactEvery ids, driver-tiny
           if (oldIds.nonEmpty) {
             // materialize BEFORE writing: the fold reads the very
             // partitions the dynamic overwrite rewrites — checkpointing
-            // breaks the read-while-overwrite cycle
-            val folded = old.select("band", "bh")
+            // breaks the read-while-overwrite cycle; only live
+            // (>= horizon) rows are folded forward
+            val folded = old.filter(col("batch_id") >= horizon)
+              .select("band", "bh")
               .union(readState().filter(col("batch_id") === target)
                 .select("band", "bh"))
               .distinct()

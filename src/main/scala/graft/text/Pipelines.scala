@@ -36,7 +36,7 @@ object Pipelines {
       val deduped = fp.join(keepers, "fp")
         .filter(col("doc_id") === col("keeper"))
         .select("doc_id", "lang", "text")
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       // 3. near-dup removal: drop the higher doc_id of each jaccard pair.
       // The shingle table is checkpointed BEFORE explode: CollapseProject
       // would otherwise inline the whole shingle-array expression into the
@@ -45,7 +45,7 @@ object Pipelines {
       val sh = deduped
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .withColumn("nsh", size(col("sh")))
-        .localCheckpoint()
+        .transform(graft.Checkpoint.of)
       val drops = Dedup.jaccardPairs(sh, Dedup.TAU)
         .select(col("b_id").as("doc_id")).distinct()
       val clean = deduped.join(drops, Seq("doc_id"), "left_anti")

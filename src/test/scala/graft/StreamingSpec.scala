@@ -391,6 +391,29 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("minhashDedupSink retention deletes expired partitions at " +
+      "compaction (no storage leak)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndr").toString
+    val sink = Streaming.minhashDedupSink(s"$tmp/state", 64, 16,
+      compactEvery = 4, retentionBatches = Some(2L)) { _ => () }
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 240)
+      .localCheckpoint()
+    (0 until 9).foreach { b =>
+      sink(docs.filter(col("doc_id") >= b * 25 &&
+        col("doc_id") < (b + 1) * 25).localCheckpoint(), b.toLong)
+    }
+    // compactions ran at batch 4 (target 3) and batch 8 (target 7):
+    // every partition older than the target must be GONE from disk —
+    // including ones past the retention horizon, which the fold skips
+    // but the delete pass must still collect
+    val parts = new java.io.File(s"$tmp/state").listFiles
+      .filter(_.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted.toSeq
+    assert(parts.forall(_ >= 7),
+      s"partitions older than the last compaction target leaked: $parts")
+  }
+
   test("minhashDedupSink tolerates a zero-shingle first batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nde").toString
