@@ -256,37 +256,76 @@ object Streaming {
     * clicks, so equal timestamps match, and same-(user,ts) purchases
     * resolve to the max eventId — the batch dedup rule). Late purchases
     * never rewind state (a purchase older than the stored one is
-    * ignored); late clicks enrich against current state. State never
-    * expires (a purchase stays matchable forever, like the batch
-    * semantics); bound it with a timeout if the user domain is unbounded.
+    * ignored); late clicks enrich against current state.
+    *
+    * State lifetime: by default a purchase stays matchable forever
+    * (like the batch semantics) — an UNBOUNDED user domain then grows
+    * state without bound. `idleTimeoutMs = Some(ttl)` bounds it with an
+    * event-time TTL: a user with no activity (purchase OR click) for
+    * `ttl` of event time has their stored purchase dropped once the
+    * watermark passes; later clicks of that user enrich to None until a
+    * new purchase arrives. Within the horizon — every per-user gap
+    * ≤ ttl — output is IDENTICAL to the unbounded form (StreamingSpec
+    * asserts both halves). The watermark also starts dropping
+    * later-than-watermark events upstream, the standard trade of
+    * bounding online state.
     */
-  def asofEnrich(events: Dataset[AsofEv]): Dataset[EnrichedClick] = {
+  def asofEnrich(events: Dataset[AsofEv],
+      idleTimeoutMs: Option[Long] = None,
+      watermarkDelay: String = "2 hours"): Dataset[EnrichedClick] = {
     import events.sparkSession.implicits._
-    events
+    val keyed = idleTimeoutMs match {
+      case Some(ttl) =>
+        require(ttl > 0, s"idleTimeoutMs must be > 0, got $ttl")
+        events.withColumn("event_time", timestamp_millis(col("tsMs")))
+          .withWatermark("event_time", watermarkDelay)
+          .as[AsofEv]
+      case None => events
+    }
+    val timeoutConf = if (idleTimeoutMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    keyed
       .groupByKey(_.userId)
       .flatMapGroupsWithState[AsofState, EnrichedClick](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[AsofEv], state: GroupState[AsofState]) =>
-          // purchases before clicks at equal ts (equal timestamps match);
-          // eventId last so the max id wins same-(user,ts) purchase dedup
-          val sorted = rows.toSeq.sortBy(e =>
-            (e.tsMs, !e.isPurchase, e.eventId))
-          val out = Seq.newBuilder[EnrichedClick]
-          var cur = state.getOption.orNull
-          for (e <- sorted) {
-            if (e.isPurchase) {
-              if (cur == null || e.tsMs > cur.purchaseMs ||
-                  (e.tsMs == cur.purchaseMs && e.eventId > cur.purchaseId))
-                cur = AsofState(e.tsMs, e.eventId)
-            } else {
-              out += (if (cur != null && cur.purchaseMs <= e.tsMs)
-                EnrichedClick(e.eventId, userId, e.tsMs,
-                  Some(cur.purchaseId), Some(cur.purchaseMs))
-              else EnrichedClick(e.eventId, userId, e.tsMs, None, None))
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove() // idle past the horizon: forget the purchase
+            Iterator.empty
+          } else {
+            // purchases before clicks at equal ts (equal timestamps
+            // match); eventId last so the max id wins same-(user,ts)
+            // purchase dedup
+            val sorted = rows.toSeq.sortBy(e =>
+              (e.tsMs, !e.isPurchase, e.eventId))
+            val out = Seq.newBuilder[EnrichedClick]
+            var cur = state.getOption.orNull
+            for (e <- sorted) {
+              if (e.isPurchase) {
+                if (cur == null || e.tsMs > cur.purchaseMs ||
+                    (e.tsMs == cur.purchaseMs && e.eventId > cur.purchaseId))
+                  cur = AsofState(e.tsMs, e.eventId)
+              } else {
+                out += (if (cur != null && cur.purchaseMs <= e.tsMs)
+                  EnrichedClick(e.eventId, userId, e.tsMs,
+                    Some(cur.purchaseId), Some(cur.purchaseMs))
+                else EnrichedClick(e.eventId, userId, e.tsMs, None, None))
+              }
             }
+            if (cur != null) {
+              state.update(cur)
+              idleTimeoutMs.foreach { ttl =>
+                // horizon anchors to the user's LATEST activity; clamped
+                // above the current watermark (a very late slice must
+                // not set an already-expired timeout, which Spark
+                // rejects)
+                val anchor = math.max(sorted.last.tsMs + ttl,
+                  state.getCurrentWatermarkMs() + 1)
+                state.setTimeoutTimestamp(anchor)
+              }
+            }
+            out.result().iterator
           }
-          if (cur != null) state.update(cur)
-          out.result().iterator
       }
   }
 

@@ -262,6 +262,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrich with idle TTL equals the unbounded form within the " +
+      "horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AsofEv
+    val all = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        (col("event_type") === "purchase").as("isPurchase"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (e, u, t, p) => AsofEv(e, u, t, p) }
+      .sortBy(e => (e.tsMs, e.eventId))
+    val n = all.length
+    def cut(target: Int): Int = {
+      var i = target
+      while (i < n && all(i).tsMs == all(i - 1).tsMs) i += 1
+      i
+    }
+    val (i1, i2) = (cut(n / 3), cut(2 * n / 3))
+    val batches = Seq(all.slice(0, i1), all.slice(i1, i2),
+      all.slice(i2, n)).filter(_.nonEmpty)
+    val mem = MemoryStream[AsofEv]
+    // ttl far beyond the table's time span: every per-user gap is
+    // within the horizon, so output must be IDENTICAL to the unbounded
+    // form (proven equal to the batch operator in the spec above)
+    val q = Streaming.asofEnrich(mem.toDS(),
+        idleTimeoutMs = Some(Long.MaxValue / 4))
+      .writeStream.format("memory")
+      .queryName("asof_enrich_ttl").outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("asof_enrich_ttl")
+        .select("eventId", "purchaseId", "purchaseMs")
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .sortBy(_._1).toSeq
+      val expected = SparkEntry.queries("asof_join_native")(spark, sfDir)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .sortBy(_._1).toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("asofEnrich idle TTL forgets a purchase past the horizon; " +
+      "active users keep matching") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AsofEv
+    val mem = MemoryStream[AsofEv]
+    val q = Streaming.asofEnrich(mem.toDS(),
+        idleTimeoutMs = Some(5000L), watermarkDelay = "0 seconds")
+      .writeStream.format("memory")
+      .queryName("asof_enrich_exp").outputMode("append").start()
+    try {
+      // user 1 purchases then goes idle; user 2 purchases and stays
+      // active (every gap <= ttl), keeping its state alive
+      val feed = Seq(
+        Seq(AsofEv(11, 1, 1000, true), AsofEv(21, 2, 1000, true)),
+        Seq(AsofEv(22, 2, 6000, false)),
+        Seq(AsofEv(23, 2, 11000, false)),
+        Seq(AsofEv(24, 2, 16000, false)), // wm 11000 > 6000: u1 expires
+        Seq(AsofEv(12, 1, 17000, false), AsofEv(25, 2, 17500, false)))
+      feed.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("asof_enrich_exp")
+        .select("eventId", "purchaseId")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got(22L) == Some(21L) && got(23L) == Some(21L) &&
+        got(24L) == Some(21L) && got(25L) == Some(21L),
+        "active user keeps matching across the whole stream")
+      assert(got(12L).isEmpty,
+        "idle-past-horizon user's purchase must be forgotten")
+    } finally q.stop()
+  }
+
   test("foreachBatch minhash dedup equals the batch earlier-bucket rule") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables(spark, sfDir, "documents")
