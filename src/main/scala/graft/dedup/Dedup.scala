@@ -679,7 +679,120 @@ object Dedup {
     FROM documents d2 LEFT JOIN cmin c ON d2.doc_id = c.doc_id
     ORDER BY d2.doc_id"""))
 
+  // ---------------------------------------------------- dedup_substring
+  /** Exact duplicated-SUBSTRING detection (Lee et al. 2022, arXiv:
+    * 2107.06499 — "Deduplicating Training Data Makes Language Models
+    * Better" removes repeated ≥50-token runs rather than whole near-dup
+    * docs): per document, every maximal token run of length ≥ SUB_L
+    * whose text occurs at least twice in the corpus (across documents
+    * or within one).
+    *
+    * The paper builds one suffix array — a single-node privilege. The
+    * distributed shape uses positional L-gram postings: a duplicated
+    * run of length m ≥ L is EXACTLY a run of m−L+1 consecutive
+    * duplicated L-grams, so (1) `posexplode` the non-distinct
+    * [[graft.functions.WordShingles]] kernel (map-side, codegen'd), (2)
+    * one count aggregate over md5-hashed 8-byte gram keys — never the
+    * ~60 B gram strings — finds grams with total multiplicity ≥ 2
+    * (the grams→count and grams→join sides shuffle on the same key, so
+    * the planner reuses ONE exchange), (3) surviving thin (doc_id, pos)
+    * positions merge into maximal spans with a gaps-and-islands window
+    * PER DOC (bounded by doc length, never corpus-wide). Overlapping or
+    * adjacent spans coalesce, so `dup_tokens` is the exact size of the
+    * duplicated-position union.
+    */
+  private val SUB_L = 6
+
+  /** Maximal duplicated-run spans per doc: (doc_id, dup_spans,
+    * dup_tokens) for docs that have any; `docs` needs (doc_id, text).
+    */
+  def substringSpans(docs: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramArr = org.apache.spark.sql.graft.Shim.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Shim.expression(col("text")), l,
+        distinct = false))
+    // the thin positional posting table (3 longs/row) is consumed twice
+    // (multiplicity count + position join); checkpointing evaluates
+    // scan→kernel→explode→md5 ONCE instead of once per consumer
+    val grams = docs
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("gh"))
+      .transform(graft.Checkpoint.of)
+    val hot = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    val dup = grams.join(hot, "gh").select("doc_id", "pos")
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk", when(col("pos") >
+          coalesce(max(col("pos") + lit(l - 1)).over(wPrev), lit(-1L))
+            + 1, lit(1L))
+        .otherwise(lit(0L)))
+      .withColumn("island", sum("brk").over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max(col("pos")) + lit(l - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+  }
+
+  /** One positional L-gram as a DuckDB concat over the token list. */
+  private def sqlGramExpr(l: Int): String =
+    (0 until l).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString(" || ' ' || ")
+
+  private val substringDedup = Q(
+    "dedup_substring",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(substringSpans(docs.select("doc_id", "text"), SUB_L),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, u.s.p AS pos,
+        ('0x' || substr(md5(u.s.g), 1, 15))::BIGINT AS gh
+      FROM toks, UNNEST([struct_pack(p := i, g := ${sqlGramExpr(SUB_L)})
+        for i in range(1, greatest(len(w) - ${SUB_L - 2}, 1))]) u(s)),
+    hot AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+    dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > COALESCE(MAX(pos + ${SUB_L - 1}) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+          THEN 1 ELSE 0 END AS brk
+      FROM dup),
+    isl2 AS (SELECT doc_id, pos,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl),
+    spans AS (SELECT doc_id, island, MIN(pos) AS s,
+        MAX(pos) + ${SUB_L - 1} AS e
+      FROM isl2 GROUP BY 1, 2),
+    agg AS (SELECT doc_id, COUNT(*) AS dup_spans,
+        SUM(e - s + 1)::BIGINT AS dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+      len(list_filter(string_split(text,' '), t -> t <> ''))::BIGINT
+        AS n_tokens,
+      COALESCE(a.dup_spans, 0) AS dup_spans,
+      COALESCE(a.dup_tokens, 0) AS dup_tokens
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
-      embeddingLsh, clusters)
+      embeddingLsh, clusters, substringDedup)
 }

@@ -102,6 +102,38 @@ class DedupSpec extends SparkSpec {
     assert(labels(6L) == 6L && labels(7L) == 6L)
   }
 
+  test("substringSpans finds cross-doc runs, within-doc repeats, and " +
+      "merges overlapping grams into maximal spans") {
+    import org.apache.spark.sql.functions._
+    def ws(p: String, from: Int, to: Int) =
+      (from to to).map(i => s"$p$i").mkString(" ")
+    val run = ws("x", 1, 6) // the 6-token shared run
+    val docs = spark.createDataFrame(Seq(
+        // docs 1,2 share exactly one 6-token run, at positions 11 and 6
+        (1L, ws("a", 1, 10) + " " + run + " " + ws("b", 1, 4)),
+        (2L, ws("c", 1, 5) + " " + run + " " + ws("d", 1, 8)),
+        // doc 3 repeats a 6-token run WITHIN itself, separated by one
+        // token: two maximal spans of 6, no merge (gap of 1 at pos 7)
+        (3L, ws("e", 1, 6) + " gap1 " + ws("e", 1, 6)),
+        // doc 4 has no duplicated run
+        (4L, ws("f", 1, 12)),
+        // docs 5,6 are identical 12-token docs: 7 overlapping duplicated
+        // grams merge into ONE maximal 12-token span
+        (5L, ws("g", 1, 12)),
+        (6L, ws("g", 1, 12))))
+      .toDF("doc_id", "text")
+    val got = dedup.Dedup.substringSpans(docs, 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((1L, 6L)) && got(2L) == ((1L, 6L)),
+      "one 6-token span each for the shared run")
+    assert(got(3L) == ((2L, 12L)),
+      "within-doc repeat: two spans, not merged across the 1-token gap")
+    assert(!got.contains(4L), "no duplicated run -> no row")
+    assert(got(5L) == ((1L, 12L)) && got(6L) == ((1L, 12L)),
+      "overlapping grams coalesce into one maximal span")
+  }
+
   test("simhash drops token-less docs instead of pairing them at zero") {
     import org.apache.spark.sql.functions._
     // the oracle's unnest produces no tok rows for empty docs, so they
