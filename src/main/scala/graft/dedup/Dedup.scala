@@ -679,6 +679,63 @@ object Dedup {
     FROM documents d2 LEFT JOIN cmin c ON d2.doc_id = c.doc_id
     ORDER BY d2.doc_id"""))
 
+  // -------------------------------------------------------- dedup_cross
+  /** Incremental / CROSS-corpus dedup — check a NEW slice against an
+    * existing BASE corpus (the production shape: every incoming crawl
+    * slice is deduped against everything already ingested, never
+    * re-pairing base against itself): MinHash band buckets from the ONE
+    * shared signature pipeline, candidates = bucket collisions joined
+    * ACROSS the two sides only (no base×base, no new×new), exact
+    * jaccard verifies. Every new doc reports whether a base near-dup
+    * exists and the smallest matching base doc_id.
+    *
+    * Scale: the base bucket table is what a production pipeline keeps
+    * MATERIALIZED and appends to per slice (the streaming twin is
+    * `minhashDedupSink`'s state dir); the cross join's volume is
+    * candidate-mass-proportional exactly like dedup_minhash_lsh, and
+    * the new slice — typically ≪ base — is the natural broadcast side
+    * when small enough. The oracle is the ground-truth exact-jaccard
+    * cross-pair set, so a green row proves full cross-corpus recall.
+    */
+  private val NEW_SOURCES = Seq("src0", "src1")
+
+  private val cross = Q(
+    "dedup_cross",
+    (s, dir) => {
+      val isNew = col("source").isin(NEW_SOURCES: _*)
+      val src = Tables(s, dir, "documents").select(col("doc_id"),
+        isNew.as("is_new"))
+      val ds = docShingles(s, dir)
+      val b = bandBucketsFromShingles(ds).join(src, "doc_id")
+      val cand = b.filter(col("is_new")).as("x")
+        .join(b.filter(!col("is_new")).as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val matched = verifyJaccard(cand, ds, TAU)
+        .groupBy(col("a_id").as("doc_id")).agg(min("b_id").as("dup_of"))
+      src.filter(col("is_new")).select("doc_id")
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+          col("dup_of"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $sqlShingleCte,
+    lab AS (SELECT s.doc_id, sh,
+        source IN (${NEW_SOURCES.map(x => s"'$x'").mkString(",")}) AS isnew
+      FROM s JOIN documents USING (doc_id)),
+    p AS (SELECT n.doc_id AS new_id, b.doc_id AS base_id
+      FROM lab n, lab b WHERE n.isnew AND NOT b.isnew
+        AND len(list_intersect(n.sh, b.sh)) * 1.0 /
+          (len(n.sh) + len(b.sh) - len(list_intersect(n.sh, b.sh)))
+          >= $TAU),
+    m AS (SELECT new_id AS doc_id, MIN(base_id) AS dup_of FROM p
+      GROUP BY new_id)
+    SELECT d.doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of
+    FROM documents d LEFT JOIN m USING (doc_id)
+    WHERE d.source IN (${NEW_SOURCES.map(x => s"'$x'").mkString(",")})
+    ORDER BY doc_id"""))
+
   // ---------------------------------------------------- dedup_substring
   /** Exact duplicated-SUBSTRING detection (Lee et al. 2022, arXiv:
     * 2107.06499 — "Deduplicating Training Data Makes Language Models
@@ -794,5 +851,5 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
-      embeddingLsh, clusters, substringDedup)
+      embeddingLsh, clusters, substringDedup, cross)
 }
