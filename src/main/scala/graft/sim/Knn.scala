@@ -526,5 +526,66 @@ object Knn {
       WHERE p.query_id <> a.vec_id)
     WHERE rank <= $JOIN_K ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfQuantized, knnJoin)
+  // ---------------------------------------------------- kmeans_train/assign
+  /** The trained Lloyd codebook and its corpus assignment as first-class
+    * OPERATORS (k-means clustering is its own pipeline stage — corpus
+    * partitioning for curriculum/mixing, SemDeDup's clustering step,
+    * IVF index builds — not just an internal of knn_ivf): `kmeans_train`
+    * emits the k×dim codebook exploded to (cent_id, dim_idx, component)
+    * rows (arrays don't cross the oracle hash; components ship as RAW
+    * doubles — the decimal-exact order-independent sums divide once in
+    * IEEE, so both engines hold bit-identical values and re-rounding
+    * would only reintroduce half-even-vs-half-up tie drift),
+    * `kmeans_assign` the zero-shuffle broadcast-argmax
+    * assignment of every corpus vector. Training is the [[codebook]]
+    * pipeline shared with knn_ivf/dedup_semantic — one implementation,
+    * three oracle gates on it.
+    */
+  private val kmeansTrain = Q(
+    "kmeans_train",
+    (s, dir) => {
+      val cents = codebook(emb(s, dir))
+      cents.select(col("cent_id"),
+          posexplode(col("cv")).as(Seq("d0", "v")))
+        .select(col("cent_id"), (col("d0") + 1).cast("long").as("dim_idx"),
+          col("v").as("component"))
+        .orderBy("cent_id", "dim_idx")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        vec_id
+      LIMIT $NLIST),
+    ${sqlLloyd("c0", "a1", "c1")},
+    ${sqlLloyd("c1", "a2", "c2")}
+    SELECT cent_id, g.i AS dim_idx, cv[g.i] AS component
+    FROM c2, range(1, ${DIM + 1}) g(i)
+    ORDER BY cent_id, dim_idx"""))
+
+  private val kmeansAssign = Q(
+    "kmeans_assign",
+    (s, dir) => {
+      val e = emb(s, dir)
+      assign(e, codebook(e))
+        .select(col("vec_id"), col("cent_id"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        vec_id
+      LIMIT $NLIST),
+    ${sqlLloyd("c0", "a1", "c1")},
+    ${sqlLloyd("c1", "a2", "c2")}
+    SELECT vec_id, cent_id FROM (
+      SELECT e.vec_id, c.cent_id,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+          AS rk
+      FROM e, c2 c) WHERE rk = 1 ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfQuantized, knnJoin,
+    kmeansTrain, kmeansAssign)
 }

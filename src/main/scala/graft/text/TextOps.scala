@@ -432,6 +432,37 @@ object TextOps {
       md5(chunk) AS chunk_md5
     FROM c ORDER BY doc_id, chunk_id"""))
 
+  // ---------------------------------------------------------- corpus_stats
+  /** Per-(lang, source) corpus composition dashboard — the numbers a
+    * mixing/curriculum decision reads first: doc and token volume,
+    * character volume, and distinct normalized fingerprints (so
+    * `n_docs - distinct_fps` = exact-dup mass per cell). One
+    * map-side-combined aggregate over the corpus; the distinct count
+    * plans as Spark's two-phase partial-distinct aggregate, never a
+    * driver-side collect.
+    */
+  private val corpusStats = Q(
+    "corpus_stats",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          size(tokens(col("text"))).cast("long").as("ntok"),
+          col("n_chars"), normalizedMd5(col("text")).as("fp"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          countDistinct(col("fp")).as("distinct_fps"))
+        .orderBy("lang", "source")
+    },
+    Some("""SELECT lang, source, COUNT(*) AS n_docs,
+      SUM(len(list_filter(string_split(text,' '), t -> t <> '')))::BIGINT
+        AS total_tokens,
+      SUM(n_chars)::BIGINT AS total_chars,
+      COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')))
+        AS distinct_fps
+    FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
-    repetition, quality, tfidf, chunk)
+    repetition, quality, tfidf, chunk, corpusStats)
 }

@@ -68,6 +68,8 @@ class PlanSpec extends SparkSpec {
     "knn_ivf",          // broadcast 16-centroid codebook
     "knn_ivf_quantized", // same broadcast codebook argmax as knn_ivf
     "knn_join",         // same broadcast codebook (corpus-wide probes)
+    "kmeans_train",     // same broadcast codebook argmax (Lloyd iterations)
+    "kmeans_assign",    // same broadcast codebook argmax
     "q18_corr_scalar",  // broadcast 1-row aggregate threshold
     "sample_stratified", // broadcast 1-row min-source-count aggregate
     "text_tfidf",       // broadcast 1-row corpus-count aggregate
