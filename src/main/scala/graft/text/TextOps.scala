@@ -463,6 +463,82 @@ object TextOps {
         AS distinct_fps
     FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
+  // --------------------------------------------------------- text_lm_score
+  /** Corpus-trained bigram-LM fluency score — the statistical
+    * language-model filter stage (the CCNet/KenLM recipe: score every
+    * document under a small LM, gate or bucket on the score) with the
+    * corpus itself as training data: per doc, the mean MLE bigram
+    * probability `avg over positions of p(w2|w1) = c(w1 w2) / c(w1·)`
+    * where both counts come from the whole corpus and `c(w1·)` is the
+    * CONTEXT count (bigrams starting with w1), so Σ_w2 p(w2|w1) = 1
+    * exactly. Repetitive template-like docs score high, odd
+    * token sequences score low.
+    *
+    * Cross-engine exactness without logs (ln() ulp drift is why this is
+    * a probability mean, not log-perplexity) and without float rounding
+    * (round(x,6) itself drifts on near-ties — the kmeans_train lesson):
+    * each term is the exact INTEGER `c2·10⁶ DIV c1` (floor millionths),
+    * the per-doc sum stays integral and order-independent, and the
+    * final mean is ONE IEEE division by `n·10⁶` — integer arithmetic
+    * end-to-end up to the last operation.
+    *
+    * Scale shape: ONE checkpointed thin gram stream (doc_id + two
+    * 8-byte hashes per position — the ~60 B gram strings never leave
+    * the map side), two map-side-combined count aggregates over it
+    * (vocab- and vocab²-bounded), two hash joins back, one per-doc
+    * aggregate. No windows, no self-joins.
+    */
+  private val lmScore = Q(
+    "text_lm_score",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val gramArr = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 2,
+          distinct = false))
+      def h(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val grams = d
+        .select(col("doc_id"), explode(gramArr).as("g"))
+        .select(col("doc_id"), h(substring_index(col("g"), " ", 1)).as("h1"),
+          h(col("g")).as("h2"))
+        .transform(graft.Checkpoint.of)
+      val ctx = grams.groupBy("h1").agg(count(lit(1)).as("c1"))
+      val big = grams.groupBy("h2").agg(count(lit(1)).as("c2"))
+      val scored = grams.join(big, "h2").join(ctx, "h1")
+        .withColumn("term", expr("c2 * 1000000 DIV c1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum("term").cast("double") /
+            (count(lit(1)) * lit(1000000.0))).as("lm_score"))
+      d.select("doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("lm_score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(u.s.a), 1, 15))::BIGINT AS h1,
+        ('0x' || substr(md5(u.s.g), 1, 15))::BIGINT AS h2
+      FROM toks, UNNEST([struct_pack(a := w[i], g := w[i] || ' ' || w[i+1])
+        for i in range(1, greatest(len(w), 1))]) u(s)),
+    ctx AS (SELECT h1, COUNT(*) AS c1 FROM grams GROUP BY h1),
+    big AS (SELECT h2, COUNT(*) AS c2 FROM grams GROUP BY h2),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM((c2 * 1000000) // c1)::BIGINT AS DOUBLE)
+          / (COUNT(*) * 1000000.0) AS lm_score
+      FROM grams JOIN big USING (h2) JOIN ctx USING (h1)
+      GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
-    repetition, quality, tfidf, chunk, corpusStats)
+    repetition, quality, tfidf, chunk, corpusStats, lmScore)
 }
