@@ -134,6 +134,36 @@ class DedupSpec extends SparkSpec {
       "overlapping grams coalesce into one maximal span")
   }
 
+  test("dedup_cross flags only new-vs-base near-dups, never " +
+      "new-vs-new, and reports the min base match") {
+    import org.apache.spark.sql.functions._
+    val body = (1 to 30).map(i => s"qqw$i").mkString(" ")
+    val other = (31 to 60).map(i => s"qqw$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cross").toString
+    // src0/src1 are the NEW slice, src9 is base. Docs 1,2 (new) and
+    // 10,11 (base) share one text; doc 3 (new) matches nothing in base
+    // even though it duplicates NEW doc 1 — must stay un-flagged.
+    spark.createDataFrame(Seq(
+        (1L, body, "en", "src0", 1L),
+        (2L, body, "en", "src1", 1L),
+        (3L, body, "en", "src0", 1L),
+        (4L, other, "en", "src1", 1L),
+        (10L, body, "en", "src9", 1L),
+        (11L, body, "en", "src9", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("dedup_cross")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "one row per NEW doc only")
+    assert(got(1L) == ((true, Some(10L))), "min base id wins")
+    assert(got(2L) == ((true, Some(10L))))
+    assert(got(3L) == ((true, Some(10L))),
+      "new-new dup also matching base is flagged via base")
+    assert(got(4L) == ((false, None)), "no base match -> not flagged")
+  }
+
   test("simhash drops token-less docs instead of pairing them at zero") {
     import org.apache.spark.sql.functions._
     // the oracle's unnest produces no tok rows for empty docs, so they

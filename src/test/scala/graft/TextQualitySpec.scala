@@ -39,4 +39,26 @@ class TextQualitySpec extends SparkSpec {
     // the filter discriminates: keeps most docs, drops a real minority
     assert(kept > docs.length / 2 && kept < docs.length)
   }
+
+  test("text_lm_score: MLE conditionals sum to 1 per context, floor " +
+      "millionths, null score for bigram-less docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // grams: "a b" ×2 (docs 1,2), "a c" ×1 (doc 3) ⇒ c(a·)=3,
+    // p(b|a)=2/3 → floor 666666, p(c|a)=1/3 → floor 333333
+    spark.createDataFrame(Seq(
+        (1L, "a b", "en", "s", 3L), (2L, "a b", "en", "s", 3L),
+        (3L, "a c", "en", "s", 3L), (4L, "solo", "en", "s", 4L),
+        (5L, "", "en", "s", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("text_lm_score")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got(1L) == ((1L, Some(0.666666))) &&
+      got(2L) == ((1L, Some(0.666666))))
+    assert(got(3L) == ((1L, Some(0.333333))))
+    assert(got(4L) == ((0L, None)) && got(5L) == ((0L, None)),
+      "docs without bigrams report n=0 and null score")
+  }
 }
