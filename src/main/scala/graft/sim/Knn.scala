@@ -273,31 +273,12 @@ object Knn {
         FROM e, $prev c) WHERE rk = 1),
     $c AS (SELECT cent_id, $sqlMeanList AS cv FROM $a GROUP BY cent_id)"""
 
-  private val ivf = Q(
-    "knn_ivf",
-    (s, dir) => {
-      val e = emb(s, dir)
-      val cents = codebook(e)
-      val assigned = assign(e, cents)
-      val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val probes = probe(q, cents, NPROBE)
-        .select(col("query_id"), col("qv"), col("cent_id"))
-      val cand = assigned.join(broadcast(probes), "cent_id")
-        .filter(col("query_id") =!= col("vec_id"))
-      val cos = cosineSim(col("qv"), col("v"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cos.desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("rank"), round(cos, 6).as("cosine"))
-        .orderBy("query_id", "rank")
-    },
-    // fully deterministic (hash-order seeds, decimal-exact Lloyd means,
-    // cosine ties broken by id), so the whole trained-IVF pipeline is
-    // mirrorable as ground truth
-    Some(s"""WITH e AS (
+  /** The full trained-IVF mirror (seed sample, 2 Lloyd iterations,
+    * assignment, probe, score) — shared verbatim by `knn_ivf` and
+    * `knn_ivf_persisted`: the persisted variant changes WHERE the
+    * inverted lists are read from, not what they contain.
+    */
+  private lazy val sqlIvf = s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
@@ -328,7 +309,84 @@ object Knn {
         round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
       FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
       WHERE p.query_id <> a.vec_id)
-    WHERE rank <= $K ORDER BY query_id, rank"""))
+    WHERE rank <= $K ORDER BY query_id, rank"""
+
+  private val ivf = Q(
+    "knn_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = codebook(e)
+      val assigned = assign(e, cents)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val probes = probe(q, cents, NPROBE)
+        .select(col("query_id"), col("qv"), col("cent_id"))
+      val cand = assigned.join(broadcast(probes), "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    // fully deterministic (hash-order seeds, decimal-exact Lloyd means,
+    // cosine ties broken by id), so the whole trained-IVF pipeline is
+    // mirrorable as ground truth
+    Some(sqlIvf))
+
+  // ---------------------------------------------------- knn_ivf_persisted
+  /** IVF as a PERSISTED index — the build-once / query-many shape a
+    * production vector store actually runs (knn_ivf retrains per
+    * query): the trained codebook and the assigned inverted lists are
+    * written out once, lists PARTITIONED BY cent_id, and the query
+    * side runs against the files. Because cent_id is a partition
+    * column and the probe side joins it through a broadcast, Spark's
+    * dynamic partition pruning turns the probe set into a directory
+    * filter — a query READS only its nprobe/nlist share of the index
+    * from storage (KnnSpec asserts `dynamicpruning` reaches the list
+    * scan), which at 100 TB is the difference between an 8/16-list
+    * read and a full-index scan per query batch.
+    *
+    * Results are identical to knn_ivf by construction (same training,
+    * same probes, same scoring; doubles round-trip parquet bit-exactly;
+    * the partition column is re-cast to long on read — partition
+    * directory names infer as int), so the oracle is [[sqlIvf]]
+    * verbatim.
+    */
+  private val ivfPersisted = Q(
+    "knn_ivf_persisted",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = codebook(e)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString
+      // index build: lists partitioned by the coarse cell, tiny codebook
+      // alongside — at cluster scale this is the one-time build job
+      assign(e, cents).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(s"$idx/lists")
+      cents.write.mode("overwrite").parquet(s"$idx/cents")
+      val lists = s.read.parquet(s"$idx/lists")
+        .withColumn("cent_id", col("cent_id").cast("long"))
+      val cbook = s.read.parquet(s"$idx/cents")
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val probes = probe(q, cbook, NPROBE)
+        .select(col("query_id"), col("qv"), col("cent_id"))
+      val cand = lists.join(broadcast(probes), "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(sqlIvf))
 
   // ---------------------------------------------------- knn_ivf_quantized
   /** IVF with int8-quantized candidate scoring — the 100 TB memory play:
@@ -586,6 +644,6 @@ object Knn {
           AS rk
       FROM e, c2 c) WHERE rk = 1 ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfQuantized, knnJoin,
-    kmeansTrain, kmeansAssign)
+  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfPersisted, ivfQuantized,
+    knnJoin, kmeansTrain, kmeansAssign)
 }

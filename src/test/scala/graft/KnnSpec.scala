@@ -48,6 +48,22 @@ class KnnSpec extends SparkSpec {
     assert(rQuant >= rFloat - 0.02)
   }
 
+  test("knn_ivf_persisted equals knn_ivf and prunes list partitions " +
+      "dynamically") {
+    val d = SparkEntry.queries("knn_ivf_persisted")(spark, sfDir)
+    val got = d.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = SparkEntry.queries("knn_ivf")(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, "persisted index must answer exactly like knn_ivf")
+    // the probe set must reach the list scan as a DYNAMIC partition
+    // filter: a query batch reads nprobe/nlist of the index from disk,
+    // not all of it
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "probe join must dynamically prune cent_id partitions at the scan")
+  }
+
   test("knn_join covers the whole corpus with partial top-k pushdown") {
     val d = SparkEntry.queries("knn_join")(spark, sfDir)
     val rows = d.collect()

@@ -67,6 +67,7 @@ class PlanSpec extends SparkSpec {
     "knn_bruteforce",   // broadcast query set vs corpus (no equi key exists)
     "knn_ivf",          // broadcast 16-centroid codebook
     "knn_ivf_quantized", // same broadcast codebook argmax as knn_ivf
+    "knn_ivf_persisted", // same broadcast codebook (train + probe)
     "knn_join",         // same broadcast codebook (corpus-wide probes)
     "kmeans_train",     // same broadcast codebook argmax (Lloyd iterations)
     "kmeans_assign",    // same broadcast codebook argmax
