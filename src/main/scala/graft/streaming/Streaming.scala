@@ -31,8 +31,15 @@ final case class AsofEv(eventId: Long, userId: Long, tsMs: Long,
 final case class EnrichedClick(eventId: Long, userId: Long, tsMs: Long,
     purchaseId: Option[Long], purchaseMs: Option[Long])
 
-/** Latest-purchase state for [[Streaming.asofEnrich]]. */
-final case class AsofState(purchaseMs: Long, purchaseId: Long)
+/** Latest-purchase state for [[Streaming.asofEnrich]].
+  * `lastActivityMs` is the max event time EVER seen for the user (any
+  * event, not just purchases): the idle-TTL anchor must be monotone in
+  * event time, and a late micro-batch slice (older events still inside
+  * the watermark) must never shrink the horizon below the user's true
+  * latest activity.
+  */
+final case class AsofState(purchaseMs: Long, purchaseId: Long,
+    lastActivityMs: Long)
 
 /** Structured Streaming operators — SURVEY.md §2.8.
   *
@@ -300,11 +307,15 @@ object Streaming {
               (e.tsMs, !e.isPurchase, e.eventId))
             val out = Seq.newBuilder[EnrichedClick]
             var cur = state.getOption.orNull
+            // monotone across batches: a late slice must not rewind it
+            var lastAct = math.max(
+              if (cur == null) Long.MinValue else cur.lastActivityMs,
+              sorted.last.tsMs)
             for (e <- sorted) {
               if (e.isPurchase) {
                 if (cur == null || e.tsMs > cur.purchaseMs ||
                     (e.tsMs == cur.purchaseMs && e.eventId > cur.purchaseId))
-                  cur = AsofState(e.tsMs, e.eventId)
+                  cur = AsofState(e.tsMs, e.eventId, lastAct)
               } else {
                 out += (if (cur != null && cur.purchaseMs <= e.tsMs)
                   EnrichedClick(e.eventId, userId, e.tsMs,
@@ -313,13 +324,17 @@ object Streaming {
               }
             }
             if (cur != null) {
+              cur = cur.copy(lastActivityMs = lastAct)
               state.update(cur)
               idleTimeoutMs.foreach { ttl =>
-                // horizon anchors to the user's LATEST activity; clamped
-                // above the current watermark (a very late slice must
-                // not set an already-expired timeout, which Spark
-                // rejects)
-                val anchor = math.max(sorted.last.tsMs + ttl,
+                // horizon anchors to the user's latest activity EVER
+                // seen (monotone — anchoring to this batch's max alone
+                // would let a late slice of older events shrink an
+                // already-set horizon and expire the purchase early);
+                // clamped above the current watermark (a very late
+                // slice must not set an already-expired timeout, which
+                // Spark rejects)
+                val anchor = math.max(lastAct + ttl,
                   state.getCurrentWatermarkMs() + 1)
                 state.setTimeoutTimestamp(anchor)
               }

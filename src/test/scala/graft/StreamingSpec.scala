@@ -335,6 +335,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrich idle TTL anchor is monotone: a late batch of older " +
+      "events must not shrink the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AsofEv
+    val mem = MemoryStream[AsofEv]
+    val q = Streaming.asofEnrich(mem.toDS(),
+        idleTimeoutMs = Some(5000L), watermarkDelay = "10 seconds")
+      .writeStream.format("memory")
+      .queryName("asof_enrich_mono").outputMode("append").start()
+    try {
+      // u1 purchases at 20000 (anchor 25000); a LATE click at 12000
+      // (inside the 10 s watermark delay) arrives next batch — anchoring
+      // to that batch's max event time alone would rewind the horizon to
+      // 17000 and expire the purchase once the watermark passes it,
+      // breaking the "every gap <= ttl => unbounded-identical" contract
+      // (u1's true gaps are 20000->24500, all <= ttl)
+      val feed = Seq(
+        Seq(AsofEv(11, 1, 20000, true)),
+        Seq(AsofEv(12, 1, 12000, false)), // late slice, older events
+        Seq(AsofEv(31, 3, 33000, false)), // watermark -> 23000 next batch
+        Seq(AsofEv(32, 3, 34000, false)), // wm 23000 > shrunk 17000 here
+        Seq(AsofEv(13, 1, 24500, false))) // gap 4500 <= ttl: must match
+      feed.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("asof_enrich_mono")
+        .select("eventId", "purchaseId")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got(13L) == Some(11L),
+        "purchase expired early: late batch rewound the TTL anchor")
+    } finally q.stop()
+  }
+
   test("foreachBatch minhash dedup equals the batch earlier-bucket rule") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables(spark, sfDir, "documents")
