@@ -338,53 +338,98 @@ object Knn {
     Some(sqlIvf))
 
   // ---------------------------------------------------- knn_ivf_persisted
-  /** IVF as a PERSISTED index — the build-once / query-many shape a
-    * production vector store actually runs (knn_ivf retrains per
-    * query): the trained codebook and the assigned inverted lists are
-    * written out once, lists PARTITIONED BY cent_id, and the query
-    * side runs against the files. Because cent_id is a partition
-    * column and the probe side joins it through a broadcast, Spark's
-    * dynamic partition pruning turns the probe set into a directory
-    * filter — a query READS only its nprobe/nlist share of the index
-    * from storage (KnnSpec asserts `dynamicpruning` reaches the list
-    * scan), which at 100 TB is the difference between an 8/16-list
-    * read and a full-index scan per query batch.
-    *
-    * Results are identical to knn_ivf by construction (same training,
-    * same probes, same scoring; doubles round-trip parquet bit-exactly;
-    * the partition column is re-cast to long on read — partition
-    * directory names infer as int), so the oracle is [[sqlIvf]]
-    * verbatim.
+  /** Train an IVF index over `e` (`vec_id`, `v: array<double>`) and
+    * persist it at `path` — the build-once half of the build-once /
+    * query-many shape a production vector store actually runs (knn_ivf
+    * retrains per query). Layout: `path/lists` = the assigned inverted
+    * lists PARTITIONED BY cent_id, `path/cents` = the NLIST×DIM
+    * codebook. Overwrites any prior index at `path` (delete-on-
+    * overwrite via parquet overwrite mode — no stale files survive).
+    * At cluster scale this is the one-time build job; `path` is any
+    * shared filesystem URI (HDFS/object store).
+    */
+  def buildIvfIndex(e: DataFrame, path: String): Unit = {
+    val cents = codebook(e)
+    assign(e, cents).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$path/lists")
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    buildCount += 1
+  }
+
+  /** Query a persisted IVF index: exact top-`k` cosine neighbors of each
+    * (`query_id`, `qv`) row of `q` among the `nprobe` nearest inverted
+    * lists. Because cent_id is a partition column of `path/lists` and
+    * the probe side joins it through a broadcast, Spark's dynamic
+    * partition pruning turns the probe set into a directory filter — a
+    * query READS only its nprobe/nlist share of the index from storage
+    * (KnnSpec asserts `dynamicpruning` reaches the list scan), which at
+    * 100 TB is the difference between an 8/16-list read and a
+    * full-index scan per query batch.
+    */
+  def queryIvfIndex(s: SparkSession, path: String, q: DataFrame,
+      k: Int = K, nprobe: Int = NPROBE): DataFrame = {
+    // partition directory names infer as int — re-cast to long
+    val lists = s.read.parquet(s"$path/lists")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val cbook = s.read.parquet(s"$path/cents")
+    val probes = probe(q, cbook, nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val cand = lists.join(broadcast(probes), "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+    val cos = cosineSim(col("qv"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(cos.desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(cos, 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Build count since JVM start — spec hook proving query reuse. */
+  private[graft] var buildCount = 0
+
+  /** Index root: `spark.graft.indexDir` if set, else the reliable
+    * checkpoint dir (`spark.graft.checkpointDir` — on a real cluster
+    * both point at shared storage, so the persisted-index posture is
+    * real, not driver-local), else the JVM temp dir. Always a FIXED
+    * location per corpus (overwritten on rebuild, never accumulated —
+    * the r4 `createTempDirectory`-per-invocation leak).
+    */
+  private def indexRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.indexDir")
+      .orElse(s.conf.getOption(graft.Checkpoint.CONF_KEY))
+      .filter(_.nonEmpty)
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  // one build per corpus dir per JVM: Verify + every Bench rep reuse the
+  // same index (training is deterministic, so a rebuild would produce
+  // identical bytes anyway)
+  private val builtIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cachedIndex(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(dir, {
+      val name = "graft-ivf-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = new org.apache.hadoop.fs.Path(indexRoot(s), name).toString
+      buildIvfIndex(emb(s, dir), path)
+      path
+    })
+
+  /** IVF as a PERSISTED index — [[buildIvfIndex]] once per corpus
+    * (session-cached), [[queryIvfIndex]] against the files. Results are
+    * identical to knn_ivf by construction (same training, same probes,
+    * same scoring; doubles round-trip parquet bit-exactly), so the
+    * oracle is [[sqlIvf]] verbatim.
     */
   private val ivfPersisted = Q(
     "knn_ivf_persisted",
     (s, dir) => {
+      val idx = cachedIndex(s, dir)
       val e = emb(s, dir)
-      val cents = codebook(e)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-ivf-idx").toString
-      // index build: lists partitioned by the coarse cell, tiny codebook
-      // alongside — at cluster scale this is the one-time build job
-      assign(e, cents).write.mode("overwrite")
-        .partitionBy("cent_id").parquet(s"$idx/lists")
-      cents.write.mode("overwrite").parquet(s"$idx/cents")
-      val lists = s.read.parquet(s"$idx/lists")
-        .withColumn("cent_id", col("cent_id").cast("long"))
-      val cbook = s.read.parquet(s"$idx/cents")
       val q = e.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val probes = probe(q, cbook, NPROBE)
-        .select(col("query_id"), col("qv"), col("cent_id"))
-      val cand = lists.join(broadcast(probes), "cent_id")
-        .filter(col("query_id") =!= col("vec_id"))
-      val cos = cosineSim(col("qv"), col("v"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cos.desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("rank"), round(cos, 6).as("cosine"))
-        .orderBy("query_id", "rank")
+      queryIvfIndex(s, idx, q)
     },
     Some(sqlIvf))
 

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 /** ANN variants vs the exact baseline: recall@5 on the deterministic
   * corpus. Everything (data, hyperplanes, centroids) is fixed, so the
   * observed recall is a constant; the assertions sit safely below it.
@@ -62,6 +64,48 @@ class KnnSpec extends SparkSpec {
     val plan = d.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       "probe join must dynamically prune cent_id partitions at the scan")
+  }
+
+  test("persisted IVF index builds once per corpus; queries reuse it") {
+    SparkEntry.queries("knn_ivf_persisted")(spark, sfDir).collect()
+    val afterFirst = graft.sim.Knn.buildCount
+    assert(afterFirst >= 1, "first query must have built the index")
+    val again = SparkEntry.queries("knn_ivf_persisted")(spark, sfDir)
+      .collect()
+    assert(graft.sim.Knn.buildCount == afterFirst,
+      "second query must NOT rebuild the index")
+    assert(again.nonEmpty)
+  }
+
+  test("buildIvfIndex/queryIvfIndex API: build to a caller path, " +
+      "overwrite on rebuild, query matches knn_ivf") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dir = Files.createTempDirectory("graft-ivf-api").toFile
+    try {
+      val path = dir.getAbsolutePath + "/idx"
+      graft.sim.Knn.buildIvfIndex(e, path)
+      // rebuild OVERWRITES in place: same single lists/cents layout, no
+      // accumulated copies (the r4 temp-dir-per-invocation leak)
+      graft.sim.Knn.buildIvfIndex(e, path)
+      assert(new java.io.File(path).listFiles().map(_.getName).toSet ==
+        Set("lists", "cents"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val got = graft.sim.Knn.queryIvfIndex(spark, path, q)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val want = SparkEntry.queries("knn_ivf")(spark, sfDir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
   }
 
   test("knn_join covers the whole corpus with partial top-k pushdown") {
