@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -175,26 +175,41 @@ object Multimodal {
     FROM documents d LEFT JOIN bins ON d.doc_id = bins.doc_id
     GROUP BY d.doc_id, d.text ORDER BY media_id"""))
 
+  /** Per-partition `MessageDigest` content fingerprints over the typed
+    * media path — one digest instance per partition, the amortization
+    * shape a codec with native setup cost needs (a real perceptual-hash
+    * or decoder-backed fingerprint plugs into this signature). For plain
+    * MD5 the oracle-gated `mm_dedup` query below uses the codegen'd
+    * builtin `md5` instead: an interpreted row-at-a-time digest in the
+    * hot path is the HOF class CLAUDE.md bans, and MultimodalSpec
+    * asserts this API and the builtin agree byte-for-byte.
+    */
+  def contentFingerprints(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        (r.mediaId, md.digest(r.payload).map("%02x".format(_)).mkString)
+      }
+    }.toDF("media_id", "payload_md5")
+  }
+
   /** Content-hash dedup over binary payloads — the multimodal twin of
     * `dedup_exact` (raw BYTE equality, no text normalization: two
     * payloads dedup iff bit-identical, the right semantics for media
-    * blobs). Runs through the typed `Dataset[MediaRecord]` path with a
-    * per-partition `MessageDigest` (one instance per partition, the
-    * vectorized-decoder amortization shape), then one hash-agg exchange
-    * on the 32-char key — the same 100 TB posture as dedup_exact.
+    * blobs). Whole-stage-codegen end-to-end: the builtin `md5` over the
+    * payload bytes (no typed boundary — MultimodalSpec asserts no
+    * SerializeFromObject in the plan), then one hash-agg exchange on
+    * the 32-char key — the same 100 TB posture as dedup_exact.
     */
   private val mmDedup = Q(
     "mm_dedup",
     (s, dir) => {
-      import s.implicits._
-      val fp = mediaFromDocuments(s, dir)
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { r =>
-            md.reset()
-            (r.mediaId, md.digest(r.payload).map("%02x".format(_)).mkString)
-          }
-        }.toDF("media_id", "payload_md5")
+      val fp = Tables(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .select(col("media_id"), md5(col("payload")).as("payload_md5"))
       val keep = fp.groupBy("payload_md5")
         .agg(min("media_id").as("keeper_id"))
       fp.join(keep, "payload_md5")

@@ -56,4 +56,27 @@ class MultimodalSpec extends SparkSpec {
     val one = media.filter(_.mediaId == 0L).collect().head
     assert(one.meta.kind == "text" && one.payload.nonEmpty)
   }
+
+  test("contentFingerprints (typed MessageDigest path) equals the " +
+      "builtin md5") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val typed = Multimodal
+      .contentFingerprints(Multimodal.mediaFromDocuments(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val builtin = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(org.apache.spark.sql.functions.encode(col("text"), "UTF-8")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(typed.toSeq == builtin.toSeq)
+  }
+
+  test("mm_dedup stays in codegen: no typed boundary in the plan") {
+    val d = SparkEntry.queries("mm_dedup")(spark, sfDir)
+    d.collect() // AQE finalizes the physical plan only after an action
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"),
+      "mm_dedup must use the codegen'd builtin md5, not a typed " +
+        "mapPartitions digest")
+  }
 }
