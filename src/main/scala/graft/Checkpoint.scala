@@ -28,13 +28,27 @@ object Checkpoint {
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
       .filter(_.nonEmpty)
 
+  // the dir each SparkContext's checkpoints were last pointed at by US:
+  // SparkContext.setCheckpointDir stores a UUID SUBDIR of what it's
+  // given, so the configured value can't be recovered from
+  // sc.getCheckpointDir for comparison — track it here instead. Without
+  // this, a checkpoint dir already set earlier in the session (by us
+  // with an old conf value, or by other code) silently won and a
+  // changed spark.graft.checkpointDir was ignored.
+  private val pointedAt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Materialize `df` and cut its lineage — reliably when a checkpoint
     * dir is configured, in executor memory otherwise.
     */
   def of(df: DataFrame): DataFrame = reliableDir(df) match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      if (sc.getCheckpointDir.isEmpty ||
+          !pointedAt.get(sc.applicationId).contains(dir)) {
+        sc.setCheckpointDir(dir)
+        pointedAt(sc.applicationId) = dir
+      }
       df.checkpoint()
     case None => df.localCheckpoint()
   }

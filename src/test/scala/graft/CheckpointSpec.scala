@@ -30,4 +30,29 @@ class CheckpointSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("a changed checkpoint dir conf re-points reliable checkpoints " +
+      "mid-session") {
+    import org.apache.spark.sql.functions.col
+    val dirA = Files.createTempDirectory("graft-ckpt-a").toFile
+    val dirB = Files.createTempDirectory("graft-ckpt-b").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      val df = spark.range(100).select(col("id"))
+      spark.conf.set(Checkpoint.CONF_KEY, dirA.getAbsolutePath)
+      Checkpoint.of(df.toDF()).collect()
+      assert(Option(dirA.listFiles()).exists(_.nonEmpty))
+      // conf changes mid-session: checkpoints must follow it, not land
+      // silently in the first directory ever set (ADVICE r4)
+      spark.conf.set(Checkpoint.CONF_KEY, dirB.getAbsolutePath)
+      Checkpoint.of(df.toDF()).collect()
+      assert(Option(dirB.listFiles()).exists(_.nonEmpty),
+        "checkpoint data must land in the NEW configured dir")
+    } finally {
+      spark.conf.unset(Checkpoint.CONF_KEY)
+      rm(dirA); rm(dirB)
+    }
+  }
 }
