@@ -91,5 +91,96 @@ object Sampling {
       COUNT(*) FILTER (WHERE hb * n < mn * 65536) AS n_sampled
     FROM k GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(split, stratified)
+  // ------------------------------------------------------------ corpus_mix
+  /** Target-weighted corpus MIXING — the data-mixing stage of an LLM
+    * pipeline (The Pile / Dolma recipe): given integer mixture weights
+    * per lang, find the largest total token budget the corpus can
+    * serve at those proportions (binding lang = the one that exhausts
+    * first, i.e. the exact-integer argmin of avail/weight) and
+    * downsample every other lang by content hash to hit its share.
+    * Rates are exact rationals — a doc in lang ℓ survives iff
+    * `hb·w_m·a_ℓ < w_ℓ·a_m·65536` (m = binding lang), evaluated in
+    * DECIMAL(38,0) so the three-way product can't overflow at
+    * 100 TB-scale token counts — so membership is deterministic across
+    * engines, runs and partitionings, and samples nest as weights
+    * scale (the sample_stratified property, generalized from
+    * equal-share to arbitrary target weights).
+    *
+    * Scale: per-lang token totals are one thin map-side-combined
+    * aggregate; the |langs|-row rate table (and its 1-row binding
+    * entry — integer-scaled-floor argmin, deterministic tie-break by
+    * lang) broadcasts back onto the corpus scan. The corpus is never
+    * shuffled; the output agg combines map-side on |langs| keys.
+    */
+  private[text] val WEIGHTS: Seq[(String, Long)] = Seq(
+    "de" -> 15L, "en" -> 40L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
+  private[text] val DEFAULT_W = 15L
+
+  private def weightOf(lang: Column): Column =
+    WEIGHTS.foldLeft(lit(DEFAULT_W)) { case (acc, (l, w)) =>
+      when(lang === l, lit(w)).otherwise(acc)
+    }
+
+  private val weightSql: String =
+    "CASE lang " + WEIGHTS.map { case (l, w) =>
+      s"WHEN '$l' THEN $w" }.mkString(" ") + s" ELSE $DEFAULT_W END::BIGINT"
+
+  private val mix = Q(
+    "corpus_mix",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long")
+            .as("ntok"),
+          hashBucket(col("text")).as("hb"))
+      val langs = d.groupBy("lang").agg(sum("ntok").as("a"))
+        .withColumn("w", weightOf(col("lang")))
+      // binding lang: exact-integer scaled-floor argmin of a/w (1e6
+      // resolution keeps the sort key in long range up to ~9e12 tokens;
+      // ties break by lang, so both engines pick the same row even on a
+      // resolution tie — consistency is what correctness needs, and a
+      // tied non-true-argmin only turns its rate into accept-all)
+      val m = langs
+        .withColumn("k", expr("a * 1000000 DIV w"))
+        .orderBy("k", "lang").limit(1)
+        .select(col("a").as("am"), col("w").as("wm"))
+      d.join(broadcast(langs), "lang").crossJoin(broadcast(m))
+        .withColumn("keep",
+          col("hb").cast(dec) * col("wm").cast(dec) * col("a").cast(dec) <
+            col("w").cast(dec) * col("am").cast(dec) *
+              lit(65536L).cast(dec))
+        .groupBy("lang")
+        .agg(max("w").as("weight"),
+          count(lit(1)).as("n_docs"),
+          max("a").as("avail_tokens"),
+          count(when(col("keep"), 1)).as("n_sampled"),
+          coalesce(sum(when(col("keep"), col("ntok"))), lit(0L))
+            .as("sampled_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), t -> t <> ''))::BIGINT
+          AS ntok,
+        ('0x' || substr(md5(coalesce(text, '')), 1, 4))::BIGINT AS hb
+      FROM documents),
+    langs AS (
+      SELECT lang, SUM(ntok)::BIGINT AS a, $weightSql AS w
+      FROM d GROUP BY lang),
+    m AS (SELECT a AS am, w AS wm FROM langs
+      ORDER BY (a * 1000000) // w, lang LIMIT 1)
+    SELECT lang, MAX(w)::BIGINT AS weight, COUNT(*) AS n_docs,
+      MAX(a)::BIGINT AS avail_tokens,
+      COUNT(*) FILTER (WHERE keep) AS n_sampled,
+      COALESCE(SUM(ntok) FILTER (WHERE keep), 0)::BIGINT AS sampled_tokens
+    FROM (
+      SELECT d.*, langs.a, langs.w, m.am, m.wm,
+        hb::HUGEINT * wm::HUGEINT * a::HUGEINT
+          < w::HUGEINT * am::HUGEINT * 65536::HUGEINT AS keep
+      FROM d JOIN langs USING (lang) CROSS JOIN m)
+    GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(split, stratified, mix)
 }

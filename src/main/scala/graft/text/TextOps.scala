@@ -539,6 +539,110 @@ object TextOps {
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     ORDER BY d.doc_id"""))
 
+  // ------------------------------------------------------------- text_oov
+  /** Vocabulary-coverage / OOV-rate QA — the tokenizer-coverage check a
+    * pipeline runs before committing to a vocab: build the top-V corpus
+    * vocabulary (by frequency, ties alphabetical), then score every
+    * document's out-of-vocabulary token rate against it. High-OOV docs
+    * are encoding noise, boilerplate in the wrong script, or domains
+    * the tokenizer will fragment.
+    *
+    * Exactness: counts are integers; `oov_rate` is ONE IEEE division
+    * of exact integers (bit-identical both engines). Scale shape: token
+    * counts aggregate map-side-combined (vocab-bounded exchange); the
+    * V-row vocab broadcasts back onto the gram stream; the per-doc agg
+    * is the only corpus-keyed exchange. No windows, no driver collect.
+    */
+  private val VOCAB_V = 8
+
+  private val oov = Q(
+    "text_oov",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val grams = d.select(col("doc_id"), explode(tokens(col("text")))
+        .as("tok"))
+      val vocab = grams.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(VOCAB_V)
+        .select(col("tok"), lit(1L).as("in_v"))
+      val per = grams.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), count(col("in_v")).as("n_known"))
+      d.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_tokens") - col("n_known"), lit(0L)).as("n_oov"),
+          ((col("n_tokens") - col("n_known")).cast("double") /
+            col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, u.t AS tok
+      FROM documents,
+        UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT $VOCAB_V)),
+    per AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(v.tok) AS n_known
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+      COALESCE(p.n_tokens, 0) AS n_tokens,
+      COALESCE(p.n_tokens - p.n_known, 0) AS n_oov,
+      CAST(p.n_tokens - p.n_known AS DOUBLE) / p.n_tokens AS oov_rate
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id"""))
+
+  // --------------------------------------------------------- text_ngram_lm
+  /** Bigram-LM model EXPORT — the trained artifact whose application is
+    * [[lmScore]]: the top-300 corpus bigrams (by count, ties
+    * alphabetical) with their context count, bigram count, and MLE
+    * conditional probability in exact floor-millionths
+    * (`c2·10⁶ DIV c1` — all-integer output, nothing to drift). The
+    * model a pipeline ships to score OTHER corpora with the same rule.
+    *
+    * Scale: bigram counts aggregate map-side-combined (exchange is
+    * vocab²-bounded distinct grams, not corpus positions); context
+    * counts re-aggregate the COUNTED table (vocab²→vocab rows, not a
+    * second corpus pass); top-300 plans as TakeOrdered, never a global
+    * sort of the corpus.
+    */
+  private val LM_TOP = 300
+
+  private val ngramLm = Q(
+    "text_ngram_lm",
+    (s, dir) => {
+      val gramArr = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 2,
+          distinct = false))
+      val big = Tables(s, dir, "documents")
+        .select(explode(gramArr).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("c2"))
+      val ctx = big
+        .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+        .agg(sum("c2").as("c1"))
+      big.withColumn("w1", substring_index(col("gram"), " ", 1))
+        .join(ctx, "w1")
+        .select(col("gram"), col("c1"), col("c2"),
+          expr("c2 * 1000000 DIV c1").as("p_micro"))
+        .orderBy(col("c2").desc, col("gram")).limit(LM_TOP)
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    grams AS (
+      SELECT u.g AS gram
+      FROM toks, UNNEST([w[i] || ' ' || w[i+1]
+        for i in range(1, greatest(len(w), 1))]) u(g)),
+    big AS (SELECT gram, COUNT(*) AS c2 FROM grams GROUP BY gram),
+    ctx AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c2)::BIGINT AS c1
+      FROM big GROUP BY 1)
+    SELECT gram, c1, c2, (c2 * 1000000) // c1 AS p_micro
+    FROM big JOIN ctx ON string_split(big.gram, ' ')[1] = ctx.w1
+    ORDER BY c2 DESC, gram LIMIT $LM_TOP"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
-    repetition, quality, tfidf, chunk, corpusStats, lmScore)
+    repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm)
 }

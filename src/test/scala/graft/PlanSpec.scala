@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
     "sample_stratified", // broadcast 1-row min-source-count aggregate
     "text_tfidf",       // broadcast 1-row corpus-count aggregate
     "dedup_ngram_jaccard", // broadcast 1-row viral-shingle count (dfCap)
-    "pipeline_prepare")    // same, via the shared jaccardPairs
+    "pipeline_prepare",    // same, via the shared jaccardPairs
+    "corpus_mix")          // broadcast 1-row binding-lang (am, wm) entry
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {

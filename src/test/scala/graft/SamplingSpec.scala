@@ -41,4 +41,28 @@ class SamplingSpec extends SparkSpec {
     val keepAt = (n: Long) => docs.filter(t => md5Bucket(t) * n < mn * 65536L)
     assert(keepAt(40L).toSet.subsetOf(keepAt(20L).toSet))
   }
+
+  test("corpus_mix: binding lang fully kept, others downsampled toward " +
+      "the target token mixture") {
+    val rows = SparkEntry.queries("corpus_mix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // binding lang = exact argmin of avail/weight: rate 1.0, so every
+    // one of its docs clears hb < 65536
+    val binding = rows.minBy { case (l, w, _, a, _, _) =>
+      (a.toDouble / w, l) }
+    assert(binding._3 == binding._5,
+      s"binding lang ${binding._1} must be fully kept")
+    // never upsampled; achieved token share tracks the target weight
+    // (hash sampling is unbiased; ±0.05 absolute is generous at sf0.01)
+    val totalSampled = rows.map(_._6).sum.toDouble
+    val totalW = rows.map(_._2).sum.toDouble
+    rows.foreach { case (l, w, n, _, k, st) =>
+      assert(k <= n)
+      val achieved = st / totalSampled
+      val target = w / totalW
+      assert(math.abs(achieved - target) < 0.05,
+        s"$l achieved $achieved vs target $target")
+    }
+  }
 }

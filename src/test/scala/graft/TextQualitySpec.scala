@@ -61,4 +61,37 @@ class TextQualitySpec extends SparkSpec {
     assert(got(4L) == ((0L, None)) && got(5L) == ((0L, None)),
       "docs without bigrams report n=0 and null score")
   }
+
+  test("text_ngram_lm: valid conditional model (c2 <= c1, floor " +
+      "millionths bounded, contexts consistent)") {
+    val rows = SparkEntry.queries("text_ngram_lm")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == 300)
+    rows.foreach { case (gram, c1, c2, p) =>
+      assert(gram.split(" ").length == 2)
+      assert(c2 >= 1 && c2 <= c1, s"$gram: c2=$c2 > c1=$c1")
+      assert(p == c2 * 1000000L / c1 && p <= 1000000L)
+    }
+    // every gram sharing a context reports the same c1
+    rows.groupBy(_._1.split(" ").head).foreach { case (w1, g) =>
+      assert(g.map(_._2).distinct.length == 1,
+        s"context $w1 reports inconsistent c1")
+    }
+  }
+
+  test("text_oov: rate is n_oov/n_tokens; vocab covers the top tokens") {
+    val rows = SparkEntry.queries("text_oov")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, oov, rate) =>
+      assert(oov >= 0 && oov <= n)
+      if (n > 0) assert(rate == oov.toDouble / n, s"doc $id rate mismatch")
+    }
+    // an 8-word vocab over a 31-word corpus must leave real OOV mass,
+    // and the top tokens must keep the mean rate well below 1
+    val mean = rows.map(_._4).sum / rows.length
+    assert(mean > 0.0 && mean < 0.9, s"mean OOV rate $mean")
+  }
 }
