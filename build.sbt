@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW instead of wrapping every
+// line in sbt's "[info] " logger prefix: the Bench/Verify contract
+// lines must be machine-parseable by the driver as plain JSON (four
+// rounds of BENCH artifacts had parsed=null because the prefix made
+// the stdout line invalid JSON).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
