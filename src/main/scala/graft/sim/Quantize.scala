@@ -76,5 +76,62 @@ object Quantize {
         for i in range(1, len(v) + 1)]), 6) AS max_abs_err
     FROM c ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(quantize)
+  // -------------------------------------------------------------- emb_stats
+  /** Per-DIMENSION corpus statistics — the data-prep pass feeding
+    * whitening / standardization / asymmetric-quantizer range decisions:
+    * for every embedding dimension, count, min, max, mean, and
+    * population variance.
+    *
+    * Cross-engine exactness on the moments (the kmeans/decimal recipe
+    * extended to second order): each component becomes an exact INTEGER
+    * count of millionths (`round(x,6)` is lossless in DECIMAL(38,6),
+    * then ·10⁶), so Σm and Σm² are exact order-independent integers in
+    * DECIMAL(38,0)/HUGEINT (6e5 rows × m²≤1.6e13 stays well inside 38
+    * digits), the variance numerator `n·Σm² − (Σm)²` is an exact
+    * integer in both engines, and each output is ONE deterministic
+    * IEEE cast-and-divide. min/max compare raw doubles — exact by
+    * definition.
+    *
+    * Scale: posexplode is map-side; the only exchange is the
+    * map-side-combined aggregate on `dim` keys (n·d component rows
+    * combine to d rows per partition before shuffling).
+    */
+  private val stats = Q(
+    "emb_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val comp = Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d0", "x")))
+        .select((col("d0") + 1).cast("long").as("dim_idx"), col("x"),
+          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+            .cast(dec).as("m"))
+      comp.groupBy("dim_idx")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          sum("m").cast(dec).as("s"),
+          sum((col("m") * col("m")).cast(dec)).cast(dec).as("ss"))
+        .select(col("dim_idx"), col("n"), col("min_x"), col("max_x"),
+          (col("s").cast("double") / (col("n") * lit(1000000.0)))
+            .as("mean"),
+          ((col("n").cast(dec) * col("ss") - col("s") * col("s"))
+            .cast("double") /
+            ((col("n") * col("n")).cast("double") * lit(1.0e12)))
+            .as("variance"))
+        .orderBy("dim_idx")
+    },
+    Some("""WITH comp AS (
+      SELECT u.s.i AS dim_idx, u.s.x AS x,
+        (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
+      FROM (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        UNNEST([struct_pack(i := i::BIGINT, x := v[i])
+          for i in range(1, len(v) + 1)]) u(s))
+    SELECT dim_idx, COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+      CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean,
+      CAST(COUNT(*)::HUGEINT * SUM(m*m) - SUM(m)*SUM(m) AS DOUBLE)
+        / (CAST(COUNT(*) * COUNT(*) AS DOUBLE) * 1e12) AS variance
+    FROM comp GROUP BY dim_idx ORDER BY dim_idx"""))
+
+  val all: Seq[Q] = Seq(quantize, stats)
 }

@@ -126,6 +126,22 @@ class KnnSpec extends SparkSpec {
       "partial WindowGroupLimit keeps the window shuffle at O(n*k)")
   }
 
+  test("emb_stats: valid per-dimension moments over the full corpus") {
+    val n = Tables(spark, sfDir, "embeddings").count()
+    val rows = SparkEntry.queries("emb_stats")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 64 && rows.forall(_._2 == n))
+    rows.foreach { case (d, _, mn, mx, mean, variance) =>
+      assert(mn <= mx, s"dim $d")
+      // mean of 6-dp-rounded components sits within the raw range,
+      // padded by the rounding quantum
+      assert(mean >= mn - 5e-7 && mean <= mx + 5e-7, s"dim $d mean")
+      assert(variance >= 0.0, s"dim $d variance")
+      assert(variance <= (mx - mn) * (mx - mn), s"dim $d variance bound")
+    }
+  }
+
   test("cosine_sim rejects mismatched vector lengths") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D))")
