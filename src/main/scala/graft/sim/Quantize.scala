@@ -96,42 +96,118 @@ object Quantize {
     * map-side-combined aggregate on `dim` keys (n·d component rows
     * combine to d rows per partition before shuffling).
     */
-  private val stats = Q(
-    "emb_stats",
-    (s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
-      val comp = Tables(s, dir, "embeddings")
-        .select(posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("d0", "x")))
-        .select((col("d0") + 1).cast("long").as("dim_idx"), col("x"),
-          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
-            .cast(dec).as("m"))
-      comp.groupBy("dim_idx")
-        .agg(count(lit(1)).as("n"),
-          min("x").as("min_x"), max("x").as("max_x"),
-          sum("m").cast(dec).as("s"),
-          sum((col("m") * col("m")).cast(dec)).cast(dec).as("ss"))
-        .select(col("dim_idx"), col("n"), col("min_x"), col("max_x"),
-          (col("s").cast("double") / (col("n") * lit(1000000.0)))
-            .as("mean"),
-          ((col("n").cast(dec) * col("ss") - col("s") * col("s"))
-            .cast("double") /
-            ((col("n") * col("n")).cast("double") * lit(1.0e12)))
-            .as("variance"))
-        .orderBy("dim_idx")
-    },
-    Some("""WITH comp AS (
+  /** The per-dimension moment table shared by emb_stats (output) and
+    * emb_standardize (applied): dim_idx, n, min_x, max_x, mean,
+    * variance. See the emb_stats docstring for the exactness argument.
+    */
+  private def statsOf(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val comp = e
+      .select(posexplode(col("v")).as(Seq("d0", "x")))
+      .select((col("d0") + 1).cast("long").as("dim_idx"), col("x"),
+        (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+          .cast(dec).as("m"))
+    comp.groupBy("dim_idx")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        sum("m").cast(dec).as("s"),
+        sum((col("m") * col("m")).cast(dec)).cast(dec).as("ss"))
+      .select(col("dim_idx"), col("n"), col("min_x"), col("max_x"),
+        (col("s").cast("double") / (col("n") * lit(1000000.0)))
+          .as("mean"),
+        ((col("n").cast(dec) * col("ss") - col("s") * col("s"))
+          .cast("double") /
+          ((col("n") * col("n")).cast("double") * lit(1.0e12)))
+          .as("variance"))
+  }
+
+  /** The identical moment table as DuckDB CTEs (`e` must be in scope as
+    * (vec_id, v DOUBLE[])); exposes `stats(dim_idx, n, min_x, max_x,
+    * mean, variance)`.
+    */
+  private val statsSql = """comp AS (
       SELECT u.s.i AS dim_idx, u.s.x AS x,
         (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
-      FROM (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        UNNEST([struct_pack(i := i::BIGINT, x := v[i])
-          for i in range(1, len(v) + 1)]) u(s))
-    SELECT dim_idx, COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
-      CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean,
-      CAST(COUNT(*)::HUGEINT * SUM(m*m) - SUM(m)*SUM(m) AS DOUBLE)
-        / (CAST(COUNT(*) * COUNT(*) AS DOUBLE) * 1e12) AS variance
-    FROM comp GROUP BY dim_idx ORDER BY dim_idx"""))
+      FROM e, UNNEST([struct_pack(i := i::BIGINT, x := v[i])
+          for i in range(1, len(v) + 1)]) u(s)),
+    stats AS (
+      SELECT dim_idx, COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+        CAST(SUM(m) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean,
+        CAST(COUNT(*)::HUGEINT * SUM(m*m) - SUM(m)*SUM(m) AS DOUBLE)
+          / (CAST(COUNT(*) * COUNT(*) AS DOUBLE) * 1e12) AS variance
+      FROM comp GROUP BY dim_idx)"""
 
-  val all: Seq[Q] = Seq(quantize, stats)
+  private def emb(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private val stats = Q(
+    "emb_stats",
+    (s, dir) => statsOf(emb(s, dir)).orderBy("dim_idx"),
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    $statsSql
+    SELECT * FROM stats ORDER BY dim_idx"""))
+
+  // --------------------------------------------------------- emb_standardize
+  /** Per-dimension z-scoring (whitening application of [[stats]]): every
+    * component becomes `(x − mean_d) / sqrt(var_d)` against the corpus
+    * moments — the standardization pass before isotropic-assuming
+    * consumers (PCA, product quantizers, cosine-calibrated thresholds).
+    *
+    * Determinism: mean/variance are bit-identical across engines (the
+    * emb_stats argument), so each z is the same chain of IEEE ops on
+    * identical doubles — sqrt is correctly rounded, division is one op.
+    * The oracle gates ORDER-INDEPENDENT per-vector summaries (min z,
+    * max z, outlier count) in the emb_quantize house style — no float
+    * sums whose accumulation order could differ.
+    *
+    * Scale: the d-row moment table collapses to ONE broadcast row
+    * (sorted struct array — the [[Knn.assign]] codebook pattern); the
+    * corpus maps once, no shuffle anywhere.
+    */
+  private val OUTLIER_Z = 3.0
+
+  private val standardize = Q(
+    "emb_standardize",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val st = statsOf(e).agg(
+        array_sort(collect_list(struct(col("dim_idx"), col("mean"),
+          col("variance")))).as("ms"))
+      val z = transform(col("v"), (x, i) => {
+        val m = element_at(col("ms"), (i + 1).cast("int"))
+        when(m.getField("variance") === 0.0, lit(0.0))
+          .otherwise((x - m.getField("mean")) /
+            sqrt(m.getField("variance")))
+      })
+      e.crossJoin(broadcast(st))
+        .select(col("vec_id"), z.as("z"))
+        .select(col("vec_id"),
+          array_min(col("z")).as("z_min"),
+          array_max(col("z")).as("z_max"),
+          size(filter(col("z"), zz => abs(zz) > OUTLIER_Z)).cast("long")
+            .as("n_outliers"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    $statsSql,
+    msrow AS (
+      SELECT list_sort(list(struct_pack(dim_idx := dim_idx,
+        mean := mean, variance := variance))) AS ms FROM stats),
+    zs AS (
+      SELECT vec_id,
+        [CASE WHEN s.variance = 0 THEN 0.0
+              ELSE (v[s.dim_idx] - s.mean) / sqrt(s.variance) END
+         for s in ms] AS z
+      FROM e CROSS JOIN msrow)
+    SELECT vec_id, list_min(z) AS z_min, list_max(z) AS z_max,
+      len(list_filter(z, zz -> abs(zz) > $OUTLIER_Z))::BIGINT
+        AS n_outliers
+    FROM zs ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(quantize, stats, standardize)
 }

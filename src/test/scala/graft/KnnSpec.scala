@@ -142,6 +142,23 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("emb_standardize: z summaries consistent with the corpus moments") {
+    val rows = SparkEntry.queries("emb_standardize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.length ==
+      Tables(spark, sfDir, "embeddings").count())
+    rows.foreach { case (id, zMin, zMax, out) =>
+      assert(zMin <= zMax, s"vec $id")
+      assert(out >= 0 && out <= 64, s"vec $id outliers")
+    }
+    // standardized components must straddle zero corpus-wide, and >3
+    // sigma outliers must be rare on this roughly-uniform data
+    assert(rows.exists(_._2 < 0) && rows.exists(_._3 > 0))
+    assert(rows.map(_._4).sum < rows.length,
+      "more than one >3-sigma component per vector on average")
+  }
+
   test("cosine_sim rejects mismatched vector lengths") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D))")

@@ -76,7 +76,8 @@ class PlanSpec extends SparkSpec {
     "text_tfidf",       // broadcast 1-row corpus-count aggregate
     "dedup_ngram_jaccard", // broadcast 1-row viral-shingle count (dfCap)
     "pipeline_prepare",    // same, via the shared jaccardPairs
-    "corpus_mix")          // broadcast 1-row binding-lang (am, wm) entry
+    "corpus_mix",          // broadcast 1-row binding-lang (am, wm) entry
+    "emb_standardize")     // broadcast 1-row collapsed moment table
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
