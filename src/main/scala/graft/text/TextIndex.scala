@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Persisted full-text inverted index — the text-retrieval twin of the
+  * persisted IVF index (`graft.sim.Knn.buildIvfIndex`): a build-once /
+  * query-many postings table on shared storage, laid out so a keyword
+  * query READS only its terms' share of the index.
+  *
+  * Layout: `path/postings` = (term, doc_id, tf) PARTITIONED BY `pb`,
+  * the term's hash bucket (md5-derived, engine-mirrorable). A query
+  * broadcasts its (pb, term) pairs; because `pb` is a partition column
+  * joined through a broadcast, Spark's dynamic partition pruning turns
+  * the term set into a directory filter — a q-term query scans at most
+  * q/[[PBUCKETS]] of the postings from storage (TextIndexSpec asserts
+  * `dynamicpruning` reaches the scan). At 100 TB the postings table is
+  * the corpus-sized artifact; per-query reads must not be.
+  */
+object TextIndex {
+
+  /** Partition fan-out of the postings table. 32 keeps test directories
+    * small; a production index sizes this to (index bytes / target
+    * partition bytes) — the layout and pruning are fan-out-independent.
+    */
+  val PBUCKETS = 32L
+
+  /** Engine-mirrorable term bucket in [0, PBUCKETS). */
+  def termBucket(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast("long") % PBUCKETS
+
+  /** Build the index at `path` from (doc_id, text) rows: tokenize,
+    * count per-doc term frequencies, write postings partitioned by the
+    * term bucket, plus `path/terms` — the vocabulary-sized (term, pb)
+    * dictionary the query side filters (a scan with a selective
+    * predicate is what lets Spark plan the term set as a dynamic
+    * partition filter; a literal local relation is not considered
+    * selective and plans a full postings read). Overwrites any prior
+    * index at `path`.
+    */
+  def buildTextIndex(docs: DataFrame, path: String): Unit = {
+    val postings = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("pb", termBucket(col("term")))
+    postings.write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$path/postings")
+    postings.select("term", "pb").distinct()
+      .write.mode("overwrite").parquet(s"$path/terms")
+    buildCount += 1
+  }
+
+  /** AND-of-terms retrieval against a persisted index: docs containing
+    * EVERY query term, with the summed term frequency as the score.
+    * The filtered dictionary ships as one broadcast; dynamic partition
+    * pruning restricts the postings scan to the terms' buckets
+    * (TextIndexSpec asserts it reaches the scan).
+    */
+  def queryTextIndex(s: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    require(distinctTerms.nonEmpty, "query needs at least one term")
+    val t = s.read.parquet(s"$path/terms")
+      .filter(col("term").isin(distinctTerms: _*))
+    // partition directory names infer as int — re-cast to long
+    val postings = s.read.parquet(s"$path/postings")
+      .withColumn("pb", col("pb").cast("long"))
+    postings.join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
+        Seq("pb", "term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"), sum("tf").as("total_tf"))
+      .filter(col("n_terms_matched") === distinctTerms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** Build count since JVM start — spec hook proving query reuse. */
+  private[graft] var buildCount = 0
+
+  // one build per corpus dir per JVM (the graft.sim.Knn.cachedIndex
+  // pattern): Verify + every Bench rep reuse the same deterministic
+  // index; rooted at a FIXED conf-derived location, overwritten on
+  // rebuild, never accumulated
+  private val builtIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def indexRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.indexDir")
+      .orElse(s.conf.getOption(graft.Checkpoint.CONF_KEY))
+      .filter(_.nonEmpty)
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  private[graft] def cachedIndex(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(dir, {
+      val name = "graft-text-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = new org.apache.hadoop.fs.Path(indexRoot(s), name).toString
+      buildTextIndex(Tables(s, dir, "documents").select("doc_id", "text"),
+        path)
+      path
+    })
+
+  /** Fixed benchmark query — two mid-frequency corpus terms. */
+  private[graft] val QUERY_TERMS = Seq("table", "query")
+
+  private val search = Q(
+    "text_search",
+    (s, dir) => {
+      val idx = cachedIndex(s, dir)
+      queryTextIndex(s, idx, QUERY_TERMS).orderBy("doc_id")
+    },
+    Some(s"""WITH p AS (
+      SELECT doc_id, u.t AS term
+      FROM documents,
+        UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+      FROM p GROUP BY doc_id, term)
+    SELECT doc_id, SUM(tf)::BIGINT AS total_tf
+    FROM tf WHERE term IN (${QUERY_TERMS.map("'" + _ + "'").mkString(",")})
+    GROUP BY doc_id HAVING COUNT(*) = ${QUERY_TERMS.distinct.size}
+    ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(search)
+}
