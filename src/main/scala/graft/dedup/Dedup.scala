@@ -260,8 +260,8 @@ object Dedup {
     Some(sqlExactJaccardPairs))
 
   // ---------------------------------------------------- dedup_minhash_lsh
-  private val PERMS = 64
-  private val BANDS = 16     // 16 bands × 4 rows: P(miss at j=0.9) ≈ 3e-8
+  private[graft] val PERMS = 64
+  private[graft] val BANDS = 16     // 16 bands × 4 rows: P(miss at j=0.9) ≈ 3e-8
   private val ROWS = PERMS / BANDS
 
   /** MinHash + LSH near-dup detection.
