@@ -161,4 +161,52 @@ object Sources {
     */
   def readUpserted(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("_bucket")
+
+  /** Small-file COMPACTION of a parquet dataset — the maintenance pass
+    * every long-lived ingest loop needs (streaming sinks, upserts, and
+    * per-slice appends all accrete files far below the scan-efficient
+    * size; a 100 TB table of 1 MB files spends its scan time on footer
+    * reads and task scheduling, and object stores throttle the LIST).
+    *
+    * Rewrites `path` into ≈`targetBytes` files: file count =
+    * ceil(on-disk bytes / targetBytes), rows redistributed round-robin
+    * (repartition without keys — no skew regardless of input layout).
+    * Returns (filesBefore, filesAfter). Rows are preserved exactly;
+    * ordering is not (parquet files are unordered sets — callers
+    * needing an order sort on read).
+    *
+    * The rewrite stages into `path._compact_tmp` and swaps via two
+    * renames (atomic per rename on HDFS/posix), so a crash leaves
+    * either the old or the new layout plus at worst an orphaned tmp
+    * dir — never a partial mix. Partitioned layouts compact per
+    * partition directory at cluster scale (run this per partition);
+    * this utility targets the flat-directory case (streaming state,
+    * upsert buckets, index postings).
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(nOut)
+      .write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: cannot stage $path aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back; the tmp dir remains for inspection
+      throw new java.io.IOException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    val after = fs.listStatus(p).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
 }

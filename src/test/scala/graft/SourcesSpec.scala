@@ -69,6 +69,28 @@ class SourcesSpec extends SparkSpec {
         .collect().sorted.toSeq)
   }
 
+  test("compactParquet merges small files, preserves rows exactly, " +
+      "leaves no staging dirs") {
+    val dir = tmp() + "/li_small"
+    val li = Tables(spark, sfDir, "lineitem")
+    // accrete an artificially fragmented layout (64 tiny files)
+    li.repartition(64).write.parquet(dir)
+    val before = li.collect().map(_.toSeq).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val (nBefore, nAfter) =
+      Sources.compactParquet(spark, dir, targetBytes = 4L << 20)
+    assert(nBefore == 64)
+    assert(nAfter < nBefore, s"$nAfter files after vs $nBefore before")
+    val back = Sources.readParquet(spark, dir)
+    assert(back.schema == li.schema)
+    val after = back.collect().map(_.toSeq).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(after == before, "compaction must preserve the exact multiset")
+    // staging dirs cleaned up
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet == Set("li_small"))
+  }
+
   test("keyed upsert merges like MERGE and rewrites only touched buckets") {
     import spark.implicits._
     val dir = tmp() + "/upsert"
