@@ -47,7 +47,9 @@ object TextIndex {
       .withColumn("pb", termBucket(col("term")))
     postings.write.mode("overwrite").partitionBy("pb")
       .parquet(s"$path/postings")
-    postings.select("term", "pb").distinct()
+    // dictionary carries each term's document frequency — a corpus
+    // constant, so ranked retrieval never re-derives it at query time
+    postings.groupBy("term", "pb").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/terms")
     buildCount += 1
   }
@@ -73,6 +75,34 @@ object TextIndex {
       .agg(count(lit(1)).as("n_terms_matched"), sum("tf").as("total_tf"))
       .filter(col("n_terms_matched") === distinctTerms.size)
       .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** Ranked OR-of-terms retrieval: docs matching ANY query term, scored
+    * by `Σ tf·10⁶ DIV df` over the matched terms — floor millionths of
+    * tf/df, so rarer terms weigh more: the log-free, INTEGER-exact
+    * analog of tf-idf ranking (ln() ulp drift is why there is no log
+    * here — the text_lm_score argument). Top `k` by (score desc,
+    * doc_id). Same DPP-pruned postings read as [[queryTextIndex]]; df
+    * comes from the dictionary, so scoring adds zero extra passes.
+    */
+  def queryTextIndexRanked(s: SparkSession, path: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val distinctTerms = terms.distinct
+    require(distinctTerms.nonEmpty, "query needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    val t = s.read.parquet(s"$path/terms")
+      .filter(col("term").isin(distinctTerms: _*))
+    val postings = s.read.parquet(s"$path/postings")
+      .withColumn("pb", col("pb").cast("long"))
+    postings.join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
+        Seq("pb", "term"))
+      .withColumn("contrib", expr("tf * 1000000 DIV df"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms_matched"), col("score"))
   }
 
   /** Build count since JVM start — spec hook proving query reuse. */
@@ -103,6 +133,29 @@ object TextIndex {
   /** Fixed benchmark query — two mid-frequency corpus terms. */
   private[graft] val QUERY_TERMS = Seq("table", "query")
 
+  /** Fixed ranked-retrieval query and cutoff. */
+  private[graft] val RANKED_TERMS = Seq("table", "query", "window", "merge")
+  private[graft] val RANKED_K = 50
+
+  private val searchRanked = Q(
+    "text_search_ranked",
+    (s, dir) => {
+      val idx = cachedIndex(s, dir)
+      queryTextIndexRanked(s, idx, RANKED_TERMS, RANKED_K)
+    },
+    Some(s"""WITH p AS (
+      SELECT doc_id, u.t AS term
+      FROM documents,
+        UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+      FROM p GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+      SUM((tf * 1000000) // df)::BIGINT AS score
+    FROM tf JOIN df USING (term)
+    WHERE term IN (${RANKED_TERMS.map("'" + _ + "'").mkString(",")})
+    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $RANKED_K"""))
+
   private val search = Q(
     "text_search",
     (s, dir) => {
@@ -120,5 +173,5 @@ object TextIndex {
     GROUP BY doc_id HAVING COUNT(*) = ${QUERY_TERMS.distinct.size}
     ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(search)
+  val all: Seq[Q] = Seq(search, searchRanked)
 }

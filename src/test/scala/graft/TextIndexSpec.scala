@@ -23,6 +23,29 @@ class TextIndexSpec extends SparkSpec {
       "second query must NOT rebuild the index")
   }
 
+  test("ranked retrieval: integer tf/df scoring matches a direct model, " +
+      "rarer terms weigh more") {
+    val rows = SparkEntry.queries("text_search_ranked")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == graft.text.TextIndex.RANKED_K)
+    // scores sorted desc with doc_id tie-break, all positive
+    assert(rows.sliding(2).forall { case Array((i1, _, s1), (i2, _, s2)) =>
+      s1 > s2 || (s1 == s2 && i1 < i2) })
+    assert(rows.forall(_._3 > 0))
+    // direct model over the corpus for one scored doc
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val terms = graft.text.TextIndex.RANKED_TERMS
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val (topId, topMatched, topScore) = rows.head
+    val toks = docs.find(_._1 == topId).get._2
+    val want = terms.filter(toks.contains).map(t =>
+      toks.count(_ == t).toLong * 1000000L / df(t)).sum
+    assert(topScore == want && topMatched ==
+      terms.count(toks.contains).toLong)
+  }
+
   test("buildTextIndex/queryTextIndex: caller path, overwrite-in-place, " +
       "AND semantics match a direct computation") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
