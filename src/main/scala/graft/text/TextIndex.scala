@@ -105,6 +105,39 @@ object TextIndex {
       .select(col("doc_id"), col("n_terms_matched"), col("score"))
   }
 
+  /** Streaming ingest — the `foreachBatch` sink appending each
+    * micro-batch's (doc_id, text) postings to the index at `path`: the
+    * incremental-maintenance twin of [[buildTextIndex]], shaped like
+    * [[graft.streaming.Streaming.minhashDedupSink]] (plain parquet
+    * state, restart-safe appends, unbounded history with zero
+    * executor-memory state). The dictionary (df + the DPP driver) is a
+    * CORPUS-GLOBAL artifact, so it is not touched per batch — run
+    * [[finalizeTextIndex]] after (or periodically during) ingest;
+    * queries need a finalized dictionary. Assumes doc_ids are unique
+    * across batches (re-ingesting a doc double-counts its df), and
+    * accretes one file set per batch — [[graft.sources.Sources
+    * .compactParquet]] per `pb=` directory is the maintenance pass.
+    */
+  def textIndexSink(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      batch
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("pb", termBucket(col("term")))
+        .write.mode("append").partitionBy("pb")
+        .parquet(s"$path/postings")
+
+  /** (Re)build the term dictionary from the accumulated postings —
+    * after streaming ingest, or whenever df staleness matters. One
+    * vocab-bounded aggregate over the postings.
+    */
+  def finalizeTextIndex(s: SparkSession, path: String): Unit =
+    s.read.parquet(s"$path/postings")
+      .withColumn("pb", col("pb").cast("long"))
+      .groupBy("term", "pb").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+
   /** Build count since JVM start — spec hook proving query reuse. */
   private[graft] var buildCount = 0
 

@@ -46,6 +46,42 @@ class TextIndexSpec extends SparkSpec {
       terms.count(toks.contains).toLong)
   }
 
+  test("streaming ingest + finalize answers exactly like a batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val slices = docs.grouped(math.max(1, docs.length / 3)).toSeq
+    val dir = Files.createTempDirectory("graft-text-stream").toFile
+    try {
+      val streamed = dir.getAbsolutePath + "/streamed"
+      val batch = dir.getAbsolutePath + "/batch"
+      val mem = MemoryStream[(Long, String)]
+      val sink = graft.text.TextIndex.textIndexSink(streamed)
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(sink).start()
+      try {
+        slices.foreach { s => mem.addData(s.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      graft.text.TextIndex.finalizeTextIndex(spark, streamed)
+      graft.text.TextIndex.buildTextIndex(
+        Tables(spark, sfDir, "documents").select("doc_id", "text"), batch)
+      def res(path: String) = graft.text.TextIndex
+        .queryTextIndexRanked(spark, path,
+          graft.text.TextIndex.RANKED_TERMS, graft.text.TextIndex.RANKED_K)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(res(streamed) == res(batch),
+        "sliced streaming ingest must answer exactly like the batch build")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("buildTextIndex/queryTextIndex: caller path, overwrite-in-place, " +
       "AND semantics match a direct computation") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
