@@ -273,12 +273,12 @@ object Knn {
         FROM e, $prev c) WHERE rk = 1),
     $c AS (SELECT cent_id, $sqlMeanList AS cv FROM $a GROUP BY cent_id)"""
 
-  /** The full trained-IVF mirror (seed sample, 2 Lloyd iterations,
-    * assignment, probe, score) — shared verbatim by `knn_ivf` and
-    * `knn_ivf_persisted`: the persisted variant changes WHERE the
-    * inverted lists are read from, not what they contain.
+  /** The full trained-IVF pipeline as a reusable CTE chain ending in
+    * `ivf_hits(query_id, neighbor_id, rank, cosine)` — shared by the
+    * knn_ivf / knn_ivf_persisted oracles and composed (with a brute
+    * CTE) by the knn_recall oracle.
     */
-  private lazy val sqlIvf = s"""WITH e AS (
+  private lazy val sqlIvfCtes = s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
@@ -300,16 +300,25 @@ object Knn {
           row_number() OVER (PARTITION BY q.query_id
             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cent_id)
             AS rk
-        FROM q, c2 c) WHERE rk <= $NPROBE)
-    SELECT query_id, neighbor_id, rank, cosine FROM (
-      SELECT p.query_id, a.vec_id AS neighbor_id,
-        row_number() OVER (PARTITION BY p.query_id
-          ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id)
-          AS rank,
-        round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
-      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-      WHERE p.query_id <> a.vec_id)
-    WHERE rank <= $K ORDER BY query_id, rank"""
+        FROM q, c2 c) WHERE rk <= $NPROBE),
+    ivf_hits AS (
+      SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id)
+            AS rank,
+          round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE p.query_id <> a.vec_id)
+      WHERE rank <= $K)"""
+
+  /** The full trained-IVF mirror — shared verbatim by `knn_ivf` and
+    * `knn_ivf_persisted`: the persisted variant changes WHERE the
+    * inverted lists are read from, not what they contain.
+    */
+  private lazy val sqlIvf = s"""WITH $sqlIvfCtes
+    SELECT query_id, neighbor_id, rank, cosine FROM ivf_hits
+    ORDER BY query_id, rank"""
 
   private val ivf = Q(
     "knn_ivf",
@@ -689,6 +698,58 @@ object Knn {
           AS rk
       FROM e, c2 c) WHERE rk = 1 ORDER BY vec_id"""))
 
+  // -------------------------------------------------------------- knn_recall
+  /** ANN EVALUATION as a first-class operator — recall@k of the trained
+    * IVF against the exact brute-force ground truth, per query: the
+    * number every ANN deployment watches when tuning nprobe/nlist, and
+    * KnnSpec's driver-side recall checks promoted into the library
+    * (and under the oracle gate: both pipelines are deterministic, so
+    * the whole evaluation is mirrorable).
+    *
+    * `recall` is ONE IEEE division of exact integers (n_matched / k).
+    * Scale: both sides are the operators' own plans; the comparison
+    * adds one |queries|·k-row join — evaluation cost is dominated by
+    * the pipelines being evaluated, as it should be.
+    */
+  private val recallQ = Q(
+    "knn_recall",
+    (s, dir) => {
+      val exact = bruteforce.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = ivf.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val k = exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      val matched = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+      k.join(matched, Seq("query_id"), "left")
+        .select(col("query_id"), col("k"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          (coalesce(col("n_matched"), lit(0L)).cast("double") / col("k"))
+            .as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $sqlIvfCtes,
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, e.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id)
+            AS rank
+        FROM q, e WHERE query_id <> e.vec_id)
+      WHERE rank <= $K),
+    kk AS (SELECT query_id, COUNT(*) AS k FROM brute GROUP BY query_id),
+    m AS (
+      SELECT b.query_id, COUNT(*) AS n_matched
+      FROM brute b JOIN ivf_hits i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id)
+    SELECT kk.query_id, kk.k,
+      COALESCE(m.n_matched, 0) AS n_matched,
+      CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / kk.k AS recall
+    FROM kk LEFT JOIN m ON kk.query_id = m.query_id
+    ORDER BY kk.query_id"""))
+
   val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, kmeansTrain, kmeansAssign)
+    knnJoin, kmeansTrain, kmeansAssign, recallQ)
 }
