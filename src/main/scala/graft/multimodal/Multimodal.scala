@@ -225,5 +225,36 @@ object Multimodal {
       media_id <> keeper_id AS is_dup
     FROM f JOIN k USING (payload_md5) ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup)
+  /** The typed frame-sampling path under the oracle gate: documents →
+    * `Dataset[MediaRecord]` → [[frameSample]] (16-byte frames, keep
+    * every 2nd) → per-frame byte length + digest. The digest runs on
+    * the codegen builtin `md5` AFTER the typed boundary (the mm_dedup
+    * lesson); the frame slicing itself is the typed plumbing §2.7
+    * exists to prove. The corpus is ASCII, so DuckDB mirrors the BYTE
+    * slicing with string `substr` exactly (the mm_feature_hist
+    * argument).
+    */
+  private val frames = Q(
+    "mm_frames",
+    (s, dir) => {
+      val f = frameSample(mediaFromDocuments(s, dir),
+        frameBytes = 16, everyN = 2)
+      f.toDF()
+        .select(col("mediaId").as("frame_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("frame_md5"))
+        .orderBy("frame_id")
+    },
+    Some(s"""WITH idxs AS (
+      SELECT doc_id, unnest(range((length(text) + 15) // 16)) AS idx, text
+      FROM documents),
+    f AS (
+      SELECT doc_id, idx, substr(text, (idx * 16 + 1)::INT, 16) AS frame
+      FROM idxs WHERE idx % 2 = 0)
+    SELECT (doc_id * $FRAME_STRIDE + idx)::BIGINT AS frame_id,
+      octet_length(encode(frame))::BIGINT AS n_bytes,
+      md5(frame) AS frame_md5
+    FROM f ORDER BY frame_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames)
 }
