@@ -64,6 +64,9 @@ class MinhashIndexSpec extends SparkSpec {
       MinhashIndex.build(a.union(b), full)
       assert(resultMap(MinhashIndex.check(spark, inc, c)) ==
         resultMap(MinhashIndex.check(spark, full, c)))
+      // an empty slice checks cleanly (zero rows, no error) — the
+      // ingest loop shape must tolerate idle batches
+      assert(MinhashIndex.check(spark, inc, c.limit(0)).collect().isEmpty)
     } finally rm(dir)
   }
 }

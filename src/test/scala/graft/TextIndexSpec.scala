@@ -105,6 +105,14 @@ class TextIndexSpec extends SparkSpec {
           id -> ts.count(t => t == "table" || t == "sort").toLong }
         .toMap
       assert(got == want)
+      // a term absent from the corpus can never satisfy AND semantics
+      assert(graft.text.TextIndex
+        .queryTextIndex(spark, path, Seq("table", "zzz_not_a_word"))
+        .collect().isEmpty)
+      // ranked OR still returns the matches of the present terms
+      assert(graft.text.TextIndex
+        .queryTextIndexRanked(spark, path, Seq("table", "zzz_not_a_word"), 5)
+        .collect().length == 5)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
