@@ -166,30 +166,33 @@ object Quantize {
     *
     * Scale: the d-row moment table collapses to ONE broadcast row
     * (sorted struct array — the [[Knn.assign]] codebook pattern); the
-    * corpus maps once, no shuffle anywhere.
+    * corpus maps once, no shuffle anywhere. The summary is the
+    * [[graft.functions.ZScoreSummary]] codegen kernel — the previous
+    * composed form (a `transform` z array consumed by array_min /
+    * array_max / filter) paid three interpreted O(d) passes per row
+    * after CollapseProject inlined the array into each consumer; the
+    * kernel is one pass, and QuantizeSpec asserts the generated code
+    * calls it exactly once (codegen subexpression elimination dedups
+    * the three struct-field reads).
     */
   private val OUTLIER_Z = 3.0
 
   private val standardize = Q(
     "emb_standardize",
     (s, dir) => {
+      import org.apache.spark.sql.graft.Shim
       val e = emb(s, dir)
       val st = statsOf(e).agg(
         array_sort(collect_list(struct(col("dim_idx"), col("mean"),
           col("variance")))).as("ms"))
-      val z = transform(col("v"), (x, i) => {
-        val m = element_at(col("ms"), (i + 1).cast("int"))
-        when(m.getField("variance") === 0.0, lit(0.0))
-          .otherwise((x - m.getField("mean")) /
-            sqrt(m.getField("variance")))
-      })
       e.crossJoin(broadcast(st))
-        .select(col("vec_id"), z.as("z"))
+        .select(col("vec_id"), Shim.column(graft.functions.ZScoreSummary(
+          Shim.expression(col("v")), Shim.expression(col("ms")),
+          OUTLIER_Z)).as("zs"))
         .select(col("vec_id"),
-          array_min(col("z")).as("z_min"),
-          array_max(col("z")).as("z_max"),
-          size(filter(col("z"), zz => abs(zz) > OUTLIER_Z)).cast("long")
-            .as("n_outliers"))
+          col("zs.z_min").as("z_min"),
+          col("zs.z_max").as("z_max"),
+          col("zs.n_outliers").as("n_outliers"))
         .orderBy("vec_id")
     },
     Some(s"""WITH e AS (

@@ -178,18 +178,33 @@ object Sources {
     * The rewrite stages into `path._compact_tmp` and swaps via two
     * renames (atomic per rename on HDFS/posix), so a crash leaves
     * either the old or the new layout plus at worst an orphaned tmp
-    * dir — never a partial mix. Partitioned layouts compact per
+    * dir — never a partial mix. Partitioned layouts compact per LEAF
     * partition directory at cluster scale (run this per partition);
     * this utility targets the flat-directory case (streaming state,
-    * upsert buckets, index postings).
+    * upsert buckets, index postings). Passing a partitioned ROOT
+    * (`key=value` subdirectories) is rejected rather than assumed
+    * away: a flat rewrite would read the partition columns as data and
+    * swap in a layout that destroys the directory structure partition
+    * pruning (incl. DPP) depends on. A directory with no data files
+    * (an idle streaming sink that has only committed `_SUCCESS`) is a
+    * no-op returning (0, 0) — there is nothing to compact, and
+    * `spark.read.parquet` could not infer a schema from it anyway.
     */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(f =>
+    val entries = fs.listStatus(p)
+    val partitionDirs = entries.filter(e =>
+      e.isDirectory && e.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compact: $path is a partitioned root (found ${partitionDirs.head
+        .getPath.getName}/) — compact each leaf partition directory " +
+        "instead; a flat rewrite would destroy the partition layout")
+    val files = entries.filter(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return (0, 0)
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")

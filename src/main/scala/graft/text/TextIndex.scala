@@ -109,23 +109,34 @@ object TextIndex {
     * micro-batch's (doc_id, text) postings to the index at `path`: the
     * incremental-maintenance twin of [[buildTextIndex]], shaped like
     * [[graft.streaming.Streaming.minhashDedupSink]] (plain parquet
-    * state, restart-safe appends, unbounded history with zero
-    * executor-memory state). The dictionary (df + the DPP driver) is a
-    * CORPUS-GLOBAL artifact, so it is not touched per batch — run
+    * state, unbounded history with zero executor-memory state).
+    * Replay-idempotent the same way that sink is: postings carry the
+    * writing batch's id as a NESTED partition level under `pb`, and the
+    * write dynamically overwrites only its own (pb, batch_id)
+    * partitions — a micro-batch replayed after a crash between the
+    * write and the checkpoint commit rewrites its partitions instead of
+    * appending duplicate (doc_id, term) rows (which would push
+    * n_terms_matched past the AND filter and double-count df). DPP on
+    * `pb` is unaffected: the pruning key stays the leading partition
+    * level. The dictionary (df + the DPP driver) is a CORPUS-GLOBAL
+    * artifact, so it is not touched per batch — run
     * [[finalizeTextIndex]] after (or periodically during) ingest;
     * queries need a finalized dictionary. Assumes doc_ids are unique
     * across batches (re-ingesting a doc double-counts its df), and
     * accretes one file set per batch — [[graft.sources.Sources
-    * .compactParquet]] per `pb=` directory is the maintenance pass.
+    * .compactParquet]] per leaf directory is the maintenance pass.
     */
   def textIndexSink(path: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) =>
+    (batch: DataFrame, batchId: Long) =>
       batch
         .select(col("doc_id"), explode(TextOps.tokens(col("text")))
           .as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("pb", termBucket(col("term")))
-        .write.mode("append").partitionBy("pb")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb", "batch_id")
         .parquet(s"$path/postings")
 
   /** (Re)build the term dictionary from the accumulated postings —

@@ -140,6 +140,52 @@ class KernelSpec extends SparkSpec {
       "zero-norm VECTOR: all NaN -> cent_id ascending")
   }
 
+  test("ZScoreSummary kernel == transform + array_min/array_max/filter " +
+      "composition (incl. a zero-variance dimension)") {
+    // real corpus moments + a constructed frame exercising variance=0
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(500)
+    val synth = Seq(
+      (9001L, Seq(1.5, -2.0, 1.5)),
+      (9002L, Seq(0.0, 7.25, 1.5)),
+      (9003L, Seq(-4.0, 0.5, 1.5))).toDF("vec_id", "v")
+    for (df <- Seq(e, synth)) {
+      val d = df.select(size(col("v"))).head().getInt(0)
+      val ms = df
+        .select(posexplode(col("v")).as(Seq("d0", "x")))
+        .groupBy((col("d0") + 1).cast("long").as("dim_idx"))
+        .agg(avg("x").as("mean"), var_pop("x").as("variance"))
+        .agg(array_sort(collect_list(struct(col("dim_idx"), col("mean"),
+          col("variance")))).as("ms"))
+      val base = df.crossJoin(broadcast(ms))
+      val kernel = base
+        .select(col("vec_id"), Shim.column(graft.functions.ZScoreSummary(
+          Shim.expression(col("v")), Shim.expression(col("ms")), 3.0))
+          .as("zs"))
+        .select(col("vec_id"), col("zs.z_min"), col("zs.z_max"),
+          col("zs.n_outliers"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sorted
+      val z = transform(col("v"), (x, i) => {
+        val m = element_at(col("ms"), (i + 1).cast("int"))
+        when(m.getField("variance") === 0.0, lit(0.0))
+          .otherwise((x - m.getField("mean")) /
+            sqrt(m.getField("variance")))
+      })
+      val composed = base
+        .select(col("vec_id"), z.as("z"))
+        .select(col("vec_id"),
+          array_min(col("z")), array_max(col("z")),
+          size(filter(col("z"), zz => abs(zz) > 3.0)).cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sorted
+      assert(kernel == composed, s"dim-$d frame")
+    }
+  }
+
   test("NearestCentroid kernel == window argmax over the codebook") {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -143,9 +143,19 @@ class KnnSpec extends SparkSpec {
   }
 
   test("emb_standardize: z summaries consistent with the corpus moments") {
-    val rows = SparkEntry.queries("emb_standardize")(spark, sfDir)
+    val d = SparkEntry.queries("emb_standardize")(spark, sfDir)
+    val rows = d
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
         r.getLong(3)))
+    // one kernel pass per row: codegen subexpression elimination must
+    // collapse the three struct-field reads to a single summary call
+    // (the composed HOF form this replaced ran three interpreted O(d)
+    // transforms per row after CollapseProject inlining)
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      d.queryExecution.executedPlan)
+    val calls = "ZScore\\.summary".r.findAllIn(gen).length
+    assert(calls == 1,
+      s"expected exactly one generated ZScore.summary call, got $calls")
     assert(rows.length ==
       Tables(spark, sfDir, "embeddings").count())
     rows.foreach { case (id, zMin, zMax, out) =>

@@ -91,6 +91,31 @@ class SourcesSpec extends SparkSpec {
     assert(parent.listFiles().map(_.getName).toSet == Set("li_small"))
   }
 
+  test("compactParquet: empty state dir is a (0,0) no-op; a partitioned " +
+      "root is rejected to protect the DPP layout") {
+    // idle streaming sink: directory exists, only _SUCCESS committed
+    val empty = tmp() + "/idle_state"
+    new java.io.File(empty).mkdirs()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(empty, "_SUCCESS"))
+    assert(Sources.compactParquet(spark, empty) == ((0, 0)))
+    assert(new java.io.File(empty, "_SUCCESS").exists(),
+      "no-op must not touch the directory")
+    // partitioned root: pb= subdirectories must be refused, not
+    // flattened into a layout that loses the partition columns
+    val parted = tmp() + "/parted"
+    Tables(spark, sfDir, "nation")
+      .withColumn("pb", col("n_nationkey") % 4)
+      .write.partitionBy("pb").parquet(parted)
+    val e = intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, parted)
+    }
+    assert(e.getMessage.contains("partitioned root"))
+    // each leaf partition dir still compacts fine
+    val (b, a) = Sources.compactParquet(spark, parted + "/pb=0")
+    assert(b >= 1 && a >= 1)
+  }
+
   test("keyed upsert merges like MERGE and rewrites only touched buckets") {
     import spark.implicits._
     val dir = tmp() + "/upsert"

@@ -65,6 +65,11 @@ class TextIndexSpec extends SparkSpec {
       try {
         slices.foreach { s => mem.addData(s.toSeq: _*); q.processAllAvailable() }
       } finally q.stop()
+      // replay batch 0 (crash between the postings write and the
+      // checkpoint commit): the dynamic (pb, batch_id) overwrite must
+      // rewrite its own partitions, not append duplicate postings
+      graft.text.TextIndex.textIndexSink(streamed)(
+        slices.head.toSeq.toDF("doc_id", "text"), 0L)
       graft.text.TextIndex.finalizeTextIndex(spark, streamed)
       graft.text.TextIndex.buildTextIndex(
         Tables(spark, sfDir, "documents").select("doc_id", "text"), batch)
@@ -73,7 +78,8 @@ class TextIndexSpec extends SparkSpec {
           graft.text.TextIndex.RANKED_TERMS, graft.text.TextIndex.RANKED_K)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(res(streamed) == res(batch),
-        "sliced streaming ingest must answer exactly like the batch build")
+        "sliced streaming ingest (incl. a replayed micro-batch) must " +
+          "answer exactly like the batch build")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
