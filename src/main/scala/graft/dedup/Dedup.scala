@@ -849,7 +849,113 @@ object Dedup {
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     ORDER BY d.doc_id"""))
 
+  // -------------------------------------------------------------- dedup_url
+  /** URL/host dedup — the stage every crawl pipeline (RefinedWeb, CCNet,
+    * Dolma) runs BEFORE content dedup: canonicalize each document's URL
+    * and collapse exact canonical matches, keeping the min doc_id. At
+    * 100 TB this is the cheapest dedup pass by far — a map-only
+    * [[graft.functions.CanonicalUrl]] codegen kernel (case-folded
+    * scheme/host, `www.` and default-port stripping, trailing-slash
+    * removal, fragment drop, query-param sort — step contract on
+    * [[graft.functions.TextKernels.canonicalUrl]]) followed by ONE
+    * hash-agg exchange on the canonical string; no joins, no pair space.
+    *
+    * The synthetic corpus has no URL column, so the query derives one
+    * deterministically from doc_id — identically in both engines —
+    * shaped so canonicalization is EXERCISED, not bypassed:
+    * each group of 4 consecutive doc_ids shares a target in 4 spellings
+    * (plain; upper-cased scheme+host with a trailing slash; `www.` +
+    * `:443` + reversed query order; fragment + sorted query), which must
+    * collapse to exactly 2 canonical groups of 2 (with/without query).
+    * The oracle re-implements every canonicalization step in DuckDB
+    * string functions, so the canonical STRINGS hash-gate, not just the
+    * group counts.
+    */
+  private val urlDedup = Q(
+    "dedup_url",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.Shim
+      val pid = expr("doc_id DIV 4").cast("string")
+      val srv = (expr("doc_id DIV 4") % 10).cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://cdn"), srv,
+            lit(".example.com/data/item"), pid))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://CDN"), srv,
+            lit(".Example.COM/data/item"), pid, lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www.cdn"), srv,
+            lit(".example.com:443/data/item"), pid, lit("?b=2&a=1")))
+        .otherwise(
+          concat(lit("https://cdn"), srv,
+            lit(".example.com/data/item"), pid, lit("?a=1&b=2#frag")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Shim.column(graft.functions.CanonicalUrl(
+          Shim.expression(url))).as("url"))
+        .groupBy("url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("url")
+    },
+    Some("""WITH urls AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://cdn' || ((doc_id // 4) % 10)::VARCHAR
+            || '.example.com/data/item' || (doc_id // 4)::VARCHAR
+          WHEN 1 THEN 'HTTPS://CDN' || ((doc_id // 4) % 10)::VARCHAR
+            || '.Example.COM/data/item' || (doc_id // 4)::VARCHAR || '/'
+          WHEN 2 THEN 'https://www.cdn' || ((doc_id // 4) % 10)::VARCHAR
+            || '.example.com:443/data/item' || (doc_id // 4)::VARCHAR
+            || '?b=2&a=1'
+          ELSE 'https://cdn' || ((doc_id // 4) % 10)::VARCHAR
+            || '.example.com/data/item' || (doc_id // 4)::VARCHAR
+            || '?a=1&b=2#frag'
+        END AS url
+      FROM documents),
+    nofrag AS (
+      SELECT doc_id,
+        CASE WHEN strpos(url, '#') > 0
+          THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END AS u
+      FROM urls),
+    parts AS (
+      SELECT doc_id,
+        lower(substr(u, 1, strpos(u, '://') - 1)) AS scheme,
+        substr(u, strpos(u, '://') + 3) AS rest
+      FROM nofrag WHERE strpos(u, '://') > 0),
+    auth0 AS (
+      SELECT doc_id, scheme, rest,
+        lower(regexp_extract(rest, '^[^/?]*')) AS a0
+      FROM parts),
+    auth1 AS (
+      SELECT doc_id, scheme,
+        substr(rest, length(a0) + 1) AS tail,
+        CASE WHEN a0 LIKE 'www.%' THEN substr(a0, 5) ELSE a0 END AS a1
+      FROM auth0),
+    auth AS (
+      SELECT doc_id, scheme, tail,
+        CASE WHEN scheme = 'http' AND a1 LIKE '%:80'
+               THEN substr(a1, 1, length(a1) - 3)
+             WHEN scheme = 'https' AND a1 LIKE '%:443'
+               THEN substr(a1, 1, length(a1) - 4)
+             ELSE a1 END AS host
+      FROM auth1),
+    pq AS (
+      SELECT doc_id, scheme, host,
+        CASE WHEN strpos(tail, '?') > 0
+          THEN substr(tail, 1, strpos(tail, '?') - 1) ELSE tail END AS p0,
+        CASE WHEN strpos(tail, '?') > 0
+          THEN substr(tail, strpos(tail, '?') + 1) ELSE '' END AS q0
+      FROM auth),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' || host || regexp_replace(p0, '/+$', '')
+          || CASE WHEN q0 = '' THEN '' ELSE '?' ||
+               array_to_string(list_sort(string_split(q0, '&')), '&') END
+          AS url
+      FROM pq)
+    SELECT url, MIN(doc_id)::BIGINT AS keep_id, COUNT(*)::BIGINT AS n_docs
+    FROM canon GROUP BY url ORDER BY url"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
-      embeddingLsh, clusters, substringDedup, cross)
+      embeddingLsh, clusters, substringDedup, cross, urlDedup)
 }

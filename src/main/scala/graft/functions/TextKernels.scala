@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd single-pass text kernels.
@@ -178,6 +179,95 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** PII patterns — shared verbatim with the DuckDB mirror (see
+    * [[graft.text.TextOps]] text_pii_scrub). Constructs restricted to
+    * what java.util.regex and RE2 execute identically: ASCII classes,
+    * greedy bounded quantifiers, optional single-char separators, and
+    * ASCII `\b` — no backreferences or lookaround (RE2 lacks them), no
+    * constructs where leftmost-first semantics could diverge.
+    */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IP_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PHONE_RE =
+    "\\+?(?:[0-9]{1,2}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+
+  private val EMAIL_P = java.util.regex.Pattern.compile(EMAIL_RE)
+  private val IP_P = java.util.regex.Pattern.compile(IP_RE)
+  private val PHONE_P = java.util.regex.Pattern.compile(PHONE_RE)
+
+  /** Replace every match of `p` with `tag`, returning the new text and
+    * the match count in one scan (no replaceAll re-scan).
+    */
+  private def scrubOne(t: String, p: java.util.regex.Pattern,
+      tag: String): (String, Long) = {
+    val m = p.matcher(t)
+    var n = 0L
+    val sb = new java.lang.StringBuilder()
+    while (m.find()) { n += 1; m.appendReplacement(sb, tag) }
+    if (n == 0) (t, 0L)
+    else { m.appendTail(sb); (sb.toString, n) }
+  }
+
+  /** Email → IP → phone redaction with per-stage counts; see [[PiiScrub]].
+    * Stage ORDER is part of the contract: IPs are counted on the
+    * email-scrubbed text and phones on the email+IP-scrubbed text, so a
+    * dotted-digit run can never be double-counted as both IP and phone
+    * (the mirror stages its regexp_replace/extract_all identically).
+    */
+  def piiScrub(s: UTF8String): InternalRow = {
+    val (t1, emails) = scrubOne(s.toString, EMAIL_P, "<EMAIL>")
+    val (t2, ips) = scrubOne(t1, IP_P, "<IP>")
+    val (t3, phones) = scrubOne(t2, PHONE_P, "<PHONE>")
+    new GenericInternalRow(
+      Array[Any](UTF8String.fromString(t3), emails, ips, phones))
+  }
+
+  /** URL canonicalization — the normalize half of dedup_url; every step
+    * is mirrored 1:1 by DuckDB string functions in the oracle (see
+    * [[graft.dedup.Dedup]] dedup_url):
+    *  1. strip the fragment (first `#` to end);
+    *  2. no `://` → return as-is (opaque identifier, no structure to
+    *     normalize);
+    *  3. lowercase the scheme and the authority (up to the first `/`
+    *     or `?`);
+    *  4. drop a leading `www.`; drop the scheme's default port
+    *     (`:80` for http, `:443` for https — other scheme/port combos
+    *     are meaningful and kept);
+    *  5. strip trailing `/` runs from the path (`/a/` ≡ `/a`, bare
+    *     `/` ≡ empty);
+    *  6. sort query params byte-lexicographically (`?b=2&a=1` ≡
+    *     `?a=1&b=2` — binary sort in both engines), dropping an empty
+    *     query entirely.
+    */
+  def canonicalUrl(s: UTF8String): UTF8String = {
+    var u = s.toString
+    val h = u.indexOf('#')
+    if (h >= 0) u = u.substring(0, h)
+    val sep = u.indexOf("://")
+    if (sep < 0) return UTF8String.fromString(u)
+    val scheme = u.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = u.substring(sep + 3)
+    var cut = rest.length
+    val sl = rest.indexOf('/')
+    if (sl >= 0) cut = sl
+    val qm = rest.indexOf('?')
+    if (qm >= 0 && qm < cut) cut = qm
+    var auth = rest.substring(0, cut).toLowerCase(java.util.Locale.ROOT)
+    if (auth.startsWith("www.")) auth = auth.substring(4)
+    if (scheme == "http" && auth.endsWith(":80")) auth = auth.dropRight(3)
+    else if (scheme == "https" && auth.endsWith(":443"))
+      auth = auth.dropRight(4)
+    val tail = rest.substring(cut)
+    val qi = tail.indexOf('?')
+    var path = if (qi >= 0) tail.substring(0, qi) else tail
+    val query = if (qi >= 0) tail.substring(qi + 1) else ""
+    while (path.endsWith("/")) path = path.dropRight(1)
+    val cq =
+      if (query.isEmpty) ""
+      else "?" + query.split("&", -1).sorted.mkString("&")
+    UTF8String.fromString(scheme + "://" + auth + path + cq)
+  }
+
   /** All k-grams in order, duplicates KEPT (term-frequency consumers). */
   def shinglesAll(s: UTF8String, k: Int): ArrayData = {
     val toks = tokenize(s)
@@ -316,6 +406,59 @@ case class MaxShingleCount(child: Expression, k: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextKernels.maxShingleCount($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `canonical_url(url)` → string: URL canonicalization (see
+  * [[TextKernels.canonicalUrl]] for the step contract) in one codegen'd
+  * call — the map-only normalize stage of dedup_url.
+  */
+case class CanonicalUrl(child: Expression)
+    extends UnaryExpression with TextKernelExpression {
+  override def prettyName: String = "canonical_url"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.canonicalUrl(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.canonicalUrl($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `pii_scrub(text)` → struct<scrubbed:string, n_emails:long,
+  * n_ips:long, n_phones:long>: email/phone/IP redaction with per-doc
+  * counts — the mandatory pre-release scrubbing stage (Dolma /
+  * RefinedWeb run it before anything else touches text) — in ONE
+  * codegen'd call per row. The alternative (chained builtin
+  * regexp_replace + three regexp_count consumers) re-scans the text
+  * per consumer after CollapseProject inlining; here each pattern
+  * scans once, counting while replacing. Patterns and stage order are
+  * shared with the DuckDB mirror (see [[TextKernels.EMAIL_RE]]) and
+  * restricted to the regex subset java.util.regex and RE2 execute
+  * identically, so the scrubbed TEXT itself hash-gates, not just the
+  * counts.
+  */
+case class PiiScrub(child: Expression)
+    extends UnaryExpression with TextKernelExpression {
+  override def prettyName: String = "pii_scrub"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scrubbed", StringType, nullable = false),
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("n_phones", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.piiScrub(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.piiScrub($a);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -643,6 +643,85 @@ object TextOps {
     FROM big JOIN ctx ON string_split(big.gram, ' ')[1] = ctx.w1
     ORDER BY c2 DESC, gram LIMIT $LM_TOP"""))
 
+  // ------------------------------------------------------- text_pii_scrub
+  /** PII scrubbing — email/IP/phone redaction with per-doc counts, the
+    * stage Dolma/RefinedWeb run before anything else touches text. Per
+    * row this is ONE [[graft.functions.PiiScrub]] codegen call (each
+    * pattern scans once, counting while replacing — not a chain of
+    * builtin regexp_replace + regexp_count consumers each re-scanning
+    * after CollapseProject inlining); zero shuffle, the map-only
+    * quality-kernel posture.
+    *
+    * The synthetic corpus contains no digits at all, so the query
+    * INJECTS deterministic PII forms from (doc_id, text) — identically
+    * CASE-constructed in both engines — before scrubbing: plus-tagged
+    * unique emails, parenthesized / dotted / +CC-spaced phones,
+    * bracketed and bare IPs, plus near-miss forms (a@b, 1.2.3,
+    * 12.34.56, 1234) that must survive unscrubbed. The patterns are the
+    * [[graft.functions.TextKernels.EMAIL_RE]]/IP_RE/PHONE_RE constants,
+    * interpolated verbatim into the mirror and restricted to the regex
+    * subset java.util.regex and RE2 execute identically — the gate
+    * hashes the scrubbed TEXT, not just the counts, so any semantic
+    * divergence between the engines' regex dialects would fail the row.
+    */
+  private val piiScrub = Q(
+    "text_pii_scrub",
+    (s, dir) => {
+      val injected = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact john.doe+spam"),
+            col("doc_id").cast("string"),
+            lit("@mail.example-host.org or (555) 123-4567 now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" server 10."),
+            (col("doc_id") % 256).cast("string"), lit(".0."),
+            (expr("doc_id DIV 7") % 256).cast("string"),
+            lit(" gw [172.16.254.1] peer 555.867.5309 dialed" +
+              " +1 650 253 0000")))
+        .otherwise(concat(col("text"),
+          lit(" clean: ver 1.2.3 build 1234 mailto a@b nope 12.34.56 end")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
+          graft.functions.PiiScrub(org.apache.spark.sql.graft.Shim
+            .expression(injected))).as("p"))
+        .select(col("doc_id"),
+          col("p.scrubbed").as("scrubbed"),
+          col("p.n_emails").as("n_emails"),
+          col("p.n_ips").as("n_ips"),
+          col("p.n_phones").as("n_phones"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val e = graft.functions.TextKernels.EMAIL_RE
+      val i = graft.functions.TextKernels.IP_RE
+      val ph = graft.functions.TextKernels.PHONE_RE
+      s"""WITH p AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN text || ' contact john.doe+spam' || doc_id::VARCHAR
+            || '@mail.example-host.org or (555) 123-4567 now'
+          WHEN 1 THEN text || ' server 10.' || (doc_id % 256)::VARCHAR
+            || '.0.' || ((doc_id // 7) % 256)::VARCHAR
+            || ' gw [172.16.254.1] peer 555.867.5309 dialed +1 650 253 0000'
+          ELSE text || ' clean: ver 1.2.3 build 1234 mailto a@b nope 12.34.56 end'
+        END AS t
+      FROM documents),
+    s1 AS (
+      SELECT doc_id,
+        regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1,
+        len(regexp_extract_all(t, '$e'))::BIGINT AS n_emails
+      FROM p),
+    s2 AS (
+      SELECT doc_id, n_emails,
+        regexp_replace(t1, '$i', '<IP>', 'g') AS t2,
+        len(regexp_extract_all(t1, '$i'))::BIGINT AS n_ips
+      FROM s1)
+    SELECT doc_id,
+      regexp_replace(t2, '$ph', '<PHONE>', 'g') AS scrubbed,
+      n_emails, n_ips,
+      len(regexp_extract_all(t2, '$ph'))::BIGINT AS n_phones
+    FROM s2 ORDER BY doc_id"""})
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
-    repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm)
+    repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
+    piiScrub)
 }

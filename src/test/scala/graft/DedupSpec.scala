@@ -181,4 +181,57 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((3L, 4L)),
       "only the identical non-empty docs may pair; empty docs never")
   }
+
+  test("canonicalUrl: adversarial forms normalize per the step contract") {
+    def c(u: String): String = graft.functions.TextKernels
+      .canonicalUrl(org.apache.spark.unsafe.types.UTF8String.fromString(u))
+      .toString
+    // scheme+host case-fold, www strip, default-port strip, trailing
+    // slashes, fragment drop, query sort — all equivalent spellings
+    assert(Seq(
+      "https://cdn.x.example.com/a/b?b=2&a=1",
+      "HTTPS://WWW.Cdn.X.Example.COM:443/a/b/?b=2&a=1#frag",
+      "https://cdn.x.example.com/a/b///?b=2&a=1")
+      .map(c).distinct == Seq("https://cdn.x.example.com/a/b?a=1&b=2"))
+    assert(c("http://Host.org:80/p") == "http://host.org/p")
+    // a NON-default port is meaningful and must survive
+    assert(c("http://host.org:443/p") == "http://host.org:443/p")
+    assert(c("https://host.org:80/p") == "https://host.org:80/p")
+    assert(c("https://host.org:8443/p") == "https://host.org:8443/p")
+    // path-less / query-only / empty-query shapes
+    assert(c("https://h.org") == "https://h.org")
+    assert(c("https://h.org/") == "https://h.org")
+    assert(c("https://h.org?z=1&a=2") == "https://h.org?a=2&z=1")
+    assert(c("https://h.org/p?") == "https://h.org/p")
+    assert(c("https://h.org#only-frag") == "https://h.org")
+    // case is preserved where it matters: path and query values
+    assert(c("https://h.org/CaseSensitive?Key=Val") ==
+      "https://h.org/CaseSensitive?Key=Val")
+    // no scheme -> opaque passthrough (fragment still stripped)
+    assert(c("not a url") == "not a url")
+    assert(c("relative/path#f") == "relative/path")
+    // www is an authority prefix, not a path substring
+    assert(c("https://h.org/www.keep") == "https://h.org/www.keep")
+  }
+
+  test("dedup_url: each 4-spelling group collapses to 2 canonical " +
+      "groups of 2, keeper = min doc_id") {
+    val rows = SparkEntry.queries("dedup_url")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_._3).sum == nDocs, "every doc lands in one group")
+    // full groups (all 4 spellings present) have exactly 2 docs each:
+    // {plain, cased+slash} and {www+port+reversed-query, frag+query}
+    val full = rows.filter(_._3 == 2)
+    assert(full.length >= (nDocs / 4 - 1) * 2,
+      s"expected ~${nDocs / 4 * 2} two-doc canonical groups")
+    full.foreach { case (url, keep, _) =>
+      assert(url == url.toLowerCase.replace(":443", "")
+        .replace("www.", ""), s"non-canonical url survived: $url")
+      assert(keep % 4 == 0 || keep % 4 == 2,
+        s"keeper must be the group's min doc_id spelling: $keep")
+    }
+    // with/without-query variants must NOT merge
+    assert(full.count(_._1.contains("?a=1&b=2")) == full.length / 2)
+  }
 }

@@ -140,6 +140,53 @@ class KernelSpec extends SparkSpec {
       "zero-norm VECTOR: all NaN -> cent_id ascending")
   }
 
+  test("PiiScrub kernel == staged builtin regexp chain; adversarial " +
+      "forms pin the expected scrub") {
+    import graft.functions.TextKernels.{EMAIL_RE, IP_RE, PHONE_RE}
+    val cases = Seq(
+      "mail bob.smith+tag@mail.example-host.org please",
+      "dotted 555.123.4567 and (555) 123-4567 and +1 650 253 0000",
+      "bracketed [172.16.254.1] bare 10.0.0.7 syntactic 256.999.1.1",
+      "unicode öne@two.com büro user.name@host.org done",
+      "near miss a@b 1.2.3 12.34.56 1234 v1.2.3 end",
+      "digits 1234567890 run",
+      "", "   ", "no pii at all")
+    val df = cases.toDF("text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val kernel = rows(df
+      .select(Shim.column(graft.functions.PiiScrub(
+        Shim.expression(col("text")))).as("p"))
+      .select(col("p.scrubbed"), col("p.n_emails"), col("p.n_ips"),
+        col("p.n_phones")))
+    // the builtin java-regex chain, staged exactly like the kernel:
+    // emails counted on raw text, IPs on email-scrubbed, phones on
+    // email+IP-scrubbed
+    val t1 = regexp_replace(col("text"), lit(EMAIL_RE), lit("<EMAIL>"))
+    val t2 = regexp_replace(t1, lit(IP_RE), lit("<IP>"))
+    val composed = rows(df.select(
+      regexp_replace(t2, lit(PHONE_RE), lit("<PHONE>")),
+      regexp_count(col("text"), lit(EMAIL_RE)).cast("long"),
+      regexp_count(t1, lit(IP_RE)).cast("long"),
+      regexp_count(t2, lit(PHONE_RE)).cast("long")))
+    assert(kernel == composed)
+    assert(kernel(0) == (("mail <EMAIL> please", 1L, 0L, 0L)))
+    assert(kernel(1) ==
+      (("dotted <PHONE> and <PHONE> and <PHONE>", 0L, 0L, 3L)))
+    // bracketed IPs hit via \b; the pattern is syntactic (no octet
+    // range check), like every first-pass scrubber
+    assert(kernel(2) ==
+      (("bracketed [<IP>] bare <IP> syntactic <IP>", 0L, 3L, 0L)))
+    // ASCII classes: the unicode-adjacent ASCII tail is what scrubs —
+    // identical in java.util.regex and RE2, which is the point
+    assert(kernel(3) == (("unicode ö<EMAIL> büro <EMAIL> done", 2L, 0L, 0L)))
+    assert(kernel(4) ==
+      (("near miss a@b 1.2.3 12.34.56 1234 v1.2.3 end", 0L, 0L, 0L)))
+    assert(kernel(5) == (("digits <PHONE> run", 0L, 0L, 1L)))
+    assert(kernel.drop(6).map(_._1) == Seq("", "   ", "no pii at all"))
+  }
+
   test("ZScoreSummary kernel == transform + array_min/array_max/filter " +
       "composition (incl. a zero-variance dimension)") {
     // real corpus moments + a constructed frame exercising variance=0
