@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   /** Timed iterations per query; the reported number is their MEDIAN
     * (machine-load spikes corrupt any single-shot measurement — BENCH_r02
@@ -33,25 +34,15 @@ object Bench {
       try src.mkString.trim finally src.close()
     } catch { case _: Throwable => "" }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.tune(spark)
-    val loadBefore = loadavg()
-    // Untimed session warm-up: first-action costs (parquet reader +
-    // whole-stage-codegen framework + shuffle machinery init, ~4-5 s)
-    // otherwise land entirely on whichever query Map order puts first,
-    // corrupting its number. Warm EVERY table, not just a small one —
-    // the first cold scan of lineitem alone is ~1 s of page-cache and
-    // footer-read residue that otherwise inflates all reps of whichever
-    // query touches it first (BENCH_r03's q01_agg).
+  /** Untimed session warm-up: first-action costs (parquet reader +
+    * whole-stage-codegen framework + shuffle machinery init, ~4-5 s)
+    * otherwise land entirely on whichever query Map order puts first,
+    * corrupting its number. Warm EVERY table, not just a small one —
+    * the first cold scan of lineitem alone is ~1 s of page-cache and
+    * footer-read residue that otherwise inflates all reps of whichever
+    * query touches it first (BENCH_r03's q01_agg).
+    */
+  private def warmUp(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions.col
     spark.range(1000).repartition(4).groupBy(col("id") % 7).count()
       .write.format("noop").mode("overwrite").save()
@@ -60,7 +51,15 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+  }
+
+  /** Run every query at `sfDir`: REPS timed reps (+ load-guard extras),
+    * per-query rep vectors in SparkEntry.queries order.
+    */
+  private def runAll(spark: SparkSession,
+      sfDir: String): Seq[(String, Vector[Double])] = {
+    warmUp(spark, sfDir)
+    SparkEntry.queries.toSeq.map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
         // noop sink materializes every output column (count() would let
@@ -80,32 +79,121 @@ object Bench {
       }
       name -> times.toVector
     }
+  }
+
+  private def obj(results: Seq[(String, Vector[Double])])(
+      f: Vector[Double] => String): String =
+    results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.tune(spark)
+    sys.env.get("SPARK_GRAFT_SF_SWEEP") match {
+      case Some(dirs) => sweep(spark, dirs.split(",").map(_.trim).toSeq)
+      case None => single(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    }
+    spark.stop()
+  }
+
+  /** The driver's per-round path: one scale factor. Stdout carries ONE
+    * SHORT line — metric/value/unit plus pointers only, NO per-query
+    * map: the driver captures a bounded tail window of stdout, and the
+    * full 89-query map pushed the line past it, truncating the JSON
+    * mid-object and leaving `parsed` null five rounds running. The full
+    * machine contract (per-query medians/mins/reps, loadavg) goes to
+    * $SPARK_GRAFT_BENCH_OUT (default BENCH_OUT.json).
+    */
+  private def single(spark: SparkSession, sfDir: String): Unit = {
+    val loadBefore = loadavg()
+    val results = runAll(spark, sfDir)
     val loadAfter = loadavg()
-    def obj(f: Vector[Double] => String): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-        .mkString("{", ",", "}")
-    val med = obj(v => r3(median(v)))
-    val total = results.values.map(v => median(v)).sum
-    val totalMin = results.values.map(_.min).sum
-    // The driver captures a bounded window of stdout: keep the contract
-    // line COMPACT (3-decimal medians only) so the whole object — total
-    // metric + all queries — fits. The FULL contract (per-rep times,
-    // mins, loadavg) goes to a machine-parseable FILE, sidestepping both
-    // the window and sbt's [info] stdout prefix that left `parsed` null
-    // for four rounds.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$REPS,"total_min":${r3(totalMin)},"queries":$med,"sf":"$sfDir"}"""
+    val med = obj(results)(v => r3(median(v)))
+    val total = results.map(v => median(v._2)).sum
+    val totalMin = results.map(_._2.min).sum
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$REPS,"total_min":${r3(totalMin)},"n_queries":${results.size},"sf":"$sfDir","detail":"$out"}"""
     println(line)
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec",
       |"reps":$REPS,"max_extra_reps":$MAX_EXTRA,
       |"total_min":${r3(totalMin)},
       |"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",
       |"queries":$med,
-      |"queries_min":${obj(v => r3(v.min))},
-      |"queries_reps":${obj(v => v.map(r3).mkString("[", ",", "]"))},
+      |"queries_min":${obj(results)(v => r3(v.min))},
+      |"queries_reps":${obj(results)(v => v.map(r3).mkString("[", ",", "]"))},
       |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     System.err.println(s"[bench] full contract written to $out")
-    spark.stop()
+  }
+
+  /** Scaling-evidence mode (`SPARK_GRAFT_SF_SWEEP=dir1,dir2,...`): run
+    * the full suite at each scale factor in one JVM and fit, per query,
+    * the least-squares slope of log(median time) on log(sf) — the
+    * empirical scaling exponent behind SURVEY §6's design claims. An
+    * exponent ≈1 is linear in data volume; well below 1 means fixed
+    * per-query overhead (job launch, planning, the small side of a
+    * broadcast) still dominates at these sfs; materially above 1 at the
+    * TOP of the sweep is the super-linear red flag. The fit uses only
+    * the upper decade(s) where data cost is visible; numbers land in
+    * $SPARK_GRAFT_SWEEP_OUT (default BENCH_SWEEP.json).
+    */
+  private def sweep(spark: SparkSession, dirs: Seq[String]): Unit = {
+    require(dirs.size >= 2, s"sweep needs >=2 sf dirs, got $dirs")
+    val sfOf = "sf([0-9.]+)".r
+    val sfs = dirs.map(d => sfOf.findFirstMatchIn(d) match {
+      case Some(m) => m.group(1).toDouble
+      case None => throw new IllegalArgumentException(s"no sf in dir $d")
+    })
+    val loadBefore = loadavg()
+    val bySf = dirs.map(d => d -> runAll(spark, d))
+    val loadAfter = loadavg()
+    val names = bySf.head._2.map(_._1)
+    // slope of log(t) on log(sf), least squares over all swept points
+    def fit(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val lx = xs.map(math.log)
+      val ly = ys.map(math.log)
+      val mx = lx.sum / lx.size
+      val my = ly.sum / ly.size
+      val num = lx.zip(ly).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = lx.map(x => (x - mx) * (x - mx)).sum
+      num / den
+    }
+    val exps = names.map { n =>
+      val meds = bySf.map { case (_, rs) =>
+        median(rs.find(_._1 == n).get._2)
+      }
+      // fit over the top decade only when 3+ points: the bottom sf is
+      // pure overhead for most queries and would bias the slope low
+      val k = if (sfs.size >= 3) 2 else sfs.size
+      n -> (fit(sfs.takeRight(k), meds.takeRight(k)), meds)
+    }
+    val perSf = bySf.zip(sfs).map { case ((d, rs), sf) =>
+      s""""$d":{"sf":$sf,"total":${r3(rs.map(v => median(v._2)).sum)},
+        |"queries":${obj(rs)(v => r3(median(v)))},
+        |"queries_min":${obj(rs)(v => r3(v.min))}}""".stripMargin
+        .replace("\n", "")
+    }.mkString("{", ",", "}")
+    val expObj = exps.map { case (n, (e, _)) => s""""$n":${r3(e)}""" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"sf_sweep","dirs":${dirs.map(d => "\"" + d + "\"")
+        .mkString("[", ",", "]")},
+      |"reps":$REPS,"fit":"least-squares slope of log(median) vs log(sf), top ${math.min(2, sfs.size)} sfs",
+      |"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",
+      |"exponents":$expObj,
+      |"runs":$perSf}""".stripMargin.replace("\n", "")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT", "BENCH_SWEEP.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    val flagged = exps.filter(_._2._1 > 1.3).map(_._1)
+    println(s"""{"metric":"sf_sweep","n_queries":${names.size},"superlinear":${flagged.size},"detail":"$out"}""")
+    System.err.println(s"[bench] sweep written to $out; " +
+      s"exponent>1.3: ${flagged.mkString(", ")}")
   }
 }

@@ -25,9 +25,11 @@ object SparkEntry {
   private def suites: Seq[Q] =
     operators.Relational.all ++ operators.CustomJoins.all ++
       operators.Sketches.all ++ text.TextOps.all ++ text.Sampling.all ++
-      text.Decontam.all ++ text.Packing.all ++ text.TextIndex.all ++
+      text.Decontam.all ++ text.Packing.all ++ text.Bpe.all ++
+      text.TextIndex.all ++
       text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++
-      sim.Quantize.all ++ sim.SemDedup.all ++ multimodal.Multimodal.all
+      sim.Quantize.all ++ sim.SemDedup.all ++ multimodal.Multimodal.all ++
+      handler.HandlerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

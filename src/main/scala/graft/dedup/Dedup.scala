@@ -508,17 +508,26 @@ object Dedup {
     * `aggregate(zip_with(...))` HOF route computes the same values ~20×
     * slower: higher-order functions are CodegenFallback).
     */
-  private val NBLOCKS = 16
+  /** Block-grid fan-out sized from the session's parallelism: B ≈
+    * √(2·parallelism) gives B(B+1)/2 ≈ parallelism uniform tiles — one
+    * per core locally, one per task slot on a cluster (the doc-comment
+    * rule above, now derived instead of hard-coded). Block assignment is
+    * id-mod, so the pair set — and the oracle — are B-agnostic
+    * (ScaleSpec pins the sizing rule and the tile count).
+    */
+  private[graft] def nBlocksFor(parallelism: Int): Int =
+    math.max(1, math.round(math.sqrt(2.0 * parallelism)).toInt)
 
   private val embedding = Q(
     "dedup_embedding",
     (s, dir) => {
+      val nb = nBlocksFor(s.sparkContext.defaultParallelism)
       val e = embVecs(s, dir)
-        .withColumn("blk", pmod(col("vec_id"), lit(NBLOCKS)).cast("int"))
+        .withColumn("blk", pmod(col("vec_id"), lit(nb)).cast("int"))
       // role A covers block pairs (blk, j≥blk); role B covers (i≤blk, blk):
       // every unordered block pair joins exactly once, on (ba, bb)
       val a = e.withColumn("bb", explode(sequence(col("blk"),
-          lit(NBLOCKS - 1))))
+          lit(nb - 1))))
         .select(col("vec_id").as("x_id"), col("v").as("va"),
           col("blk").as("ba"), col("bb"))
       val b = e.withColumn("ba", explode(sequence(lit(0), col("blk"))))

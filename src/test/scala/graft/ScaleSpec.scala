@@ -109,4 +109,22 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("dedup_embedding block grid tracks parallelism: B ~ sqrt(2*p), " +
+      "tiles ~ p") {
+    import graft.dedup.Dedup.nBlocksFor
+    // the sizing rule: B(B+1)/2 uniform tiles land within a small
+    // factor of the task-slot count at every scale
+    for (p <- Seq(4, 8, 32, 128, 1000, 4000)) {
+      val b = nBlocksFor(p)
+      assert(b == math.round(math.sqrt(2.0 * p)).toInt)
+      val tiles = b * (b + 1) / 2
+      assert(tiles >= p * 3 / 4 && tiles <= p * 2,
+        s"p=$p B=$b tiles=$tiles not within [0.75p, 2p]")
+    }
+    assert(nBlocksFor(1) == 1)
+    // the session's own grid: the fan-out the oracle-gated query used
+    val b = nBlocksFor(spark.sparkContext.defaultParallelism)
+    assert(b >= 2, "local session must still tile the pair space")
+  }
 }
