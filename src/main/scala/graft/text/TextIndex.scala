@@ -40,12 +40,22 @@ object TextIndex {
     * selective and plans a full postings read). Overwrites any prior
     * index at `path`.
     */
-  def buildTextIndex(docs: DataFrame, path: String): Unit = {
+  def buildTextIndex(docs: DataFrame, path: String,
+      splits: Int = 32): Unit = {
     val postings = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("pb", termBucket(col("term")))
-    postings.write.mode("overwrite").partitionBy("pb")
+    // range-split + sort on (pb, term): each pb= directory gets files
+    // covering DISJOINT term ranges with term-ordered row groups, so the
+    // query side's pushed In(term, ...) filter skips whole files/row
+    // groups off the parquet footer stats — pruning WITHIN the bucket
+    // that DPP selected (TextIndexSpec measures the bytes-read drop).
+    // `splits` bounds file count locally; a production build sizes it to
+    // (postings bytes / target file bytes).
+    postings.repartitionByRange(splits, col("pb"), col("term"))
+      .sortWithinPartitions("pb", "term")
+      .write.mode("overwrite").partitionBy("pb")
       .parquet(s"$path/postings")
     // dictionary carries each term's document frequency — a corpus
     // constant, so ranked retrieval never re-derives it at query time
@@ -66,8 +76,15 @@ object TextIndex {
     require(distinctTerms.nonEmpty, "query needs at least one term")
     val t = s.read.parquet(s"$path/terms")
       .filter(col("term").isin(distinctTerms: _*))
-    // partition directory names infer as int — re-cast to long
+    // partition directory names infer as int — re-cast to long. The
+    // literal isin on term is REDUNDANT with the dictionary join for
+    // correctness but not for I/O: it reaches the scan as a pushed
+    // In(term, ...) parquet filter, and against the term-range-sorted
+    // build the footer stats skip every file/row group whose range
+    // excludes the query terms — intra-bucket pruning on top of DPP's
+    // bucket pruning.
     val postings = s.read.parquet(s"$path/postings")
+      .filter(col("term").isin(distinctTerms: _*))
       .withColumn("pb", col("pb").cast("long"))
     postings.join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
         Seq("pb", "term"))
@@ -92,7 +109,10 @@ object TextIndex {
     require(k > 0, s"k must be positive, got $k")
     val t = s.read.parquet(s"$path/terms")
       .filter(col("term").isin(distinctTerms: _*))
+    // same pushed In(term, ...) as queryTextIndex: footer-stat pruning
+    // inside the DPP-selected buckets
     val postings = s.read.parquet(s"$path/postings")
+      .filter(col("term").isin(distinctTerms: _*))
       .withColumn("pb", col("pb").cast("long"))
     postings.join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
         Seq("pb", "term"))

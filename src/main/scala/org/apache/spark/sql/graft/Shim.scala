@@ -21,6 +21,13 @@ object Shim {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Test-only: flush the listener bus so a spec reading task metrics
+    * from a SparkListener sees every completed task (`waitUntilEmpty` is
+    * private[spark]).
+    */
+  def waitListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Test-only doorways into the private[sql] extension build methods, so
     * ExtensionsSpec can exercise the same path the session builder calls.
     */

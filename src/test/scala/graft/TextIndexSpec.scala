@@ -88,6 +88,70 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("term-range-sorted build + pushed In(term) filter: footer stats " +
+      "cut bytes read vs an unsorted build of the same postings") {
+    import org.apache.spark.sql.graft.Shim
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-text-sorted").toFile
+    try {
+      val sorted = dir.getAbsolutePath + "/sorted"
+      graft.text.TextIndex.buildTextIndex(docs, sorted, splits = 32)
+      // unsorted control: identical postings + dictionary, written with
+      // a keyless round-robin split (the pre-sort layout) — every file
+      // spans the full term range, so stats can skip nothing
+      val unsorted = dir.getAbsolutePath + "/unsorted"
+      val postings = docs
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            graft.text.TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("tf"))
+        .withColumn("pb", graft.text.TextIndex.termBucket(col("term")))
+      postings.repartition(32)
+        .write.partitionBy("pb").parquet(s"$unsorted/postings")
+      postings.groupBy("term", "pb")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("df"))
+        .write.parquet(s"$unsorted/terms")
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      def bytesReadOf(path: String): (Long, Seq[(Long, Long)]) = {
+        spark.sparkContext.addSparkListener(listener)
+        bytes.set(0L)
+        val rows = try {
+          val d = graft.text.TextIndex
+            .queryTextIndex(spark, path, Seq("merge")).orderBy("doc_id")
+          val r = d.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+          assert(d.queryExecution.executedPlan.toString
+            .contains("EqualTo(term,merge)"),
+            "the literal term filter must reach the parquet scan")
+          r
+        } finally {
+          Shim.waitListeners(spark)
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        (bytes.get(), rows)
+      }
+      val (sortedBytes, sortedRows) = bytesReadOf(sorted)
+      val (unsortedBytes, unsortedRows) = bytesReadOf(unsorted)
+      assert(sortedRows == unsortedRows && sortedRows.nonEmpty,
+        "layout must not change results")
+      assert(sortedBytes < unsortedBytes / 2,
+        s"sorted build must read <half the bytes for a 1-term query " +
+          s"($sortedBytes vs $unsortedBytes)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("buildTextIndex/queryTextIndex: caller path, overwrite-in-place, " +
       "AND semantics match a direct computation") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
