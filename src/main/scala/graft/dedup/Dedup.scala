@@ -858,6 +858,65 @@ object Dedup {
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     ORDER BY d.doc_id"""))
 
+  // ------------------------------------------------------ dedup_cross_bloom
+  /** EXACT cross-corpus dedup with a Bloom prefilter — the content-hash
+    * twin of [[cross]] (which is near-dup): is each incoming doc's
+    * normalized fingerprint already in the ingested base? The naive
+    * plan shuffles the whole slice against the base fingerprint table;
+    * at 100 TB the production shape is (1) fold the base fingerprints
+    * into ONE compact Bloom filter (Spark's native partial-aggregatable
+    * `bloom_filter_agg`, here ~2M bits — a few hundred KB broadcast as
+    * a scalar subquery), (2) drop every non-hit map-side
+    * (`might_contain`, zero shuffle), (3) exact-verify ONLY the hits
+    * with the semi-join — the probe side collapses from |slice| to
+    * |true dups| + ε·|slice|. Bloom filters have NO false negatives,
+    * so the verified output is BIT-EQUAL to the no-bloom exact join —
+    * which is exactly what the oracle states (the probabilistic
+    * structure never reaches the output, so the row hash-gates
+    * despite the sketch in the plan; the approx_* sketches can't make
+    * that claim, this operator can).
+    */
+  private val crossBloom = Q(
+    "dedup_cross_bloom",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.Shim
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+      def xx(c: Column) = new XxHash64(Seq(Shim.expression(c)))
+      val isNew = col("source").isin(NEW_SOURCES: _*)
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), isNew.as("is_new"),
+          TextOps.normalizedMd5(col("text")).as("fp"))
+      val base = f.filter(!col("is_new"))
+      val neu = f.filter(col("is_new"))
+      val bf = base.agg(Shim.column(BloomFilterAggregate(xx(col("fp")),
+        Literal(100000L), Literal(1600000L), 0, 0)
+        .toAggregateExpression()).as("bf"))
+      val hits = neu
+        .filter(Shim.column(BloomFilterMightContain(
+          Shim.expression(bf.scalar()), xx(col("fp")))))
+      val matched = hits
+        .join(base.select(col("fp"), col("doc_id").as("dup_of")), Seq("fp"))
+        .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      neu.select("doc_id")
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+          col("dup_of"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (
+      SELECT doc_id,
+        source IN (${NEW_SOURCES.map(x => s"'$x'").mkString(",")}) AS isnew,
+        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+      FROM documents),
+    m AS (
+      SELECT n.doc_id, MIN(b.doc_id) AS dup_of
+      FROM f n JOIN f b ON n.fp = b.fp AND n.isnew AND NOT b.isnew
+      GROUP BY n.doc_id)
+    SELECT f.doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of
+    FROM f LEFT JOIN m USING (doc_id)
+    WHERE isnew ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- dedup_url
   /** URL/host dedup — the stage every crawl pipeline (RefinedWeb, CCNet,
     * Dolma) runs BEFORE content dedup: canonicalize each document's URL
@@ -966,5 +1025,5 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
-      embeddingLsh, clusters, substringDedup, cross, urlDedup)
+      embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup)
 }

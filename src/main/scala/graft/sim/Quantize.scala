@@ -212,5 +212,68 @@ object Quantize {
         AS n_outliers
     FROM zs ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(quantize, stats, standardize)
+  // ------------------------------------------------------------ emb_project
+  /** Johnson-Lindenstrauss SIGN random projection (Achlioptas 2003,
+    * "Database-friendly random projections": ±1 entries preserve
+    * pairwise distances like Gaussian ones) — the dimensionality-
+    * reduction stage before cheaper ANN / clustering passes: d=64 →
+    * [[PROJ_K]]=16, `y = (1/√k)·S·x` with `s_ji ∈ {±1}`.
+    *
+    * Cross-engine exactness: the sign matrix derives from md5 parity of
+    * the (j, i) coordinate string — the seeded-hash trick that lets BOTH
+    * engines generate the identical matrix — and each component enters
+    * as an exact integer count of millionths (the emb_stats recipe), so
+    * `Σ ±m_i` is an exact order-independent BIGINT and the float `y` is
+    * ONE IEEE division by 4·10⁶ (√16 = 4 — k chosen so the JL scale is
+    * exactly representable).
+    *
+    * Scale: the 64×16 sign matrix is a broadcast literal-free join (no
+    * typedLit tree — the LSH lesson); the corpus posexplodes map-side
+    * and the only exchange is the map-side-combined (vec_id, j)
+    * aggregate. QuantizeSpec checks the JL distance-preservation
+    * property against exact pairwise distances.
+    */
+  private[graft] val PROJ_K = 16
+
+  private val project = Q(
+    "emb_project",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = emb(s, dir)
+      val r = s.range(1, 65).select(col("id").as("i"))
+        .crossJoin(s.range(1, PROJ_K + 1).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          (lit(1) - lit(2) * (conv(substring(md5(
+            concat(col("j"), lit("_"), col("i"))), 1, 1), 16, 10)
+            .cast("long") % 2)).as("sgn"))
+      val comp = e
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("d0", "x")))
+        .select(col("vec_id"), (col("d0") + 1).cast("long").as("i"),
+          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+            .cast(DecimalType(38, 0)).cast("long").as("m"))
+      comp.join(broadcast(r), "i")
+        .groupBy("vec_id", "j")
+        .agg(sum(col("sgn") * col("m")).as("y_scaled"))
+        .select(col("vec_id"), col("j"), col("y_scaled"),
+          (col("y_scaled").cast("double") / lit(4000000.0)).as("y"))
+        .orderBy("vec_id", "j")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    r AS (
+      SELECT i.range AS i, j.range AS j,
+        1 - 2 * ((('0x' || substr(md5(j.range::VARCHAR || '_' ||
+          i.range::VARCHAR), 1, 1))::BIGINT) % 2) AS sgn
+      FROM range(1, 65) i, range(1, ${PROJ_K + 1}) j),
+    comp AS (
+      SELECT vec_id, u.s.i AS i,
+        (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::BIGINT AS m
+      FROM e, UNNEST([struct_pack(i := k::BIGINT, x := v[k])
+        for k in range(1, len(v) + 1)]) u(s))
+    SELECT vec_id, j, SUM(sgn * m)::BIGINT AS y_scaled,
+      CAST(SUM(sgn * m) AS DOUBLE) / 4000000.0 AS y
+    FROM comp JOIN r USING (i)
+    GROUP BY vec_id, j ORDER BY vec_id, j"""))
+
+  val all: Seq[Q] = Seq(quantize, stats, standardize, project)
 }

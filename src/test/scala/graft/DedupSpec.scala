@@ -182,6 +182,43 @@ class DedupSpec extends SparkSpec {
       "only the identical non-empty docs may pair; empty docs never")
   }
 
+  test("dedup_cross_bloom == the no-bloom exact join on the real corpus; " +
+      "constructed exact cross-dups are found, whitespace-normalized") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // real corpus: the bloom-prefiltered plan must be bit-equal to the
+    // plain exact cross join (no false negatives; verify kills the fps)
+    val got = rows(SparkEntry.queries("dedup_cross_bloom")(spark, sfDir))
+    val f = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source").isin("src0", "src1").as("is_new"),
+        graft.text.TextOps.normalizedMd5(col("text")).as("fp"))
+    val direct = rows(f.filter(col("is_new")).as("n")
+      .join(f.filter(!col("is_new")).as("b"),
+        col("n.fp") === col("b.fp"), "left")
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
+      .orderBy("doc_id"))
+    assert(got == direct)
+    // constructed slices: exact dup (one with whitespace noise — the
+    // normalization contract), and a non-dup that must pass through
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xbloom")
+      .toString
+    spark.createDataFrame(Seq(
+        (1L, "shared sentence one", "src5"),
+        (2L, "another base doc", "src6"),
+        (3L, "  shared   sentence one ", "src0"),
+        (4L, "totally new content", "src1"),
+        (5L, "another base doc", "src0")))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val small = rows(SparkEntry.queries("dedup_cross_bloom")(spark, tmp))
+    assert(small == Seq((3L, true, 1L), (4L, false, -1L), (5L, true, 2L)))
+  }
+
   test("canonicalUrl: adversarial forms normalize per the step contract") {
     def c(u: String): String = graft.functions.TextKernels
       .canonicalUrl(org.apache.spark.unsafe.types.UTF8String.fromString(u))

@@ -169,6 +169,41 @@ class KnnSpec extends SparkSpec {
       "more than one >3-sigma component per vector on average")
   }
 
+  test("emb_project: JL distance preservation and a balanced sign matrix") {
+    val rows = SparkEntry.queries("emb_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val n = Tables(spark, sfDir, "embeddings").count()
+    assert(rows.length == n * graft.sim.Quantize.PROJ_K)
+    val proj = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._4).toVector).toMap
+    val orig = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toMap
+    def d2(a: Vector[Double], b: Vector[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[||y_a - y_b||^2] = ||x_a - x_b||^2 under the 1/sqrt(k) scale;
+    // at k=16 the ratio concentrates loosely — require most sampled
+    // pairs within [1/3, 3] and the mean ratio near 1
+    val ids = orig.keys.toSeq.sorted.take(60)
+    val ratios = for (Seq(a, b) <- ids.sliding(2).toSeq) yield
+      d2(proj(a), proj(b)) / d2(orig(a), orig(b))
+    assert(ratios.count(r => r > 1.0 / 3 && r < 3.0) >= ratios.size * 8 / 10,
+      s"too many distorted pairs: ${ratios.sortBy(identity).mkString(",")}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.5, s"mean distance ratio $mean")
+    // the md5-derived sign matrix must be roughly balanced
+    val plus = SparkEntry.queries("emb_project")(spark, sfDir)
+      .sparkSession.range(1, 65).selectExpr("id i")
+      .crossJoin(spark.range(1, graft.sim.Quantize.PROJ_K + 1)
+        .selectExpr("id j"))
+      .selectExpr("1 - 2*(cast(conv(substring(md5(concat(j,'_',i)),1,1)," +
+        "16,10) as bigint) % 2) s")
+      .filter("s = 1").count()
+    assert(plus > 400 && plus < 624, s"sign matrix unbalanced: $plus/1024")
+  }
+
   test("cosine_sim rejects mismatched vector lengths") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D))")
