@@ -584,28 +584,32 @@ object Knn {
     */
   private val JOIN_K = 3
 
+  /** The kNN graph (query_id, neighbor_id, rank, cosine) — knn_join's
+    * body, shared with graph_pagerank's edge list.
+    */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = codebook(e)
+    val assigned = assign(e, cents)
+    val probes = probe(
+      e.select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cents, NPROBE)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val cos = cosineSim(col("qv"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(probes, "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= JOIN_K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
   private val knnJoin = Q(
     "knn_join",
-    (s, dir) => {
-      val e = emb(s, dir)
-      val cents = codebook(e)
-      val assigned = assign(e, cents)
-      val probes = probe(
-        e.select(col("vec_id").as("query_id"), col("v").as("qv")),
-        cents, NPROBE)
-        .select(col("query_id"), col("qv"), col("cent_id"))
-      val cos = cosineSim(col("qv"), col("v"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(probes, "cent_id")
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= JOIN_K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("rank"), col("cosine"))
-        .orderBy("query_id", "rank")
-    },
+    (s, dir) => knnGraph(s, dir).orderBy("query_id", "rank"),
     Some(s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
@@ -637,6 +641,101 @@ object Knn {
       FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
       WHERE p.query_id <> a.vec_id)
     WHERE rank <= $JOIN_K ORDER BY query_id, rank"""))
+
+  // --------------------------------------------------------- graph_pagerank
+  /** PageRank over the kNN graph — the graph-centrality curation signal
+    * (a vector whose neighborhood keeps pointing back at it is a dense
+    * region's representative; crawl pipelines use the same iteration on
+    * the link graph). Edges are [[knnGraph]]'s directed top-[[JOIN_K]]
+    * list; [[PR_ROUNDS]] fixed damped rounds, then every node's score.
+    *
+    * Cross-engine exactness: float PageRank would drift (per-node sums
+    * in different orders), so the CONTRACT is stated in integers —
+    * scores are micro-units starting at 10⁶, and one round is
+    * `pr' = 150000 + (850 · Σ_incoming floor(pr/outdeg)) DIV 1000`
+    * (damping 0.85 as exact integer ratios, floor division in both
+    * engines). Every round is exact integer arithmetic in any
+    * aggregation order — the kmeans_train fixed-round-iteration
+    * precedent applied to a graph fixpoint.
+    *
+    * Scale: the edge list (n·k thin rows) is checkpointed once; each
+    * round is one join of the (id, pr) frame with the degree table and
+    * one map-side-combined sum keyed by neighbor — the standard
+    * distributed PageRank shape, no driver-side state.
+    */
+  private val PR_ROUNDS = 3
+
+  private val pagerank = Q(
+    "graph_pagerank",
+    (s, dir) => {
+      val edges = knnGraph(s, dir)
+        .select(col("query_id").as("u"), col("neighbor_id").as("v_id"))
+        .transform(graft.Checkpoint.of)
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      val nodes = emb(s, dir).select("vec_id")
+      val last = (1 to PR_ROUNDS).foldLeft(
+          nodes.withColumn("pr", lit(1000000L))) { (pr, _) =>
+        val contrib = pr.join(deg, pr("vec_id") === deg("u"))
+          .select(col("u"), expr("pr DIV d").as("c"))
+          .join(edges, "u")
+          .groupBy(col("v_id").as("vec_id"))
+          .agg(sum("c").as("contrib"))
+        nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            expr("150000 + ((850 * coalesce(contrib, 0)) DIV 1000)")
+              .cast("long").as("pr"))
+          .transform(graft.Checkpoint.of)
+      }
+      last.orderBy("vec_id")
+    },
+    Some {
+      val edgeCte = s"""edges AS (
+      SELECT query_id AS u, neighbor_id AS v_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+              a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE p.query_id <> a.vec_id)
+      WHERE rank <= $JOIN_K),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    pr0 AS (SELECT vec_id, 1000000::BIGINT AS pr FROM e)"""
+      val roundCtes = (1 to PR_ROUNDS).map { r =>
+        s"""pr$r AS (
+      SELECT n.vec_id,
+        (150000 + ((850 * COALESCE(SUM(p.pr // d.d), 0)) // 1000))::BIGINT
+          AS pr
+      FROM e n
+      LEFT JOIN edges ed ON ed.v_id = n.vec_id
+      LEFT JOIN pr${r - 1} p ON p.vec_id = ed.u
+      LEFT JOIN deg d ON d.u = ed.u
+      GROUP BY n.vec_id)"""
+      }.mkString(",\n    ")
+      s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        vec_id
+      LIMIT $NLIST),
+    ${sqlLloyd("c0", "a1", "c1")},
+    ${sqlLloyd("c1", "a2", "c2")},
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, c2 c) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, c2 c) WHERE rk <= $NPROBE),
+    $edgeCte,
+    $roundCtes
+    SELECT vec_id, pr FROM pr$PR_ROUNDS ORDER BY vec_id"""})
 
   // ---------------------------------------------------- kmeans_train/assign
   /** The trained Lloyd codebook and its corpus assignment as first-class
@@ -751,5 +850,5 @@ object Knn {
     ORDER BY kk.query_id"""))
 
   val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, kmeansTrain, kmeansAssign, recallQ)
+    knnJoin, pagerank, kmeansTrain, kmeansAssign, recallQ)
 }

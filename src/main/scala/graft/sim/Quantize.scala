@@ -240,8 +240,11 @@ object Quantize {
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val e = emb(s, dir)
-      val r = s.range(1, 65).select(col("id").as("i"))
-        .crossJoin(s.range(1, PROJ_K + 1).select(col("id").as("j")))
+      // one flat range, not range×range: a crossJoin of two tiny ranges
+      // plans a (bounded but flagged) nested-loop join for no benefit
+      val r = s.range(0, 64L * PROJ_K)
+        .select((col("id") % 64 + 1).as("i"),
+          (expr("id DIV 64") + 1).as("j"))
         .select(col("i"), col("j"),
           (lit(1) - lit(2) * (conv(substring(md5(
             concat(col("j"), lit("_"), col("i"))), 1, 1), 16, 10)
@@ -275,5 +278,66 @@ object Quantize {
     FROM comp JOIN r USING (i)
     GROUP BY vec_id, j ORDER BY vec_id, j"""))
 
-  val all: Seq[Q] = Seq(quantize, stats, standardize, project)
+  // --------------------------------------------------------- emb_covariance
+  /** Per-dimension-PAIR population covariance — the d×d matrix behind
+    * PCA / ZCA whitening / Mahalanobis gating (what a whitening stage
+    * eigendecomposes; the [[stats]] variance is its diagonal): for every
+    * i ≤ j, `cov(i,j) = (n·Σ mᵢmⱼ − Σmᵢ·Σmⱼ) / (n²·10¹²)` with every
+    * sum an exact order-independent integer (the emb_stats recipe at
+    * second order, cross-moment form: mᵢmⱼ ≤ 2.6e12 × 6e5 rows stays
+    * well inside DECIMAL(38)/HUGEINT), one IEEE division per output
+    * cell.
+    *
+    * Scale: each vector emits its d(d+1)/2 upper-triangle products
+    * MAP-SIDE (one flatten(transform) per row, a single Generate input
+    * — evaluated once, never a self-join shuffling n·d rows to pair
+    * components); the only exchange is the map-side-combined (i, j)
+    * aggregate collapsing to d(d+1)/2 rows per partition. The DuckDB
+    * mirror states the same cells via a per-vector component self-join —
+    * different plan, identical exact integers.
+    */
+  private val covariance = Q(
+    "emb_covariance",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val ms = transform(col("v"), x =>
+        (round(x, 6).cast(DecimalType(38, 6)) * lit(1000000)).cast(dec))
+      val cells = flatten(transform(sequence(lit(1), size(col("v"))), i =>
+        transform(sequence(i, size(col("v"))), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("ms"), i) * element_at(col("ms"), j))
+              .cast(dec).as("p"),
+            element_at(col("ms"), i).as("mi"),
+            element_at(col("ms"), j).as("mj")))))
+      emb(s, dir)
+        .withColumn("ms", ms)
+        .select(explode(cells).as("c"))
+        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c.p")).cast(dec).as("sp"),
+          sum(col("c.mi")).cast(dec).as("si"),
+          sum(col("c.mj")).cast(dec).as("sj"))
+        .select(col("i"), col("j"), col("n"),
+          ((col("n").cast(dec) * col("sp") - col("si") * col("sj"))
+            .cast("double") /
+            ((col("n") * col("n")).cast("double") * lit(1.0e12)))
+            .as("cov"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    comp AS (
+      SELECT vec_id, u.s.i AS i,
+        (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
+      FROM e, UNNEST([struct_pack(i := k::BIGINT, x := v[k])
+        for k in range(1, len(v) + 1)]) u(s))
+    SELECT a.i AS i, b.i AS j, COUNT(*)::BIGINT AS n,
+      CAST(COUNT(*)::HUGEINT * SUM(a.m * b.m) - SUM(a.m) * SUM(b.m)
+        AS DOUBLE) / (CAST(COUNT(*) * COUNT(*) AS DOUBLE) * 1e12) AS cov
+    FROM comp a JOIN comp b
+      ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i ORDER BY a.i, b.i"""))
+
+  val all: Seq[Q] = Seq(quantize, stats, standardize, project, covariance)
 }

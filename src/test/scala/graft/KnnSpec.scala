@@ -204,6 +204,46 @@ class KnnSpec extends SparkSpec {
     assert(plus > 400 && plus < 624, s"sign matrix unbalanced: $plus/1024")
   }
 
+  test("emb_covariance: diagonal equals emb_stats variance exactly; " +
+      "off-diagonals obey Cauchy-Schwarz") {
+    val cov = SparkEntry.queries("emb_covariance")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+      .toMap
+    assert(cov.size == 64 * 65 / 2)
+    val varOf = SparkEntry.queries("emb_stats")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(5))).toMap
+    for (i <- 1L to 64L)
+      assert(cov((i, i)) == varOf(i),
+        s"cov($i,$i) must BIT-equal emb_stats variance (same exact " +
+          "integer numerator, same one IEEE division)")
+    for (((i, j), c) <- cov if i != j)
+      assert(math.abs(c) <= math.sqrt(varOf(i) * varOf(j)) + 1e-12,
+        s"|cov($i,$j)| violates Cauchy-Schwarz")
+  }
+
+  test("graph_pagerank == an independent integer PageRank over the " +
+      "knn_join edge list") {
+    val got = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = SparkEntry.queries("knn_join")(spark, sfDir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = Tables(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        pr(u) / deg(u)
+      }.sum).toMap
+      pr = nodes.map(v =>
+        v -> (150000L + (850L * in.getOrElse(v, 0L)) / 1000L)).toMap
+    }
+    assert(got == nodes.map(v => (v, pr(v))))
+    // dense-region representatives must separate from the base score
+    assert(got.map(_._2).max > 150000L && got.map(_._2).distinct.size > 10)
+  }
+
   test("cosine_sim rejects mismatched vector lengths") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D))")
