@@ -365,6 +365,28 @@ object Knn {
     buildCount += 1
   }
 
+  /** Incrementally ingest a vector slice into a persisted IVF index —
+    * the ANN twin of [[graft.dedup.MinhashIndex.append]] and the text
+    * index's streaming sink: assign the slice against the EXISTING
+    * codebook and append its rows to the inverted lists. The codebook
+    * stays FROZEN across appends (retraining would reassign and
+    * re-shuffle every list; when drift accumulates, refresh =
+    * [[buildIvfIndex]] anew) — the standard IVF maintenance contract
+    * (FAISS's add-after-train). Appends are associative by
+    * construction (each slice's assignment depends only on the frozen
+    * codebook — KnnSpec pins append(B1)+append(B2) ≡ append(B1∪B2)),
+    * [[queryIvfIndex]] needs no change (lists grow in place; probes and
+    * the DPP read path are codebook-driven), and each append accretes
+    * one file set per list directory —
+    * [[graft.sources.Sources.compactParquet]] per `cent_id=` dir is the
+    * maintenance pass.
+    */
+  def appendIvfIndex(s: SparkSession, path: String, e: DataFrame): Unit = {
+    val cbook = s.read.parquet(s"$path/cents")
+    assign(e, cbook).write.mode("append")
+      .partitionBy("cent_id").parquet(s"$path/lists")
+  }
+
   /** Query a persisted IVF index: exact top-`k` cosine neighbors of each
     * (`query_id`, `qv`) row of `q` among the `nprobe` nearest inverted
     * lists. Because cent_id is a partition column of `path/lists` and

@@ -182,5 +182,45 @@ object Sampling {
       FROM d JOIN langs USING (lang) CROSS JOIN m)
     GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(split, stratified, mix)
+  // ---------------------------------------------------------- corpus_shard
+  /** Deterministic corpus SHUFFLE + SHARD — the trainer-facing output
+    * stage after packing: training wants documents in content-hash
+    * order (decorrelated from crawl/source order — the "shuffle the
+    * dataset" step) and split into a fixed shard count for parallel
+    * loaders. Shard = hash bucket (so membership is engine-, run- and
+    * partitioning-stable like every sampler here); within-shard
+    * position = rank of the salted hash (doc_id tie-break for the
+    * pathological equal-hash case). One exchange on the shard key; the
+    * per-shard row_number window parallelizes across shards — never a
+    * single global ordering.
+    */
+  private val SHARDS = 8
+
+  private val shard = Q(
+    "corpus_shard",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = hashBucket(concat(col("doc_id").cast("string"),
+        lit("_shuffle")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"),
+          (h % SHARDS).as("shard"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "h")
+        .orderBy("shard", "pos")
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(doc_id::VARCHAR || '_shuffle'), 1, 4))::BIGINT
+          AS h
+      FROM documents)
+    SELECT h % $SHARDS AS shard,
+      row_number() OVER (PARTITION BY h % $SHARDS ORDER BY h, doc_id)
+        AS pos,
+      doc_id, h
+    FROM d ORDER BY shard, pos"""))
+
+  val all: Seq[Q] = Seq(split, stratified, mix, shard)
 }

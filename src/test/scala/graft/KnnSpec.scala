@@ -204,6 +204,45 @@ class KnnSpec extends SparkSpec {
     assert(plus > 400 && plus < 624, s"sign matrix unbalanced: $plus/1024")
   }
 
+  test("appendIvfIndex: frozen-codebook ingest equals assigning the " +
+      "union to the base codebook; appends are associative") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val a = e.filter(col("vec_id") < 300)
+    val b1 = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b2 = e.filter(col("vec_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+      .toString
+    val (p1, p2) = (s"$dir/sliced", s"$dir/oneshot")
+    graft.sim.Knn.buildIvfIndex(a, p1)
+    graft.sim.Knn.appendIvfIndex(spark, p1, b1)
+    graft.sim.Knn.appendIvfIndex(spark, p1, b2)
+    graft.sim.Knn.buildIvfIndex(a, p2)
+    graft.sim.Knn.appendIvfIndex(spark, p2, b1.union(b2))
+    def listsOf(p: String) = spark.read.parquet(s"$p/lists")
+      .select(col("vec_id"), col("cent_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // slice-at-a-time == one-shot append (associativity) == the direct
+    // formulation: every vector assigned to the FROZEN base codebook
+    val direct = graft.sim.Knn
+      .assign(e, graft.sim.Knn.codebook(a))
+      .select("vec_id", "cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(listsOf(p1) == direct && listsOf(p2) == direct)
+    // queries see the appended vectors with no API change
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val res = graft.sim.Knn.queryIvfIndex(spark, p1, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(res.exists(_._2 >= 300),
+      "appended vectors must surface as neighbors")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("emb_covariance: diagonal equals emb_stats variance exactly; " +
       "off-diagonals obey Cauchy-Schwarz") {
     val cov = SparkEntry.queries("emb_covariance")(spark, sfDir)
