@@ -339,5 +339,111 @@ object Quantize {
       ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i ORDER BY a.i, b.i"""))
 
-  val all: Seq[Q] = Seq(quantize, stats, standardize, project, covariance)
+  // --------------------------------------------------------- emb_pca_power
+  /** PCA top component by POWER ITERATION over the exact-integer scatter
+    * matrix — the eigen-step downstream of [[covariance]] (whitening,
+    * SemDeDup-style cluster preconditioning, variance-explained QA), and
+    * the third iterative-but-exact trainer in the library after
+    * kmeans_train and text_bpe_train: every round is pure integer
+    * arithmetic, so the unrolled-CTE oracle hash-gates the whole loop.
+    *
+    * Recipe: `S(i,j) = n·Σmᵢmⱼ − Σmᵢ·Σmⱼ` (the [[covariance]] cells
+    * WITHOUT the final division — n²·10¹² × the covariance, still exact
+    * DECIMAL(38,0)/HUGEINT), `v₀ = 10⁶·1`, then `PCA_ROUNDS` rounds of
+    * `r = S·v` followed by max-norm renormalization
+    * `v ← (r·10⁶) DIV max|r|` — integral division truncates toward zero
+    * in BOTH engines (Spark IntegralDivide, DuckDB HUGEINT `//`), so the
+    * iterate stays bit-identical with entries in [−10⁶, 10⁶]. No square
+    * roots, no float normalization — max-norm instead of L2 is exactly
+    * why the loop closes over the integers.
+    *
+    * Magnitude ceiling: `S ≤ n²·2.6e12`, so the matvec term
+    * `S·v ≤ n²·2.6e12·10⁶·d` stays inside DECIMAL(38) up to n ≈ 7·10⁸
+    * vectors at d=64; past that, drop component units from micro to
+    * milli (same recipe, 10⁶ smaller cells). The normalize quotient is
+    * ≤ 10⁶ so Spark's Long-typed DIV never overflows.
+    *
+    * Scale: one corpus pass emits the d(d+1)/2 upper-triangle moments
+    * map-side (the [[covariance]] plan, checkpointed once); the
+    * iteration then runs entirely on the d²-row matrix with a
+    * broadcast d-row iterate — corpus size appears nowhere in the loop.
+    */
+  private val PCA_ROUNDS = 3
+
+  private val pcaPower = Q(
+    "emb_pca_power",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val ms = transform(col("v"), x =>
+        (round(x, 6).cast(DecimalType(38, 6)) * lit(1000000)).cast(dec))
+      val cells = flatten(transform(sequence(lit(1), size(col("v"))), i =>
+        transform(sequence(i, size(col("v"))), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("ms"), i) * element_at(col("ms"), j))
+              .cast(dec).as("p"),
+            element_at(col("ms"), i).as("mi"),
+            element_at(col("ms"), j).as("mj")))))
+      // upper triangle once (checkpointed: consumed by itself + mirror),
+      // mirrored to the full matrix for the matvec joins
+      val tri = emb(s, dir)
+        .withColumn("ms", ms)
+        .select(explode(cells).as("c"))
+        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c.p")).cast(dec).as("sp"),
+          sum(col("c.mi")).cast(dec).as("si"),
+          sum(col("c.mj")).cast(dec).as("sj"))
+        .select(col("i"), col("j"),
+          (col("n").cast(dec) * col("sp") - col("si") * col("sj"))
+            .cast(dec).as("sv"))
+        .transform(graft.Checkpoint.of)
+      val sm = tri.union(tri.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("sv")))
+        .transform(graft.Checkpoint.of)
+      var v = sm.select(col("i").as("j")).distinct()
+        .select(col("j"), lit(1000000L).cast(dec).as("v"))
+      for (_ <- 1 to PCA_ROUNDS) {
+        val r = sm.join(broadcast(v), "j")
+          .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
+        val mx = r.agg(max(abs(col("r"))).cast(dec).as("mx"))
+        v = r.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("r * 1000000 DIV mx").cast(dec).as("v"))
+      }
+      v.select(col("j").as("i"), col("v").cast("long").as("v_micro"))
+        .orderBy("i")
+    },
+    Some {
+      val rounds = (1 to PCA_ROUNDS).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""r$k AS (SELECT sm.i, SUM(sv * v) AS r
+      FROM sm JOIN $prev ON sm.j = $prev.j GROUP BY sm.i),
+    m$k AS (SELECT MAX(ABS(r)) AS mx FROM r$k),
+    v$k AS (SELECT i AS j, (r * 1000000::HUGEINT) // mx AS v
+      FROM r$k, m$k)"""
+      }.mkString(",\n    ")
+      s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    comp AS (
+      SELECT vec_id, u.s.i AS i,
+        (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
+      FROM e, UNNEST([struct_pack(i := k::BIGINT, x := v[k])
+        for k in range(1, len(v) + 1)]) u(s)),
+    tri AS (
+      SELECT a.i AS i, b.i AS j, COUNT(*)::HUGEINT AS n,
+        SUM(a.m * b.m) AS sp, SUM(a.m) AS si, SUM(b.m) AS sj
+      FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i),
+    sm AS (
+      SELECT i, j, n * sp - si * sj AS sv FROM tri
+      UNION ALL
+      SELECT j, i, n * sp - si * sj FROM tri WHERE i < j),
+    v0 AS (SELECT DISTINCT i AS j, 1000000::HUGEINT AS v FROM sm),
+    $rounds
+    SELECT j AS i, v::BIGINT AS v_micro FROM v$PCA_ROUNDS ORDER BY i"""
+    })
+
+  val all: Seq[Q] =
+    Seq(quantize, stats, standardize, project, covariance, pcaPower)
 }

@@ -260,6 +260,50 @@ class KnnSpec extends SparkSpec {
         s"|cov($i,$j)| violates Cauchy-Schwarz")
   }
 
+  test("emb_pca_power: max-norm iterate is normalized, tracks an " +
+      "independent double-precision model of the same 3 rounds, and " +
+      "climbs the Rayleigh quotient") {
+    val got = SparkEntry.queries("emb_pca_power")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == 64 && got.map(_._1) == (1L to 64L))
+    assert(got.map(x => math.abs(x._2)).max == 1000000L,
+      "max-norm renormalization must pin the largest |component| at 1e6")
+    // independent model: double covariance + 50 L2-normalized power rounds
+    val vs = Tables(spark, sfDir, "embeddings")
+      .selectExpr("transform(cast(embedding as array<double>), " +
+        "x -> round(x, 6)) as v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vs.length
+    val d = 64
+    val mean = Array.tabulate(d)(i => vs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    // the same 3 fixed rounds in double (the pagerank-spec pattern: an
+    // independent implementation of the SAME fixed-round algorithm —
+    // power iteration doesn't CONVERGE in 3 rounds on an isotropic
+    // corpus, so the eigenvector itself is not the reference)
+    var ref = Array.fill(d)(1.0)
+    for (_ <- 1 to 3) {
+      val r = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * ref(j)).sum)
+      val mx = r.map(math.abs).max
+      ref = r.map(_ / mx)
+    }
+    val v = got.map(_._2.toDouble).toArray
+    def cosOf(a: Array[Double], b: Array[Double]): Double =
+      (0 until d).map(i => a(i) * b(i)).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val cos = cosOf(v, ref)
+    assert(cos > 0.999,
+      s"integer iterate must track the double-model iterate (cos=$cos)")
+    // power iteration increases the Rayleigh quotient every round
+    def rayleigh(a: Array[Double]): Double =
+      (0 until d).map(i => (0 until d).map(j =>
+        a(i) * cov(i)(j) * a(j)).sum).sum / a.map(x => x * x).sum
+    assert(rayleigh(v) > rayleigh(Array.fill(d)(1.0)),
+      "iterate must climb the Rayleigh quotient vs v0")
+  }
+
   test("graph_pagerank == an independent integer PageRank over the " +
       "knn_join edge list") {
     val got = SparkEntry.queries("graph_pagerank")(spark, sfDir)
