@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.CustomJoins.all ++
       operators.Sketches.all ++ text.TextOps.all ++ text.Sampling.all ++
       text.Decontam.all ++ text.Packing.all ++ text.Bpe.all ++
+      text.Classify.all ++
       text.TextIndex.all ++
       text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++
       sim.Quantize.all ++ sim.SemDedup.all ++ multimodal.Multimodal.all ++

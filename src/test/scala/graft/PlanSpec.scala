@@ -78,7 +78,9 @@ class PlanSpec extends SparkSpec {
     "dedup_ngram_jaccard", // broadcast 1-row viral-shingle count (dfCap)
     "pipeline_prepare",    // same, via the shared jaccardPairs
     "corpus_mix",          // broadcast 1-row binding-lang (am, wm) entry
-    "emb_standardize")     // broadcast 1-row collapsed moment table
+    "emb_standardize",     // broadcast 1-row collapsed moment table
+    "emb_pca_power",       // broadcast 1-row max-|component| normalizer
+    "text_classify_centroid") // broadcast L-row class table (scoring grid)
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
