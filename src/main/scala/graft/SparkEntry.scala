@@ -28,7 +28,7 @@ object SparkEntry {
       text.Decontam.all ++ text.Packing.all ++ text.Bpe.all ++
       text.Classify.all ++
       text.TextIndex.all ++
-      text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++
+      text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++ sim.Pq.all ++
       sim.Quantize.all ++ sim.SemDedup.all ++ multimodal.Multimodal.all ++
       handler.HandlerQueries.all
 

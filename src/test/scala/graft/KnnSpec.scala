@@ -50,6 +50,18 @@ class KnnSpec extends SparkSpec {
     assert(rQuant >= rFloat - 0.02)
   }
 
+  test("PQ ADC candidates carry real signal (recall >> random subset)") {
+    val pq = pairs("knn_pq")
+    val recall = (pq & exact).size.toDouble / exact.size
+    info(s"knn_pq recall@5 = $recall")
+    // Deterministic constant: observed 0.42 at RERANK=50 on this
+    // isotropic corpus (see the honesty note in Pq.scala — a random
+    // 50-of-499 candidate set scores ~0.10; clustered corpora do far
+    // better). The bound sits safely under the observed value but 3×
+    // above the random baseline.
+    assert(recall >= 0.30)
+  }
+
   test("knn_ivf_persisted equals knn_ivf and prunes list partitions " +
       "dynamically") {
     val d = SparkEntry.queries("knn_ivf_persisted")(spark, sfDir)

@@ -70,6 +70,7 @@ class PlanSpec extends SparkSpec {
     "knn_ivf_persisted", // same broadcast codebook (train + probe)
     "knn_join",         // same broadcast codebook (corpus-wide probes)
     "knn_recall",       // composes knn_bruteforce + knn_ivf (both above)
+    "knn_pq",           // broadcast sub-codebooks + broadcast query LUTs
     "kmeans_train",     // same broadcast codebook argmax (Lloyd iterations)
     "kmeans_assign",    // same broadcast codebook argmax
     "q18_corr_scalar",  // broadcast 1-row aggregate threshold
