@@ -86,23 +86,40 @@ object Bpe {
     (best.withColumn("rank", lit(rank).cast("long")), merged)
   }
 
-  /** The merge table for `docs`' corpus: (rank, x, y, merged, c). */
-  private[graft] def train(docs: DataFrame, rounds: Int): DataFrame = {
+  /** Train and ALSO return the final merged dictionary state — applying
+    * the learned table in rank order to the training dictionary IS the
+    * trainer's final state, so `apply` reads it directly.
+    */
+  private def trainFull(docs: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     val dict = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(col("word"), col("n"), charSeq(col("word")).as("seq"))
       .transform(graft.Checkpoint.of)
-    val (winners, _) = (1 to rounds).foldLeft(
+    val (winners, fin) = (1 to rounds).foldLeft(
         (Seq.empty[DataFrame], dict)) { case ((acc, w), r) =>
       val (best, merged) = round(w, r)
       (acc :+ best, merged)
     }
-    winners.reduce(_ unionAll _)
+    (winners.reduce(_ unionAll _)
       .select(col("rank"), col("x"), col("y"),
         concat(col("x"), col("y")).as("merged"), col("c"))
-      .orderBy("rank")
+      .orderBy("rank"), fin)
   }
+
+  /** The merge table for `docs`' corpus: (rank, x, y, merged, c). */
+  private[graft] def train(docs: DataFrame, rounds: Int): DataFrame =
+    trainFull(docs, rounds)._1
+
+  /** The final per-word segmentation under the trained tokenizer:
+    * (word, n, n_sym = BPE tokens for one occurrence of the word).
+    */
+  private[graft] def segmentation(docs: DataFrame,
+      rounds: Int): DataFrame =
+    trainFull(docs, rounds)._2
+      .select(col("word"), col("n"),
+        size(split(trim(col("seq")), " ")).cast("long").as("n_sym"))
 
   private def sqlRounds(rounds: Int): String = {
     val cte = new StringBuilder
@@ -148,5 +165,59 @@ object Bpe {
     FROM ($unioned)
     ORDER BY rank"""})
 
-  val all: Seq[Q] = Seq(bpeTrain)
+  /** TOKENIZER APPLICATION — the twin that closes the train/apply loop
+    * (text_ngram_lm → text_lm_score is the same pairing for the LM):
+    * tokenize the corpus under the learned merge table and report, per
+    * document, the whitespace word count, the BPE token count, and the
+    * integer milli-FERTILITY (BPE tokens per 1000 words — the standard
+    * tokenizer-quality metric packing budgets are sized from).
+    *
+    * Applying the merge table in rank order to the training dictionary
+    * reproduces the trainer's final state exactly (each rank-r
+    * double-replace sees precisely the post-rank-(r−1) sequences), so
+    * the per-word segmentation comes straight from the final dictionary
+    * — the corpus is re-touched only to EXPLODE doc words against the
+    * broadcastable (word, n_sym) table: one map-side-combined per-doc
+    * aggregate, everything integer (`n_bpe·1000 DIV n_ws`), so the row
+    * hash-gates. At 100 TB: dictionary rounds are vocab-bounded; the
+    * corpus pass is one tokenize-explode-join-agg with the segmentation
+    * table broadcast — no corpus self-join anywhere.
+    */
+  private val bpeApply = Q(
+    "text_bpe_apply",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val seg = segmentation(docs.select("text"), ROUNDS)
+        .select("word", "n_sym")
+        .transform(graft.Checkpoint.of)
+      docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .join(broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ws"), sum("n_sym").as("n_bpe"))
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+          expr("n_bpe * 1000 DIV n_ws").as("fertility_milli"))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH dict AS (
+      SELECT u.t AS word, COUNT(*) AS n
+      FROM documents,
+        UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) u(t)
+      GROUP BY 1),
+    ${sqlRounds(ROUNDS)},
+    seg AS (
+      SELECT word, len(string_split(trim(seq), ' '))::BIGINT AS n_sym
+      FROM w$ROUNDS),
+    words AS (
+      SELECT doc_id, u.t AS word
+      FROM documents,
+        UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) u(t))
+    SELECT w.doc_id, COUNT(*)::BIGINT AS n_ws,
+      SUM(s.n_sym)::BIGINT AS n_bpe,
+      ((SUM(s.n_sym) * 1000) // COUNT(*))::BIGINT AS fertility_milli
+    FROM words w JOIN seg s USING (word)
+    GROUP BY w.doc_id ORDER BY w.doc_id"""})
+
+  val all: Seq[Q] = Seq(bpeTrain, bpeApply)
 }

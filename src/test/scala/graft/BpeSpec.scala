@@ -64,6 +64,46 @@ class BpeSpec extends SparkSpec {
     assert(got.forall { case (_, x, y, m, c) => m == x + y && c >= 1 })
   }
 
+  /** Apply the reference model's merges to one word, sequentially. */
+  private def applyModel(word: String,
+      merges: Seq[(Long, String, String, String, Long)]): Int = {
+    var s = word.toCharArray.map(_.toString).toVector
+    for ((_, x, y, _, _) <- merges) {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == x && s(i + 1) == y) {
+          b += (x + y); i += 2
+        } else { b += s(i); i += 1 }
+      }
+      s = b.result()
+    }
+    s.length
+  }
+
+  test("text_bpe_apply == applying the reference merges word by word") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dict = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, a) => (w, a.length.toLong) }.toSeq
+    val merges = model(dict, graft.text.Bpe.ROUNDS)
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) None else {
+        val nBpe = ws.map(w => applyModel(w, merges).toLong).sum
+        Some((id, ws.length.toLong, nBpe, nBpe * 1000 / ws.length))
+      }
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("text_bpe_apply")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // fertility sanity: BPE can only split words, never merge across
+    // them, so n_ws <= n_bpe <= total chars
+    assert(got.forall { case (_, ws, bpe, _) => ws <= bpe })
+  }
+
   test("constructed corpus: overlapping runs merge left-to-right, " +
       "merges chain across rounds, rounds stop when no pairs remain") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
