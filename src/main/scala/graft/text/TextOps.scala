@@ -721,7 +721,105 @@ object TextOps {
       len(regexp_extract_all(t2, '$ph'))::BIGINT AS n_phones
     FROM s2 ORDER BY doc_id"""})
 
+  // -------------------------------------------------------- text_ppl_bucket
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al., LREC 2020): split
+    * the corpus into head/middle/tail terciles by LM fluency — CCNet
+    * keeps the head, inspects the middle, drops the tail. Score = the
+    * integer micro-unit bigram-LM fluency (`Σ(c2·10⁶ DIV c1) DIV n`,
+    * text_lm_score's sum before its one IEEE division; −1 for docs with
+    * no bigram so they land deterministically in the tail in both
+    * engines — no NULL-ordering divergence). Bucket 1 = head (most
+    * fluent), 3 = tail.
+    *
+    * The interesting part is EXACT ntile(3) WITHOUT a global window.
+    * The naive form shuffles the whole corpus into one partition (the
+    * 100 TB scale-killer); instead the global position decomposes as
+    *   pos = (#rows with smaller score) + (rank by doc_id within the
+    *         doc's own score)
+    * where the first term is a cumulative sum over the SCORE HISTOGRAM
+    * (micro-unit scores are integers in [−1, 10⁶], so the histogram is
+    * value-bounded — its single-partition window is over ≤10⁶ thin
+    * rows regardless of corpus size) and the second is a window
+    * PARTITIONED by score (scale-safe). Bucket boundaries are the
+    * standard ntile splits (first n mod 3 buckets one larger). The
+    * DuckDB mirror is the naive `ntile(3) OVER (ORDER BY score,
+    * doc_id)` — different plan, identical rows, hash-gated.
+    */
+  private val pplBucket = Q(
+    "text_ppl_bucket",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val gramArr = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 2,
+          distinct = false))
+      def h(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val grams = d
+        .select(col("doc_id"), explode(gramArr).as("g"))
+        .select(col("doc_id"), h(substring_index(col("g"), " ", 1)).as("h1"),
+          h(col("g")).as("h2"))
+        .transform(graft.Checkpoint.of)
+      val ctx = grams.groupBy("h1").agg(count(lit(1)).as("c1"))
+      val big = grams.groupBy("h2").agg(count(lit(1)).as("c2"))
+      val scored = d.select("doc_id")
+        .join(grams.join(big, "h2").join(ctx, "h1")
+          .withColumn("term", expr("c2 * 1000000 DIV c1"))
+          .groupBy("doc_id")
+          .agg(expr("sum(term) DIV count(1)").as("sm")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sm"), lit(-1L)).as("score_micro"))
+        .transform(graft.Checkpoint.of)
+      // value-bounded histogram: #rows ranked ahead (FLUENCY DESC —
+      // bucket 1 = CCNet's head) of each distinct score
+      val W = org.apache.spark.sql.expressions.Window
+      val ahead = scored.groupBy("score_micro")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ahead",
+          coalesce(sum("cnt").over(W.orderBy(col("score_micro").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("score_micro", "ahead")
+      val withinScore = W.partitionBy("score_micro").orderBy("doc_id")
+      val n1 = scored.agg(count(lit(1)).as("n"))
+      scored
+        .join(ahead, "score_micro")
+        .withColumn("pos", col("ahead") + row_number().over(withinScore))
+        .crossJoin(broadcast(n1))
+        // ntile(3) boundaries: first (n mod 3) buckets are one larger
+        .withColumn("b1",
+          expr("n DIV 3 + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END"))
+        .withColumn("b2", col("b1") +
+          expr("n DIV 3 + CASE WHEN n % 3 >= 2 THEN 1 ELSE 0 END"))
+        .select(col("doc_id"), col("score_micro"),
+          when(col("pos") <= col("b1"), lit(1L))
+            .when(col("pos") <= col("b2"), lit(2L))
+            .otherwise(lit(3L)).as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(u.s.a), 1, 15))::BIGINT AS h1,
+        ('0x' || substr(md5(u.s.g), 1, 15))::BIGINT AS h2
+      FROM toks, UNNEST([struct_pack(a := w[i], g := w[i] || ' ' || w[i+1])
+        for i in range(1, greatest(len(w), 1))]) u(s)),
+    ctx AS (SELECT h1, COUNT(*) AS c1 FROM grams GROUP BY h1),
+    big AS (SELECT h2, COUNT(*) AS c2 FROM grams GROUP BY h2),
+    sm AS (
+      SELECT doc_id, SUM((c2 * 1000000) // c1) // COUNT(*) AS sm
+      FROM grams JOIN big USING (h2) JOIN ctx USING (h1)
+      GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, COALESCE(sm.sm, -1)::BIGINT AS score_micro
+      FROM documents d LEFT JOIN sm ON d.doc_id = sm.doc_id)
+    SELECT doc_id, score_micro,
+      ntile(3) OVER (ORDER BY score_micro DESC, doc_id)::BIGINT AS bucket
+    FROM scored ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
-    piiScrub)
+    piiScrub, pplBucket)
 }

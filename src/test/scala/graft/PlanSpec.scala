@@ -81,6 +81,7 @@ class PlanSpec extends SparkSpec {
     "corpus_mix",          // broadcast 1-row binding-lang (am, wm) entry
     "emb_standardize",     // broadcast 1-row collapsed moment table
     "emb_pca_power",       // broadcast 1-row max-|component| normalizer
+    "text_ppl_bucket",     // broadcast 1-row corpus-count aggregate
     "text_classify_centroid") // broadcast L-row class table (scoring grid)
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {

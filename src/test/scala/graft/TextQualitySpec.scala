@@ -94,4 +94,24 @@ class TextQualitySpec extends SparkSpec {
     val mean = rows.map(_._4).sum / rows.length
     assert(mean > 0.0 && mean < 0.9, s"mean OOV rate $mean")
   }
+
+  test("text_ppl_bucket: distributed ntile == naive global sort; " +
+      "head outranks tail") {
+    val got = SparkEntry.queries("text_ppl_bucket")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = got.length
+    // naive model: sort by (score DESC, doc_id), ntile split with the
+    // first n mod 3 buckets one larger
+    val sizes = Array.tabulate(3)(i => n / 3 + (if (i < n % 3) 1 else 0))
+    val bounds = sizes.scanLeft(0)(_ + _).tail
+    val expected = got.sortBy { case (id, s, _) => (-s, id) }
+      .zipWithIndex.map { case ((id, s, _), i) =>
+        (id, s, (bounds.indexWhere(i < _) + 1).toLong)
+      }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // bucket sizes near-equal; every head score >= every tail score
+    val byB = got.groupBy(_._3)
+    assert(byB.values.map(_.length).max - byB.values.map(_.length).min <= 1)
+    assert(byB(1L).map(_._2).min >= byB(3L).map(_._2).max)
+  }
 }
