@@ -24,7 +24,8 @@ object SparkEntry {
 
   private def suites: Seq[Q] =
     operators.Relational.all ++ operators.CustomJoins.all ++
-      operators.Sketches.all ++ text.TextOps.all ++ text.Sampling.all ++
+      operators.Sketches.all ++ operators.Profile.all ++
+      text.TextOps.all ++ text.Sampling.all ++
       text.Decontam.all ++ text.Packing.all ++ text.Bpe.all ++
       text.Classify.all ++
       text.TextIndex.all ++
