@@ -222,5 +222,53 @@ object Sampling {
       doc_id, h
     FROM d ORDER BY shard, pos"""))
 
-  val all: Seq[Q] = Seq(split, stratified, mix, shard)
+  // --------------------------------------------- sample_quality_weighted
+  /** QUALITY-WEIGHTED resampling (the DCLM/RefinedWeb reweighting move:
+    * don't hard-drop sub-threshold docs, keep them with probability
+    * proportional to quality): a doc passing q of the 5 Gopher rules
+    * ([[TextOps.qualityRules]] — shared expressions, so the score can't
+    * drift from text_quality's) survives iff `hb·5 < q·65536` — the
+    * pure-integer accept of the house samplers, so keep probability is
+    * exactly q/5, membership is engine/run/partitioning-stable, and
+    * samples NEST as a doc's quality rises (a doc kept at q is kept at
+    * every q' > q — raising a doc's quality can never evict it).
+    * Zero-token docs have q = 0 and are never kept.
+    *
+    * Scale: rules + hash compute in the scan stage (codegen kernels, no
+    * shuffle); the output is one map-side-combined agg on ≤ 6 keys.
+    * Output (score, n_docs, n_kept) makes the proportionality AUDITABLE:
+    * n_kept/n_docs ≈ score/5 per row (spec-asserted within binomial
+    * noise).
+    */
+  private val qualityWeighted = Q(
+    "sample_quality_weighted",
+    (s, dir) => {
+      // guard nTok = 0 explicitly: Spark's NaN orders ABOVE any double,
+      // so an unguarded ratio rule would pass vacuously on empty docs
+      // where the mirror's len(w) > 0 CTE scores them 0
+      val q = when(size(TextOps.tokens(col("text"))) > 0,
+        TextOps.qualityRules
+          .map(r => coalesce(r.cast("int"), lit(0)))
+          .reduce(_ + _)).otherwise(lit(0)).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), q.as("score"),
+          hashBucket(col("text")).as("hb"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("hb") * 5L < col("score") * 65536L, 1))
+            .as("n_kept"))
+        .orderBy("score")
+    },
+    Some(s"""WITH ${TextOps.qualityRulesSql},
+    scored AS (
+      SELECT d.doc_id,
+        COALESCE(qr.r_len::INT + qr.r_wordlen::INT + qr.r_stop::INT
+          + qr.r_uniq::INT + qr.r_rep2::INT, 0)::BIGINT AS score,
+        ('0x' || substr(md5(coalesce(d.text, '')), 1, 4))::BIGINT AS hb
+      FROM documents d LEFT JOIN qr ON d.doc_id = qr.doc_id)
+    SELECT score, COUNT(*)::BIGINT AS n_docs,
+      COUNT(*) FILTER (WHERE hb * 5 < score * 65536)::BIGINT AS n_kept
+    FROM scored GROUP BY score ORDER BY score"""))
+
+  val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted)
 }

@@ -341,24 +341,54 @@ object TextOps {
   private val MIN_UNIQ = 0.32
   private val MAX_TOP2 = 0.2
 
+  /** The 5 Gopher-style rules over `col("text")`, in the fixed order
+    * (len, wordlen, stop, uniq, rep2) — shared by text_quality and
+    * sample_quality_weighted so the score definitions can't drift.
+    */
+  private[text] def qualityRules: Seq[Column] = {
+    def uniq1 = org.apache.spark.sql.graft.Shim.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Shim.expression(col("text")), 1))
+    def maxGram(k: Int) = org.apache.spark.sql.graft.Shim.column(
+      graft.functions.MaxShingleCount(
+        org.apache.spark.sql.graft.Shim.expression(col("text")), k))
+    val nTok = size(tokens(col("text")))
+    val nonSpace = length(regexp_replace(col("text"), " ", ""))
+    Seq(
+      nTok.between(MIN_TOKENS, MAX_TOKENS),
+      (nonSpace.cast("double") / nTok).between(3.0, 10.0),
+      tokenMatchCount(col("text"), stopwords) >= 1,
+      size(uniq1) * 1.0 / nTok >= MIN_UNIQ,
+      maxGram(2) * 2.0 / nTok <= MAX_TOP2)
+  }
+
+  /** The quality-rules CTE body shared by the two mirrors: per doc with
+    * len(w) > 0, the 5 booleans (NULL-free).
+    */
+  private[text] val qualityRulesSql: String = s"""qd AS (
+      SELECT doc_id, text, lang,
+        list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    qg2 AS (SELECT doc_id, MAX(c) AS m2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            for i in range(1, greatest(len(w), 1))]) AS g
+          FROM qd) GROUP BY doc_id, g) GROUP BY doc_id),
+    qr AS (SELECT qd.doc_id, qd.lang, qd.text, len(w) AS n_tokens,
+        len(w) BETWEEN $MIN_TOKENS AND $MAX_TOKENS AS r_len,
+        length(replace(text,' ','')) * 1.0 / len(w) BETWEEN 3.0 AND 10.0
+          AS r_wordlen,
+        len(list_filter(w, t -> t IN ($stopwordsSql))) >= 1 AS r_stop,
+        len(list_distinct(w)) * 1.0 / len(w) >= $MIN_UNIQ AS r_uniq,
+        COALESCE(m2, 0) * 2.0 / len(w) <= $MAX_TOP2 AS r_rep2
+      FROM qd LEFT JOIN qg2 USING (doc_id) WHERE len(w) > 0)"""
+
   private val quality = Q(
     "text_quality",
     (s, dir) => {
-      def uniq1 = org.apache.spark.sql.graft.Shim.column(
-        graft.functions.WordShingles(
-          org.apache.spark.sql.graft.Shim.expression(col("text")), 1))
-      def maxGram(k: Int) = org.apache.spark.sql.graft.Shim.column(
-        graft.functions.MaxShingleCount(
-          org.apache.spark.sql.graft.Shim.expression(col("text")), k))
       val nTok = size(tokens(col("text")))
-      val nonSpace = length(regexp_replace(col("text"), " ", ""))
-      val rLen = nTok.between(MIN_TOKENS, MAX_TOKENS)
-      val awl = nonSpace.cast("double") / nTok
-      val rWordlen = awl.between(3.0, 10.0)
-      val rStop = tokenMatchCount(col("text"), stopwords) >= 1
-      val rUniq = size(uniq1) * 1.0 / nTok >= MIN_UNIQ
-      val rRep2 = maxGram(2) * 2.0 / nTok <= MAX_TOP2
-      val rules = Seq(rLen, rWordlen, rStop, rUniq, rRep2)
+      val Seq(rLen, rWordlen, rStop, rUniq, rRep2) = qualityRules
+      val rules = qualityRules
       Tables(s, dir, "documents")
         .filter(nTok > 0)
         .select(col("doc_id"), nTok.cast("long").as("n_tokens"),

@@ -65,4 +65,34 @@ class SamplingSpec extends SparkSpec {
         s"$l achieved $achieved vs target $target")
     }
   }
+
+  test("quality-weighted sampling == score/5 hash model; top score " +
+      "fully kept; keep monotone in score") {
+    // independent score: recompute q from text_quality's own gated
+    // output (5 - n_failed), hash from the raw text
+    val failed = SparkEntry.queries("text_quality")(spark, sfDir)
+      .select("doc_id", "n_failed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val scored = docs.map { case (id, text) =>
+      val q = failed.get(id).map(5L - _).getOrElse(0L)
+      (q, md5Bucket(text) * 5L < q * 65536L)
+    }
+    val want = scored.groupBy(_._1).view.mapValues(rows =>
+      (rows.length.toLong, rows.count(_._2).toLong)).toMap
+    val got = SparkEntry.queries("sample_quality_weighted")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    // p = 5/5 keeps everything; keep RATE is ~q/5 within binomial noise
+    got.get(5L).foreach { case (n, k) => assert(n == k) }
+    got.foreach { case (q, (n, k)) =>
+      val p = q / 5.0
+      val sd = math.sqrt(n * p * (1 - p))
+      assert(math.abs(k - n * p) <= 3 * sd + 1,
+        s"score $q: kept $k of $n, expected ~${n * p}")
+    }
+  }
 }
