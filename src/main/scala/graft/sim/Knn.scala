@@ -189,7 +189,7 @@ object Knn {
     * harder at fixed recall.
     */
   private[sim] val NLIST = 16
-  private val NPROBE = 8
+  private[sim] val NPROBE = 8
   private val ITER = 2
 
   /** Nearest-centroid assignment WITHOUT a corpus shuffle: the codebook
@@ -278,7 +278,7 @@ object Knn {
     * knn_ivf / knn_ivf_persisted oracles and composed (with a brute
     * CTE) by the knn_recall oracle.
     */
-  private lazy val sqlIvfCtes = s"""e AS (
+  private[sim] lazy val sqlIvfCtes = s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,

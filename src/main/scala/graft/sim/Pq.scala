@@ -157,38 +157,12 @@ object Pq {
         .orderBy("query_id", "rank")
     },
     Some {
-      // per-subspace mirror: seeds → 2 Lloyd rounds → dense codes
-      def meanList(lo: Int): String = (1 to SD).map(i =>
-        s"CAST(SUM(CAST(round(sv[$i],6) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*)")
-        .mkString("[", ",\n          ", "]")
-      def lloyd(m: Int, prev: String, a: String, c: String): String =
-        s"""$a AS (SELECT vec_id, sv, cent_id FROM (
-          SELECT s.vec_id, s.sv, c.cent_id,
-            row_number() OVER (PARTITION BY s.vec_id
-              ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cent_id)
-              AS rk
-          FROM sv$m s, $prev c) WHERE rk = 1),
-        $c AS (SELECT cent_id, ${meanList(m * SD)} AS cv
-          FROM $a GROUP BY cent_id)"""
-      val perSub = (0 until M).map { m =>
-        val lo = m * SD + 1; val hi = (m + 1) * SD
-        s"""sv$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
-        c0_$m AS (SELECT vec_id AS cent_id, v[$lo:$hi] AS cv FROM seeds),
-        ${lloyd(m, s"c0_$m", s"a1_$m", s"c1_$m")},
-        ${lloyd(m, s"c1_$m", s"a2_$m", s"c2_$m")},
-        cb_$m AS (SELECT row_number() OVER (ORDER BY cent_id) AS code, cv
-          FROM c2_$m),
-        k$m AS (SELECT vec_id, code FROM (
-          SELECT s.vec_id, cb.code,
-            row_number() OVER (PARTITION BY s.vec_id
-              ORDER BY list_cosine_similarity(s.sv, cb.cv) DESC, cb.code)
-              AS rk
-          FROM sv$m s, cb_$m cb) WHERE rk = 1),
+      val perSub = (0 until M).map(m =>
+        subSql(m, "", "e", "seeds") + s""",
         lut$m AS (SELECT q.query_id,
-            list(list_dot_product(q.qv[$lo:$hi], cb.cv) ORDER BY cb.code)
-              AS lut
-          FROM q, cb_$m cb GROUP BY q.query_id)"""
-      }.mkString(",\n    ")
+            list(list_dot_product(q.qv[${m * SD + 1}:${(m + 1) * SD}],
+              cb.cv) ORDER BY cb.code) AS lut
+          FROM q, cb_$m cb GROUP BY q.query_id)""").mkString(",\n    ")
       val adc = (0 until M).map(m => s"l$m.lut[c.k$m]").mkString(" + ")
       s"""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -222,5 +196,169 @@ object Pq {
       WHERE rank <= $K ORDER BY query_id, rank"""
     })
 
-  val all: Seq[Q] = Seq(pq)
+  /** Per-subspace mirror chain over `base`(vec_id, v) seeded from
+    * `seeds`(vec_id, v): ${p}sv$m slices, 2 Lloyd rounds, dense-code
+    * table cb_$m (no prefix — shared name shape with the LUT/codes
+    * consumers), corpus assignment k$m. `p` keeps the two chains of a
+    * query that trains on both raw vectors and residuals disjoint.
+    */
+  private def subSql(m: Int, p: String, base: String,
+      seeds: String): String = {
+    val lo = m * SD + 1; val hi = (m + 1) * SD
+    val meanList = (1 to SD).map(i =>
+      s"CAST(SUM(CAST(round(sv[$i],6) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*)")
+      .mkString("[", ",\n          ", "]")
+    def lloyd(prev: String, a: String, c: String): String =
+      s"""$a AS (SELECT vec_id, sv, cent_id FROM (
+        SELECT s.vec_id, s.sv, c.cent_id,
+          row_number() OVER (PARTITION BY s.vec_id
+            ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM ${p}sv$m s, $prev c) WHERE rk = 1),
+      $c AS (SELECT cent_id, $meanList AS cv FROM $a GROUP BY cent_id)"""
+    s"""${p}sv$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM $base),
+      ${p}c0_$m AS (SELECT vec_id AS cent_id, v[$lo:$hi] AS cv FROM $seeds),
+      ${lloyd(s"${p}c0_$m", s"${p}a1_$m", s"${p}c1_$m")},
+      ${lloyd(s"${p}c1_$m", s"${p}a2_$m", s"${p}c2_$m")},
+      cb_$m AS (SELECT row_number() OVER (ORDER BY cent_id) AS code, cv
+        FROM ${p}c2_$m),
+      k$m AS (SELECT vec_id, code FROM (
+        SELECT s.vec_id, cb.code,
+          row_number() OVER (PARTITION BY s.vec_id
+            ORDER BY list_cosine_similarity(s.sv, cb.cv) DESC, cb.code)
+            AS rk
+        FROM ${p}sv$m s, cb_$m cb) WHERE rk = 1)"""
+  }
+
+  private def vecSub(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Shim.column(graft.functions.VecSub(
+      org.apache.spark.sql.graft.Shim.expression(a),
+      org.apache.spark.sql.graft.Shim.expression(b)))
+
+  /** IVF + PQ — the production FAISS `IndexIVFPQ` shape and the ANN
+    * capstone: the trained IVF codebook partitions the corpus into
+    * inverted lists ([[Knn.codebook]]/[[Knn.assign]], unchanged), PQ
+    * compresses each vector's RESIDUAL (x − its centroid — residuals
+    * concentrate around 0, which is exactly why FAISS quantizes them
+    * instead of raw vectors), queries probe NPROBE lists and score
+    * candidates by ADC against a PER-(query, probed-centroid) LUT of
+    * residual subspace dot products, and the top-RERANK survivors
+    * re-rank with the exact float cosine on the ORIGINAL vectors.
+    *
+    * Exactness composes from the proven pieces: IVF train/assign/probe
+    * are knn_ivf's (bit-gated there); residuals are elementwise IEEE
+    * subtraction via the [[graft.functions.VecSub]] codegen kernel
+    * (bit-equal to DuckDB's indexed `list_transform` — no fold, no
+    * ordering subtlety); sub-codebook training/encoding and the
+    * fixed-order ADC sum are knn_pq's. Scale shape: everything knn_pq
+    * does PLUS the scan only touches the probed lists' codes (the
+    * cent_id equi-join replaces knn_pq's full-corpus broadcast scan) —
+    * at 100 TB the ADC scan reads nprobe/nlist of a codes table that is
+    * already 64× thinner than the vectors.
+    */
+  private val ivfpq = Q(
+    "knn_ivfpq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = Knn.codebook(e)
+      // residual corpus: (vec_id, cent_id, v = x − centroid)
+      val res = Knn.assign(e, cents)
+        .join(broadcast(cents), "cent_id")
+        .select(col("vec_id"), col("cent_id"),
+          vecSub(col("v"), col("cv")).as("v"))
+        .transform(graft.Checkpoint.of)
+      val cbArrs = (0 until M).map(m => subCodebook(res, m).agg(
+        array_sort(collect_list(
+          struct(col("code").as("cent_id"), col("cv")))).as(s"cs$m")))
+      // inverted lists carry (cent_id, 4 residual codes) — no floats
+      val codes = cbArrs.zipWithIndex.foldLeft(res) { case (df, (cb, m)) =>
+        df.crossJoin(broadcast(cb))
+          .withColumn(s"k$m", nc(sub(m, col("v")), col(s"cs$m")))
+          .drop(s"cs$m")
+      }.select(col("vec_id") +: col("cent_id") +:
+          (0 until M).map(m => col(s"k$m")): _*)
+        .transform(graft.Checkpoint.of)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // per-(query, probed-centroid) residual LUTs
+      val qres = Knn.probe(q, cents, Knn.NPROBE)
+        .join(broadcast(cents), "cent_id")
+        .select(col("query_id"), col("cent_id"),
+          vecSub(col("qv"), col("cv")).as("qv"))
+      val qlut = cbArrs.zipWithIndex.foldLeft(qres) { case (df, (cb, m)) =>
+        df.crossJoin(broadcast(cb))
+          .withColumn(s"lut$m", transform(col(s"cs$m"),
+            c => dotProduct(sub(m, col("qv")), c.getField("cv"))))
+          .drop(s"cs$m")
+      }.drop("qv").transform(graft.Checkpoint.of)
+      val score = (0 until M).map(m =>
+        element_at(col(s"lut$m"), col(s"k$m").cast("int"))).reduceLeft(_ + _)
+      val wA = Window.partitionBy(col("query_id"))
+        .orderBy(score.desc, col("vec_id"))
+      val topr = codes.join(broadcast(qlut), "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("rr", row_number().over(wA))
+        .filter(col("rr") <= RERANK)
+        .select("query_id", "vec_id")
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      topr.join(e, "vec_id").join(broadcast(q), "query_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val perSub = (0 until M).map(m =>
+        subSql(m, "r", "res", "rseeds") + s""",
+        lut$m AS (SELECT qr.query_id, qr.cent_id,
+            list(list_dot_product(qr.qv[${m * SD + 1}:${(m + 1) * SD}],
+              cb.cv) ORDER BY cb.code) AS lut
+          FROM qres qr, cb_$m cb GROUP BY qr.query_id, qr.cent_id)""")
+        .mkString(",\n    ")
+      val adc = (0 until M).map(m => s"l$m.lut[c.k$m]").mkString(" + ")
+      val lutJoins = (1 until M).map(m =>
+        s"JOIN lut$m l$m ON l$m.query_id = l0.query_id" +
+          s" AND l$m.cent_id = l0.cent_id").mkString(" ")
+      s"""WITH ${Knn.sqlIvfCtes},
+      res AS (
+        SELECT a.vec_id, a.cent_id,
+          list_transform(a.v, (x, i) -> x - c.cv[i]) AS v
+        FROM assigned a JOIN c2 c USING (cent_id)),
+      rseeds AS (SELECT vec_id, v FROM res
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+          vec_id
+        LIMIT $KSUB),
+      qres AS (
+        SELECT p.query_id, p.cent_id,
+          list_transform(p.qv, (x, i) -> x - c.cv[i]) AS qv
+        FROM probes p JOIN c2 c USING (cent_id)),
+      $perSub,
+      codes AS (SELECT r.vec_id, r.cent_id, k0.code AS k0, k1.code AS k1,
+          k2.code AS k2, k3.code AS k3
+        FROM res r JOIN k0 USING (vec_id) JOIN k1 USING (vec_id)
+        JOIN k2 USING (vec_id) JOIN k3 USING (vec_id)),
+      topr AS (SELECT query_id, vec_id FROM (
+        SELECT l0.query_id, c.vec_id,
+          row_number() OVER (PARTITION BY l0.query_id
+            ORDER BY $adc DESC, c.vec_id) AS rr
+        FROM lut0 l0 $lutJoins
+        JOIN codes c ON c.cent_id = l0.cent_id
+        WHERE l0.query_id <> c.vec_id) WHERE rr <= $RERANK)
+      SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT t.query_id, t.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY t.query_id
+            ORDER BY list_cosine_similarity(q.qv, e.v) DESC, t.vec_id)
+            AS rank,
+          round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+        FROM topr t
+        JOIN q ON t.query_id = q.query_id
+        JOIN e ON t.vec_id = e.vec_id)
+      WHERE rank <= $K ORDER BY query_id, rank"""
+    })
+
+  val all: Seq[Q] = Seq(pq, ivfpq)
 }
