@@ -152,6 +152,10 @@ object Bench {
       case Some(m) => m.group(1).toDouble
       case None => throw new IllegalArgumentException(s"no sf in dir $d")
     })
+    // two dirs parsing to the same sf would zero fit()'s denominator and
+    // interpolate NaN/Infinity unquoted into the JSON contract
+    require(sfs.distinct.size == sfs.size,
+      s"sweep dirs must parse to distinct scale factors, got $sfs")
     val loadBefore = loadavg()
     val bySf = dirs.map(d => d -> runAll(spark, d))
     val loadAfter = loadavg()
@@ -164,7 +168,7 @@ object Bench {
       val my = ly.sum / ly.size
       val num = lx.zip(ly).map { case (x, y) => (x - mx) * (y - my) }.sum
       val den = lx.map(x => (x - mx) * (x - mx)).sum
-      num / den
+      if (den == 0) Double.NaN else num / den
     }
     val exps = names.map { n =>
       val meds = bySf.map { case (_, rs) =>
@@ -181,8 +185,11 @@ object Bench {
         |"queries_min":${obj(rs)(v => r3(v.min))}}""".stripMargin
         .replace("\n", "")
     }.mkString("{", ",", "}")
-    val expObj = exps.map { case (n, (e, _)) => s""""$n":${r3(e)}""" }
-      .mkString("{", ",", "}")
+    // belt-and-braces: a non-finite exponent must serialize as null, not
+    // as bare NaN/Infinity (invalid JSON)
+    val expObj = exps.map { case (n, (e, _)) =>
+      s""""$n":${if (java.lang.Double.isFinite(e)) r3(e) else "null"}"""
+    }.mkString("{", ",", "}")
     val full = s"""{"metric":"sf_sweep","dirs":${dirs.map(d => "\"" + d + "\"")
         .mkString("[", ",", "]")},
       |"reps":$REPS,"fit":"least-squares slope of log(median) vs log(sf), top ${math.min(2, sfs.size)} sfs",

@@ -359,8 +359,14 @@ object Knn {
     */
   def buildIvfIndex(e: DataFrame, path: String): Unit = {
     val cents = codebook(e)
-    assign(e, cents).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(s"$path/lists")
+    // ingest_id=0 marks the base build; appendIvfIndex slices take ids
+    // > 0, keeping the lists directory a uniform two-level
+    // (cent_id, ingest_id) layout (a mixed-depth directory would be
+    // unreadable — the textIndexSink lesson). cent_id stays the LEADING
+    // partition level, so queryIvfIndex's DPP pruning is unaffected.
+    assign(e, cents).withColumn("ingest_id", lit(0L))
+      .write.mode("overwrite")
+      .partitionBy("cent_id", "ingest_id").parquet(s"$path/lists")
     cents.write.mode("overwrite").parquet(s"$path/cents")
     buildCount += 1
   }
@@ -381,10 +387,22 @@ object Knn {
     * [[graft.sources.Sources.compactParquet]] per `cent_id=` dir is the
     * maintenance pass.
     */
-  def appendIvfIndex(s: SparkSession, path: String, e: DataFrame): Unit = {
+  def appendIvfIndex(s: SparkSession, path: String, e: DataFrame,
+      ingestId: Long): Unit = {
+    // ingestId must be unique per SLICE (the streaming batchId
+    // contract): a replay of the same slice with the same id
+    // dynamically overwrites its own (cent_id, ingest_id) partitions
+    // instead of duplicating inverted-list rows — plain append mode
+    // silently doubled neighbors on a crash-retry. 0 is reserved for
+    // the base build. As with any dynamic overwrite, a RETRY must
+    // carry the same rows (a shrunk retry leaves the vanished
+    // partitions' stale rows in place).
+    require(ingestId > 0, s"ingestId must be > 0 (0 = base build), got $ingestId")
     val cbook = s.read.parquet(s"$path/cents")
-    assign(e, cbook).write.mode("append")
-      .partitionBy("cent_id").parquet(s"$path/lists")
+    assign(e, cbook).withColumn("ingest_id", lit(ingestId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id", "ingest_id").parquet(s"$path/lists")
   }
 
   /** Query a persisted IVF index: exact top-`k` cosine neighbors of each

@@ -146,8 +146,31 @@ object TextIndex {
     * accretes one file set per batch — [[graft.sources.Sources
     * .compactParquet]] per leaf directory is the maintenance pass.
     */
-  def textIndexSink(path: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, batchId: Long) =>
+  def textIndexSink(path: String): (DataFrame, Long) => Unit = {
+    // The sink writes a two-level (pb, batch_id) layout; buildTextIndex
+    // writes single-level (pb). Streaming into a build-populated path
+    // would produce a mixed-depth postings directory spark.read.parquet
+    // cannot infer — fail the FIRST batch with a clear message instead
+    // of poisoning the index for every later reader.
+    @volatile var layoutChecked = false
+    (batch: DataFrame, batchId: Long) => {
+      if (!layoutChecked) {
+        val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+        val fs = p.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val singleLevel = fs.listStatus(p)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb="))
+            .exists(d => fs.listStatus(d.getPath)
+              .exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
+          require(!singleLevel,
+            s"$path/postings holds buildTextIndex's single-level pb= layout; " +
+              "the streaming sink writes (pb=, batch_id=) and Spark cannot " +
+              "read a mixed-depth directory — stream into a fresh index path " +
+              "(rebuild with buildTextIndex if you need to merge corpora)")
+        }
+        layoutChecked = true
+      }
       batch
         .select(col("doc_id"), explode(TextOps.tokens(col("text")))
           .as("term"))
@@ -158,6 +181,8 @@ object TextIndex {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pb", "batch_id")
         .parquet(s"$path/postings")
+    }
+  }
 
   /** (Re)build the term dictionary from the accumulated postings —
     * after streaming ingest, or whenever df staleness matters. One

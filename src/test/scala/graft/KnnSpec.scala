@@ -228,10 +228,13 @@ class KnnSpec extends SparkSpec {
       .toString
     val (p1, p2) = (s"$dir/sliced", s"$dir/oneshot")
     graft.sim.Knn.buildIvfIndex(a, p1)
-    graft.sim.Knn.appendIvfIndex(spark, p1, b1)
-    graft.sim.Knn.appendIvfIndex(spark, p1, b2)
+    graft.sim.Knn.appendIvfIndex(spark, p1, b1, 1L)
+    graft.sim.Knn.appendIvfIndex(spark, p1, b2, 2L)
+    // crash-retry replay of a slice under its own ingestId is a no-op
+    // (dynamic overwrite of the same partitions), not a duplication
+    graft.sim.Knn.appendIvfIndex(spark, p1, b2, 2L)
     graft.sim.Knn.buildIvfIndex(a, p2)
-    graft.sim.Knn.appendIvfIndex(spark, p2, b1.union(b2))
+    graft.sim.Knn.appendIvfIndex(spark, p2, b1.union(b2), 1L)
     def listsOf(p: String) = spark.read.parquet(s"$p/lists")
       .select(col("vec_id"), col("cent_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -242,6 +245,10 @@ class KnnSpec extends SparkSpec {
       .select("vec_id", "cent_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(listsOf(p1) == direct && listsOf(p2) == direct)
+    // set-equality can't see duplicates — the replayed slice must not
+    // have doubled its inverted-list ROWS
+    assert(spark.read.parquet(s"$p1/lists").count() == e.count(),
+      "replayed append duplicated inverted-list rows")
     // queries see the appended vectors with no API change
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -88,6 +88,28 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink fails fast on a buildTextIndex single-level layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-text-mixed").toFile
+    try {
+      val p = dir.getAbsolutePath + "/idx"
+      graft.text.TextIndex.buildTextIndex(
+        Tables(spark, sfDir, "documents").select("doc_id", "text").limit(20), p)
+      // streaming into a batch-built path would mix (pb=) and
+      // (pb=, batch_id=) depths — the first batch must throw, not write
+      val err = intercept[IllegalArgumentException] {
+        graft.text.TextIndex.textIndexSink(p)(
+          Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L)
+      }
+      assert(err.getMessage.contains("mixed-depth"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("term-range-sorted build + pushed In(term) filter: footer stats " +
       "cut bytes read vs an unsorted build of the same postings") {
     import org.apache.spark.sql.graft.Shim
