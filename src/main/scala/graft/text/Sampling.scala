@@ -270,5 +270,63 @@ object Sampling {
       COUNT(*) FILTER (WHERE hb * 5 < score * 65536)::BIGINT AS n_kept
     FROM scored GROUP BY score ORDER BY score"""))
 
-  val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted)
+  // ----------------------------------------------------- sample_temperature
+  /** Temperature-scaled LANGUAGE mixing weights (the multilingual
+    * upsampling rule of XLM-R / mC4: q_ℓ ∝ p_ℓ^α, α = 1/T) at the
+    * published α = 0.5 — low-resource languages are upsampled toward,
+    * but not onto, the uniform point. α = 0.5 is the one exponent with
+    * a DETERMINISTIC cross-engine spelling: `sqrt` is IEEE
+    * correctly-rounded in both engines while `pow` is not, so the whole
+    * chain — p in exact millionths, one double division, one sqrt, one
+    * multiply, one floor — produces the identical BIGINT everywhere
+    * (the corpus_mix fixed-point recipe, extended by the one blessed
+    * float op). The final normalization is back in pure integers
+    * (w·10⁶ DIV Σw).
+    *
+    * corpus_mix consumes weights like these as its WEIGHTS input; this
+    * operator computes them FROM the corpus, closing the mixing loop
+    * (measure → weight → sample). Scale: one map-side-combined lang
+    * aggregate; everything after runs on |langs| rows with two 1-row
+    * broadcast scalars — the corpus is scanned once and never shuffled.
+    */
+  private val temperature = Q(
+    "sample_temperature",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long")
+            .as("ntok"))
+      val langs = d.groupBy("lang").agg(sum("ntok").as("tokens"))
+      val tot = langs.agg(sum("tokens").as("total"))
+      val withP = langs.crossJoin(broadcast(tot))
+        .withColumn("p_micro", expr("tokens * 1000000 DIV total"))
+        .withColumn("w_micro",
+          floor(sqrt(col("p_micro").cast("double") / lit(1000000.0d))
+            * lit(1000000.0d)).cast("long"))
+      val sw = withP.agg(sum("w_micro").as("sumw"))
+      withP.crossJoin(broadcast(sw))
+        .withColumn("q_micro", expr("w_micro * 1000000 DIV sumw"))
+        .select(col("lang"), col("tokens"), col("p_micro"),
+          col("w_micro"), col("q_micro"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+      SELECT lang,
+        len(list_filter(string_split(text,' '), t -> t <> ''))::BIGINT
+          AS ntok
+      FROM documents),
+    l AS (SELECT lang, SUM(ntok)::BIGINT AS tokens FROM d GROUP BY lang),
+    t AS (SELECT SUM(tokens)::BIGINT AS total FROM l),
+    p AS (SELECT lang, tokens,
+        (tokens * 1000000 // total)::BIGINT AS p_micro
+      FROM l CROSS JOIN t),
+    w AS (SELECT *, floor(sqrt(p_micro / 1000000.0) * 1000000.0)::BIGINT
+        AS w_micro FROM p),
+    s AS (SELECT SUM(w_micro)::BIGINT AS sumw FROM w)
+    SELECT lang, tokens, p_micro, w_micro,
+      (w_micro * 1000000 // sumw)::BIGINT AS q_micro
+    FROM w CROSS JOIN s ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted,
+    temperature)
 }

@@ -849,7 +849,220 @@ object TextOps {
       ntile(3) OVER (ORDER BY score_micro DESC, doc_id)::BIGINT AS bucket
     FROM scored ORDER BY doc_id"""))
 
+  // ------------------------------------------------------ text_line_dedup
+  /** Tokens per "line" — the fixed-width unit standing in for the
+    * newline-delimited paragraphs of a real crawl (this corpus has no
+    * newlines; CCNet/Dolma dedup at line/paragraph granularity).
+    */
+  private val LINE = 16
+
+  /** LINE-level dedup across the whole corpus (CCNet §3.1, Wenzek et al.
+    * 2020: drop every repeated line, keep only its first occurrence;
+    * RefinedWeb/Dolma run the same pass) — the sub-document complement
+    * of dedup_exact (whole docs) and dedup_substring (positional runs):
+    * boilerplate lines repeated across pages vanish while the documents
+    * survive. A line is kept iff its (doc_id, line_id) is the corpus-wide
+    * minimum occurrence of its hash — singletons trivially are.
+    *
+    * Scale shape: lines explode map-side (thin rows), the occurrence
+    * table is ONE hash-agg on the 32-char line hash, and the keep
+    * decision is an equi-join back on that hash — both sides shuffle on
+    * the same key, never doc×doc. The exploded line table is
+    * checkpointed once (two consumers — the agg and the probe side;
+    * otherwise the scan+split lineage re-runs per consumer). Reassembly
+    * is a per-doc sort of collected (line_id, line) structs — the one
+    * interpreted HOF (`transform`) runs post-aggregation on n_docs rows,
+    * not in the per-line hot path. first-occurrence key packs as
+    * doc_id·10⁶+line_id (exact: line_id < 10⁶ at any plausible doc
+    * length; both engines compare the same BIGINT).
+    */
+  private val lineDedup = Q(
+    "text_line_dedup",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nLines = ceil(size(toks).cast("double") / LINE).cast("int")
+      val lines = when(nLines > 0,
+        transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * LINE + 1, lit(LINE)), " ")))
+        .otherwise(typedLit(Seq.empty[String]))
+      val l = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(lines).as(Seq("line_id", "line")))
+        .select(col("doc_id"), col("line_id").cast("long").as("line_id"),
+          col("line"), md5(col("line")).as("h"),
+          (col("doc_id") * 1000000 + col("line_id")).as("occ_key"))
+        .transform(graft.Checkpoint.of)
+      val firsts = l.groupBy("h").agg(min(col("occ_key")).as("first_key"))
+      l.join(firsts, "h")
+        .withColumn("keep", col("occ_key") === col("first_key"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("keep"), struct(col("line_id"), col("line"))))),
+              x => x.getField("line")), " ").as("kept_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    l AS (
+      SELECT doc_id, (i - 1)::BIGINT AS line_id,
+        array_to_string(w[(i-1)*$LINE+1 : i*$LINE], ' ') AS line
+      FROM d, range(1, 100000) r(i)
+      WHERE i <= ceil(len(w) * 1.0 / $LINE)),
+    h AS (SELECT *, md5(line) AS h,
+        doc_id * 1000000 + line_id AS occ_key FROM l),
+    g AS (SELECT h, min(occ_key) AS first_key FROM h GROUP BY h)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+      SUM((occ_key = first_key)::INT)::BIGINT AS n_kept,
+      COALESCE(string_agg(CASE WHEN occ_key = first_key THEN line END,
+        ' ' ORDER BY line_id), '') AS kept_text
+    FROM h JOIN g USING (h)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------------ text_html_strip
+  /** HTML boilerplate stripping — the extraction stage every web-crawl
+    * pipeline runs before any text op sees a document (trafilatura /
+    * resiliparse territory; here the deterministic core: script/style
+    * block removal, tag stripping, entity unescape, whitespace
+    * collapse). The corpus is plain text, so the query derives an
+    * HTML-wrapped spelling of each document IDENTICALLY in both engines
+    * (the dedup_url recipe) with the adversarial forms a real page has:
+    * a script body holding entities and quotes, a style block, attribute
+    * soup, self-closing tags, and pre-escaped entities in content.
+    *
+    * Map-only: per-doc regex chains (codegen'd `regexp_replace`, Java
+    * and RE2 agree on these character-class-only patterns), zero
+    * shuffle before the output sort. Entity unescape runs &amp; LAST so
+    * double-escaped text un-escapes one level, like a real parser.
+    * n_tags counts tag tokens on the wrapped input (`<[^>]*>`), the QA
+    * number a pipeline logs per page.
+    */
+  private val htmlStrip = Q(
+    "text_html_strip",
+    (s, dir) => {
+      val html = concat(
+        lit("<html><head><title>doc &amp; "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\"> p { margin: 0 } </style>" +
+          "<script>var x = \"1 &lt; 2\";</script></head><body>" +
+          "<h1 class=\"t\">Doc &quot;"), col("doc_id").cast("string"),
+        lit("&quot;</h1><p id=\"m\">"), col("text"),
+        lit("</p><br/><div>&gt; footer &lt;</div></body></html>"))
+      val noScript = regexp_replace(
+        regexp_replace(html, "<script[^>]*>[^<]*</script>", " "),
+        "<style[^>]*>[^<]*</style>", " ")
+      val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+      val unescaped = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(noTags, "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&amp;", "&")
+      val clean = trim(regexp_replace(unescaped, " +", " "))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(html, lit("<[^>]*>"), lit(0)))
+            .cast("long").as("n_tags"),
+          clean.as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+      SELECT doc_id,
+        '<html><head><title>doc &amp; ' || doc_id::VARCHAR ||
+        '</title><style type="text/css"> p { margin: 0 } </style>' ||
+        '<script>var x = "1 &lt; 2";</script></head><body>' ||
+        '<h1 class="t">Doc &quot;' || doc_id::VARCHAR ||
+        '&quot;</h1><p id="m">' || text ||
+        '</p><br/><div>&gt; footer &lt;</div></body></html>' AS html
+      FROM documents),
+    st AS (SELECT doc_id, html,
+        regexp_replace(regexp_replace(html,
+          '<script[^>]*>[^<]*</script>', ' ', 'g'),
+          '<style[^>]*>[^<]*</style>', ' ', 'g') AS h1 FROM w),
+    nt AS (SELECT doc_id, html,
+        regexp_replace(h1, '<[^>]*>', ' ', 'g') AS h2 FROM st),
+    un AS (SELECT doc_id, html,
+        replace(replace(replace(replace(h2,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&') AS h3
+      FROM nt)
+    SELECT doc_id,
+      len(regexp_extract_all(html, '<[^>]*>'))::BIGINT AS n_tags,
+      trim(regexp_replace(h3, ' +', ' ', 'g')) AS clean_text
+    FROM un ORDER BY doc_id"""))
+
+  // ------------------------------------------------------- text_rank_bm25
+  private val BM25_TERMS = Seq("table", "query", "window", "merge")
+  private val BM25_K = 50
+
+  /** BM25 ranking (Robertson & Walker '94) at the published constants
+    * k1=1.2, b=0.75, restated as EXACT integer arithmetic so both
+    * engines agree bit-for-bit (the text_lm_score argument — no ln(),
+    * no float accumulation): with rational k1=6/5, b=3/4 the per-term
+    * score idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) multiplies out to
+    *   idf_micro · 22·avgdl·tf DIV (10·avgdl·tf + 3·avgdl + 9·dl)
+    * where idf_micro = (2(N−df)+1)·10⁶ DIV (2df+1) is the classic
+    * (N−df+0.5)/(df+0.5) idf in millionths and avgdl = Σdl DIV N. The
+    * tf-idf twin is text_search_ranked; BM25 adds the saturation and
+    * length normalization every production retrieval stack actually
+    * uses. Integer headroom: idf_micro ≤ 2N·10⁶, so the widest product
+    * fits BIGINT up to ~10⁸ docs per corpus; past that drop idf to
+    * thousandths or promote the contrib expression to DECIMAL(38,0) —
+    * a one-line scale change.
+    *
+    * Shape: one tokenize scan; tf = hash-agg on (doc, term) AFTER an
+    * `isin` filter to the query terms (the explode emits nothing else);
+    * df (≤|terms| rows) and the (N, avgdl) scalar row broadcast; the
+    * only corpus-keyed exchange is the dl join on doc_id. Top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private val bm25 = Q(
+    "text_rank_bm25",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val dl = d.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+      val n = dl.agg(count(lit(1)).as("n_docs"),
+        expr("sum(dl) DIV count(1)").as("avgdl"))
+      val tf = d.select(col("doc_id"), explode(tokens(col("text")))
+          .as("term"))
+        .filter(col("term").isin(BM25_TERMS: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .withColumn("contrib", expr(
+          "((((n_docs - df) * 2 + 1) * 1000000 DIV (2 * df + 1)) " +
+            "* 22 * avgdl * tf) " +
+            "DIV (10 * avgdl * tf + 3 * avgdl + 9 * dl)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_matched"),
+          sum("contrib").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(BM25_K)
+        .select(col("doc_id"), col("n_terms_matched"), col("score"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs,
+      (SUM(dl) // COUNT(*))::BIGINT AS avgdl FROM dl),
+    t AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM t
+      WHERE term IN (${BM25_TERMS.map("'" + _ + "'").mkString(",")})
+      GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+    sc AS (SELECT doc_id,
+        ((((n_docs - df) * 2 + 1) * 1000000 // (2 * df + 1))
+          * 22 * avgdl * tf)
+          // (10 * avgdl * tf + 3 * avgdl + 9 * dl) AS contrib
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_terms_matched,
+      SUM(contrib)::BIGINT AS score
+    FROM sc GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT $BM25_K"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
-    piiScrub, pplBucket)
+    piiScrub, pplBucket, lineDedup, htmlStrip, bm25)
 }
