@@ -296,28 +296,63 @@ object Quantize {
     * mirror states the same cells via a per-vector component self-join —
     * different plan, identical exact integers.
     */
+  /** Shared scatter-moment builder for [[covariance]] / [[pcaPower]]:
+    * (i, j, n, sp = Σmᵢmⱼ, si = Σmᵢ, sj = Σmⱼ) over the upper triangle,
+    * every sum an exact order-independent integer.
+    *
+    * Three plan decisions carry the whole cost (this build was the
+    * slowest query in BENCH_r06 before them):
+    * 1. the micro-component array is materialized ONCE behind a
+    *    checkpoint barrier — referenced through 2·d(d+1)/2 element_at's,
+    *    CollapseProject would otherwise inline the array-transform into
+    *    every reference and re-evaluate it ~4000× per row;
+    * 2. products multiply as LONGs in the exploded structs (m ≤ 10⁷
+    *    micro-units ⇒ p ≤ 10¹⁴, far inside Long) and only the SUM
+    *    accumulates as DECIMAL(38,0) — identical integers, none of the
+    *    interpreted per-element Decimal arithmetic;
+    * 3. the linear sums Σmᵢ don't ride the d(d+1)/2-row explode at all
+    *    (they are constant in j): a d-row posexplode aggregate computes
+    *    them once and broadcast-joins onto the cell aggregate twice.
+    */
+  private def scatter(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val msL = transform(col("v"), x =>
+      (round(x, 6).cast(DecimalType(38, 6)) * lit(1000000)).cast("long"))
+    val m = e.select(col("vec_id"), msL.as("ms"))
+      .transform(graft.Checkpoint.of)
+    val dims = m.select(posexplode(col("ms")).as(Seq("p0", "mv")))
+      .groupBy((col("p0") + 1).cast("long").as("i"))
+      .agg(sum(col("mv").cast(dec)).cast(dec).as("s"))
+    // the kernel's flat output index ↔ (i, j) mapping: row-major over
+    // the upper triangle, stated as a row_number over the d(d+1)/2 pair
+    // table (a one-partition window over ≤ thousands of rows, broadcast)
+    val di = dims.select(col("i"))
+    val pairs = di.join(di.select(col("i").as("j")), col("i") <= col("j"))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("i", "j")) - 1)
+    val tri = org.apache.spark.sql.graft.Shim.column(
+      graft.functions.TriProducts(
+        org.apache.spark.sql.graft.Shim.expression(col("ms"))))
+    m.select(posexplode(tri).as(Seq("pos", "p")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(dec)).cast(dec).as("sp"))
+      .join(broadcast(pairs), "pos")
+      .join(broadcast(dims.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("s").as("sj"))),
+        "j")
+      .select(col("i"), col("j"), col("n"), col("sp"), col("si"),
+        col("sj"))
+  }
+
   private val covariance = Q(
     "emb_covariance",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
-      val ms = transform(col("v"), x =>
-        (round(x, 6).cast(DecimalType(38, 6)) * lit(1000000)).cast(dec))
-      val cells = flatten(transform(sequence(lit(1), size(col("v"))), i =>
-        transform(sequence(i, size(col("v"))), j =>
-          struct(i.cast("long").as("i"), j.cast("long").as("j"),
-            (element_at(col("ms"), i) * element_at(col("ms"), j))
-              .cast(dec).as("p"),
-            element_at(col("ms"), i).as("mi"),
-            element_at(col("ms"), j).as("mj")))))
-      emb(s, dir)
-        .withColumn("ms", ms)
-        .select(explode(cells).as("c"))
-        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("c.p")).cast(dec).as("sp"),
-          sum(col("c.mi")).cast(dec).as("si"),
-          sum(col("c.mj")).cast(dec).as("sj"))
+      scatter(emb(s, dir))
         .select(col("i"), col("j"), col("n"),
           ((col("n").cast(dec) * col("sp") - col("si") * col("sj"))
             .cast("double") /
@@ -375,25 +410,9 @@ object Quantize {
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
-      val ms = transform(col("v"), x =>
-        (round(x, 6).cast(DecimalType(38, 6)) * lit(1000000)).cast(dec))
-      val cells = flatten(transform(sequence(lit(1), size(col("v"))), i =>
-        transform(sequence(i, size(col("v"))), j =>
-          struct(i.cast("long").as("i"), j.cast("long").as("j"),
-            (element_at(col("ms"), i) * element_at(col("ms"), j))
-              .cast(dec).as("p"),
-            element_at(col("ms"), i).as("mi"),
-            element_at(col("ms"), j).as("mj")))))
-      // upper triangle once (checkpointed: consumed by itself + mirror),
+      // upper triangle once (checkpointed: consumed by both union legs),
       // mirrored to the full matrix for the matvec joins
-      val tri = emb(s, dir)
-        .withColumn("ms", ms)
-        .select(explode(cells).as("c"))
-        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("c.p")).cast(dec).as("sp"),
-          sum(col("c.mi")).cast(dec).as("si"),
-          sum(col("c.mj")).cast(dec).as("sj"))
+      val tri = scatter(emb(s, dir))
         .select(col("i"), col("j"),
           (col("n").cast(dec) * col("sp") - col("si") * col("sj"))
             .cast(dec).as("sv"))

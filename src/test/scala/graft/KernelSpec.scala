@@ -250,4 +250,41 @@ class KernelSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(kernel == window)
   }
+
+  test("TriProducts kernel == nested transform upper-triangle composition") {
+    // adversarial: negatives, zeros, a 1-element vector, an empty vector,
+    // magnitudes at the micro-unit ceiling
+    val vecs: Seq[Seq[Long]] = Seq(
+      Seq(1L, -2L, 3L),
+      Seq(0L, 0L),
+      Seq(7L),
+      Seq.empty[Long],
+      Seq(10000000L, -10000000L, 9999999L, 1L),
+      (1L to 64L).map(k => (k * 31 - 997) * 1000L))
+    val df = vecs.toDF("ms")
+    val kernel = df.select(Shim.column(graft.functions.TriProducts(
+      Shim.expression(col("ms")))).as("t"))
+      .collect().map(_.getSeq[Long](0))
+    val composed = df.select(
+      when(size(col("ms")) > 0,
+        flatten(transform(sequence(lit(1), size(col("ms"))), i =>
+          transform(sequence(i, size(col("ms"))), j =>
+            element_at(col("ms"), i) * element_at(col("ms"), j)))))
+        .otherwise(typedLit(Seq.empty[Long])).as("t"))
+      .collect().map(_.getSeq[Long](0))
+    assert(kernel.toSeq == composed.toSeq)
+    // real corpus, exact row-major order on the full 64-dim triangle
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+      .select(transform(col("embedding").cast("array<double>"),
+        x => (round(x, 6).cast("decimal(38,6)") * lit(1000000))
+          .cast("long")).as("ms"))
+    val k2 = e.select(Shim.column(graft.functions.TriProducts(
+      Shim.expression(col("ms")))).as("t"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val c2 = e.select(flatten(transform(sequence(lit(1), size(col("ms"))),
+        i => transform(sequence(i, size(col("ms"))), j =>
+          element_at(col("ms"), i) * element_at(col("ms"), j)))).as("t"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(k2.toSeq == c2.toSeq)
+  }
 }
