@@ -405,44 +405,49 @@ object Quantize {
     */
   private val PCA_ROUNDS = 3
 
-  private val pcaPower = Q(
-    "emb_pca_power",
-    (s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
-      // upper triangle once (checkpointed: consumed by both union legs),
-      // mirrored to the full matrix for the matvec joins
-      val tri = scatter(emb(s, dir))
-        .select(col("i"), col("j"),
-          (col("n").cast(dec) * col("sp") - col("si") * col("sj"))
-            .cast(dec).as("sv"))
-        .transform(graft.Checkpoint.of)
-      val sm = tri.union(tri.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("sv")))
-        .transform(graft.Checkpoint.of)
-      var v = sm.select(col("i").as("j")).distinct()
-        .select(col("j"), lit(1000000L).cast(dec).as("v"))
-      for (_ <- 1 to PCA_ROUNDS) {
-        val r = sm.join(broadcast(v), "j")
-          .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
-        val mx = r.agg(max(abs(col("r"))).cast(dec).as("mx"))
-        v = r.crossJoin(broadcast(mx))
-          .select(col("i").as("j"),
-            expr("r * 1000000 DIV mx").cast(dec).as("v"))
-      }
-      v.select(col("j").as("i"), col("v").cast("long").as("v_micro"))
-        .orderBy("i")
-    },
-    Some {
-      val rounds = (1 to PCA_ROUNDS).map { k =>
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""r$k AS (SELECT sm.i, SUM(sv * v) AS r
+  /** The trained top component as a (j, v: DECIMAL(38,0)) frame — the
+    * power iteration shared by [[pcaPower]] (exports it) and
+    * [[pcaProject]] (applies it corpus-wide).
+    */
+  private def powerIterate(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    // upper triangle once (checkpointed: consumed by both union legs),
+    // mirrored to the full matrix for the matvec joins
+    val tri = scatter(e)
+      .select(col("i"), col("j"),
+        (col("n").cast(dec) * col("sp") - col("si") * col("sj"))
+          .cast(dec).as("sv"))
+      .transform(graft.Checkpoint.of)
+    val sm = tri.union(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("sv")))
+      .transform(graft.Checkpoint.of)
+    var v = sm.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(1000000L).cast(dec).as("v"))
+    for (_ <- 1 to PCA_ROUNDS) {
+      val r = sm.join(broadcast(v), "j")
+        .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
+      val mx = r.agg(max(abs(col("r"))).cast(dec).as("mx"))
+      v = r.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          expr("r * 1000000 DIV mx").cast(dec).as("v"))
+    }
+    v
+  }
+
+  /** The shared DuckDB CTE chain ending at `v$PCA_ROUNDS` (the trained
+    * iterate) — prefix of both the pcaPower and pcaProject mirrors.
+    */
+  private def pcaCte: String = {
+    val rounds = (1 to PCA_ROUNDS).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""r$k AS (SELECT sm.i, SUM(sv * v) AS r
       FROM sm JOIN $prev ON sm.j = $prev.j GROUP BY sm.i),
     m$k AS (SELECT MAX(ABS(r)) AS mx FROM r$k),
     v$k AS (SELECT i AS j, (r * 1000000::HUGEINT) // mx AS v
       FROM r$k, m$k)"""
-      }.mkString(",\n    ")
-      s"""WITH e AS (
+    }.mkString(",\n    ")
+    s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     comp AS (
       SELECT vec_id, u.s.i AS i,
@@ -459,10 +464,59 @@ object Quantize {
       UNION ALL
       SELECT j, i, n * sp - si * sj FROM tri WHERE i < j),
     v0 AS (SELECT DISTINCT i AS j, 1000000::HUGEINT AS v FROM sm),
-    $rounds
-    SELECT j AS i, v::BIGINT AS v_micro FROM v$PCA_ROUNDS ORDER BY i"""
-    })
+    $rounds"""
+  }
+
+  private val pcaPower = Q(
+    "emb_pca_power",
+    (s, dir) =>
+      powerIterate(emb(s, dir))
+        .select(col("j").as("i"), col("v").cast("long").as("v_micro"))
+        .orderBy("i"),
+    Some(s"""$pcaCte
+    SELECT j AS i, v::BIGINT AS v_micro FROM v$PCA_ROUNDS ORDER BY i"""))
+
+  // -------------------------------------------------------- emb_pca_project
+  /** Corpus-wide PROJECTION onto the trained top component — the apply
+    * half of the [[pcaPower]] train/apply pair (kmeans_train/
+    * kmeans_assign at eigen-land): per vector, `y_scaled = Σ mₖ·vₖ` with
+    * both factors exact integers (micro-unit component × micro-unit
+    * iterate ⇒ the sum is an exact BIGINT, |Σ| ≤ d·10⁷·10⁶ — order-
+    * independent in any partitioning), and `y = y_scaled / 10¹²` as ONE
+    * IEEE division. This is the 1-d embedding a curation pipeline sorts
+    * or buckets on (variance-direction stratification, whitening QA).
+    *
+    * Scale: training runs on the d²-row scatter matrix ([[powerIterate]]
+    * — corpus size appears only in the one scatter pass); application is
+    * the [[project]] shape — posexplode map-side, the trained d-row
+    * iterate broadcast, one map-side-combined vec_id aggregate.
+    */
+  private val pcaProject = Q(
+    "emb_pca_project",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val vTop = powerIterate(emb(s, dir))
+        .select(col("j").as("i"), col("v").cast("long").as("vm"))
+      val comp = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("d0", "x")))
+        .select(col("vec_id"), (col("d0") + 1).cast("long").as("i"),
+          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+            .cast(DecimalType(38, 0)).cast("long").as("m"))
+      comp.join(broadcast(vTop), "i")
+        .groupBy("vec_id")
+        .agg(sum(col("m") * col("vm")).as("y_scaled"))
+        .select(col("vec_id"), col("y_scaled"),
+          (col("y_scaled").cast("double") / lit(1.0e12)).as("y"))
+        .orderBy("vec_id")
+    },
+    Some(s"""$pcaCte,
+    vt AS (SELECT j AS i, v::BIGINT AS vm FROM v$PCA_ROUNDS)
+    SELECT vec_id, SUM(m * vm)::BIGINT AS y_scaled,
+      CAST(SUM(m * vm) AS DOUBLE) / 1000000000000.0 AS y
+    FROM comp JOIN vt USING (i)
+    GROUP BY vec_id ORDER BY vec_id"""))
 
   val all: Seq[Q] =
-    Seq(quantize, stats, standardize, project, covariance, pcaPower)
+    Seq(quantize, stats, standardize, project, covariance, pcaPower,
+      pcaProject)
 }
