@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -190,6 +190,57 @@ object Sources {
     * no-op returning (0, 0) — there is nothing to compact, and
     * `spark.read.parquet` could not infer a schema from it anyway.
     */
+  /** Z-ORDER clustered parquet write — multi-dimensional file skipping
+    * for the two-filter scans a bucketed or linearly-sorted layout can't
+    * serve (Delta's OPTIMIZE ZORDER BY, as a plain-parquet write): each
+    * row's two cluster keys are min-max scaled to 16 bits (exact integer
+    * arithmetic against one broadcast stats row — no driver action) and
+    * bit-interleaved into a 32-bit Morton code; rows are then
+    * range-partitioned AND sorted by that code, so every output file
+    * covers a small square of (a, b) space and its parquet footer
+    * min/max on BOTH columns is tight. A predicate on either column (or
+    * a box on both) prunes row groups via ordinary stats pushdown —
+    * ~√F of F files match a thin slice in either dimension, where a
+    * b-filter on an a-sorted layout reads everything (SourcesSpec
+    * measures bytesRead on both layouts).
+    *
+    * Scale: one extra exchange (the range partitioner) over the write
+    * path; the stats row is a broadcast scalar. nFiles is the same dial
+    * as compactParquet's targetBytes — size so a file ≈ a row group ≈
+    * one task's comfortable read.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    // spread 16 bits over the even positions of a 32-bit word
+    def spread(c: Column): Column = {
+      val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+      (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+    }
+    // floor of a double division: operands stay ≤ ~6·10¹³ (exact in
+    // double), and a ±1 bucket edge from the final rounding only nudges
+    // a row one Morton cell over — irrelevant to a clustering layout
+    def scale16(c: Column, mn: Column, mx: Column): Column =
+      floor(((c.cast("long") - mn) * 65535L) / greatest(mx - mn, lit(1L)))
+        .cast("long")
+    val stats = df.agg(
+      min(df.col(colA).cast("long")).as("mna"),
+      max(df.col(colA).cast("long")).as("mxa"),
+      min(df.col(colB).cast("long")).as("mnb"),
+      max(df.col(colB).cast("long")).as("mxb"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z",
+        spread(scale16(df.col(colA), col("mna"), col("mxa")))
+          .bitwiseOR(shiftleft(
+            spread(scale16(df.col(colB), col("mnb"), col("mxb"))), 1)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "mna", "mxa", "mnb", "mxb")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")

@@ -116,6 +116,53 @@ class SourcesSpec extends SparkSpec {
     assert(b >= 1 && a >= 1)
   }
 
+  test("writeZOrdered: a second-dimension box filter reads fewer bytes " +
+      "than on a first-dimension-sorted layout, same rows") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val dir = tmp()
+    val zdir = s"$dir/zorder"
+    val ldir = s"$dir/linear"
+    Sources.writeZOrdered(li, zdir, "l_orderkey", "l_partkey", 32)
+    // control: linearly sorted on the FIRST dimension only — every file
+    // spans the full l_partkey range, so a partkey filter skips nothing
+    li.repartitionByRange(32, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(ldir)
+    val lo = 100L
+    val hi = 120L
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    def bytesReadOf(path: String): (Long, Set[(Long, Long)]) = {
+      spark.sparkContext.addSparkListener(listener)
+      bytes.set(0L)
+      val rows = try {
+        spark.read.parquet(path)
+          .filter(col("l_partkey").between(lo, hi))
+          .select("l_orderkey", "l_partkey")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally {
+        org.apache.spark.sql.graft.Shim.waitListeners(spark)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      (bytes.get(), rows)
+    }
+    val (zBytes, zRows) = bytesReadOf(zdir)
+    val (lBytes, lRows) = bytesReadOf(ldir)
+    assert(zRows == lRows && zRows.nonEmpty, "layout must not change results")
+    assert(zBytes < lBytes / 2,
+      s"z-ordered layout must read <half the bytes for a partkey box " +
+        s"($zBytes vs $lBytes)")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("keyed upsert merges like MERGE and rewrites only touched buckets") {
     import spark.implicits._
     val dir = tmp() + "/upsert"
