@@ -1023,7 +1023,124 @@ object Dedup {
     SELECT url, MIN(doc_id)::BIGINT AS keep_id, COUNT(*)::BIGINT AS n_docs
     FROM canon GROUP BY url ORDER BY url"""))
 
+  // ----------------------------------------------------- sample_split_dedup
+  /** DEDUP-AWARE train/val/test split — the leakage guard every serious
+    * pipeline needs after near-dedup (Lee et al. 2022 §6: near-dups
+    * straddling train/test inflate eval): whole near-dup CLUSTERS are
+    * assigned atomically, so two documents that are ≥τ-similar can
+    * never land in different splits. Cluster = the dedup_clusters
+    * connected component (same verified MinHash-LSH pairs + min-label
+    * propagation); the split label is the content-hash split of the
+    * cluster REPRESENTATIVE's text (component-min doc), reusing
+    * sample_split's 80/10/10 thresholds — singletons degenerate to
+    * exactly sample_split's assignment.
+    *
+    * Scale: everything up to labels is the dedup_clusters machinery
+    * (thin frames, per-round checkpoint); the representative's label
+    * comes from ONE equi-join of the (doc_id, cluster_id) frame against
+    * the corpus keyed by doc-as-representative — both sides shuffle on
+    * the cluster key once. The oracle recomputes the full recursive
+    * transitive closure + the same md5 thresholds, so a green row
+    * proves the component fixpoint AND the atomic assignment.
+    */
+  private val splitDedup = Q(
+    "sample_split_dedup",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val labels = connectedComponents(pairs)
+      val withCluster = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val reps = Tables(s, dir, "documents")
+        .select(col("doc_id").as("cluster_id"),
+          graft.text.Sampling.splitLabel(col("text")).as("split"))
+      withCluster.join(reps, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlShingleCte,
+    p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= $TAU),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    cmin AS (SELECT u AS doc_id, MIN(v) AS m FROM reach GROUP BY u),
+    cl AS (SELECT d2.doc_id,
+        COALESCE(LEAST(c.m, d2.doc_id), d2.doc_id) AS cluster_id
+      FROM documents d2 LEFT JOIN cmin c ON d2.doc_id = c.doc_id),
+    rep AS (SELECT doc_id AS cluster_id,
+        CASE
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 52429
+            THEN 'train'
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 58982
+            THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM documents)
+    SELECT cl.doc_id, cl.cluster_id, rep.split
+    FROM cl JOIN rep USING (cluster_id)
+    ORDER BY cl.doc_id"""))
+
+  // --------------------------------------------------------- dedup_recall
+  /** Dedup EVALUATION as a first-class operator — the dedup twin of
+    * knn_recall: precision/recall of the SimHash banded-hamming detector
+    * against the exact-Jaccard ≥ τ ground truth (the pair set
+    * dedup_ngram_jaccard computes). SimHash's hamming threshold is a
+    * different similarity than Jaccard, so neither metric is 1 by
+    * construction — this is the tuning number (bands / bits / hamming
+    * radius) a pipeline owner actually watches. Both pipelines are
+    * deterministic, so the entire evaluation sits under the hash gate;
+    * ratios are exact-integer millionths (one DIV), zero-guarded.
+    *
+    * Scale: the two pair pipelines keep their own (bucketed, never
+    * all-pairs) shapes; the comparison adds one equi-join on the pair
+    * key plus three scalar aggregates.
+    */
+  private val dedupRecall = Q(
+    "dedup_recall",
+    (s, dir) => {
+      val t = ngramJaccard.fn(s, dir).select("a_id", "b_id")
+      val f = simhash.fn(s, dir).select("a_id", "b_id")
+      val nt = t.agg(count(lit(1)).as("n_truth"))
+      val nf = f.agg(count(lit(1)).as("n_found"))
+      val nc = t.join(f, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_correct"))
+      nt.crossJoin(broadcast(nf)).crossJoin(broadcast(nc))
+        .select(col("n_truth"), col("n_found"), col("n_correct"),
+          when(col("n_found") === 0, lit(0L))
+            .otherwise(expr("n_correct * 1000000 DIV n_found"))
+            .as("precision_micro"),
+          when(col("n_truth") === 0, lit(0L))
+            .otherwise(expr("n_correct * 1000000 DIV n_truth"))
+            .as("recall_micro"))
+    },
+    Some(s"""SELECT n_truth, n_found, n_correct,
+      (CASE WHEN n_found = 0 THEN 0
+            ELSE n_correct * 1000000 // n_found END)::BIGINT
+        AS precision_micro,
+      (CASE WHEN n_truth = 0 THEN 0
+            ELSE n_correct * 1000000 // n_truth END)::BIGINT
+        AS recall_micro
+    FROM (SELECT COUNT(*)::BIGINT AS n_truth
+        FROM (${ngramJaccard.oracle.get}) tq),
+      (SELECT COUNT(*)::BIGINT AS n_found
+        FROM (${simhash.oracle.get}) fq),
+      (SELECT COUNT(*)::BIGINT AS n_correct
+        FROM (${ngramJaccard.oracle.get}) t2
+        JOIN (${simhash.oracle.get}) f2 USING (a_id, b_id))"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
-      embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup)
+      embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
+      splitDedup, dedupRecall)
 }
