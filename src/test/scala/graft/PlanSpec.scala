@@ -80,8 +80,13 @@ class PlanSpec extends SparkSpec {
     "pipeline_prepare",    // same, via the shared jaccardPairs
     "corpus_mix",          // broadcast 1-row binding-lang (am, wm) entry
     "emb_standardize",     // broadcast 1-row collapsed moment table
+    "emb_covariance",      // d-row x d-row (i <= j) pair lookup table
     "emb_pca_power",       // broadcast 1-row max-|component| normalizer
+    "emb_pca_project",     // same broadcast normalizer via powerIterate
     "text_ppl_bucket",     // broadcast 1-row corpus-count aggregate
+    "text_rank_bm25",      // broadcast 1-row (N, avgdl) corpus scalars
+    "sample_temperature",  // broadcast 1-row total / sum-of-weights scalars
+    "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
     "text_classify_centroid") // broadcast L-row class table (scoring grid)
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
