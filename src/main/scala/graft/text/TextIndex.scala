@@ -262,5 +262,52 @@ object TextIndex {
     GROUP BY doc_id HAVING COUNT(*) = ${QUERY_TERMS.distinct.size}
     ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(search, searchRanked)
+  // ---------------------------------------------------- text_search_phrase
+  private[graft] val PHRASE = Seq("value", "table")
+
+  /** Exact PHRASE search over the persisted index — the candidates-then-
+    * verify recipe every positions-free inverted index runs (Lucene
+    * without term positions; the index stays (term, doc_id, tf)):
+    * candidate docs come from the AND-of-terms index read (the same
+    * DPP-pruned postings scan as [[search]] — a phrase can only occur
+    * where every word occurs), then ONLY those docs are re-read for the
+    * adjacency verify, counting exact phrase occurrences via the
+    * non-distinct bigram kernel (overlap-correct where substring
+    * counting is not). Output (doc_id, n_hits ≥ 1).
+    *
+    * Scale: the index read touches ≤ |phrase|/32 of the postings; the
+    * verify scan's join key is the thin candidate id set (AQE
+    * broadcast-sizes it — phrase candidates are a vanishing corpus
+    * fraction); the oracle computes the phrase count by direct full
+    * scan, so a green row proves candidates+verify ≡ the direct scan.
+    */
+  private val searchPhrase = Q(
+    "text_search_phrase",
+    (s, dir) => {
+      val idx = cachedIndex(s, dir)
+      val cand = queryTextIndex(s, idx, PHRASE).select("doc_id")
+      val bigrams = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")),
+          2, distinct = false))
+      Tables(s, dir, "documents")
+        .join(cand, "doc_id")
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .filter(col("g") === PHRASE.mkString(" "))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        for i in range(1, greatest(len(w), 1))]) AS g
+      FROM d)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+    FROM g WHERE g = '${PHRASE.mkString(" ")}'
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(search, searchRanked, searchPhrase)
 }
