@@ -96,5 +96,61 @@ object Decontam {
     LEFT JOIN h USING (doc_id)
     ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(decontam)
+  // ---------------------------------------------------- decontam_embedding
+  /** SEMANTIC benchmark decontamination — the embedding-space complement
+    * of the n-gram rule (paraphrased eval material shares no 5-gram but
+    * sits next to the benchmark in embedding space; the contamination
+    * analog of SemDeDup's observation): a training vector is flagged
+    * when its max cosine to ANY benchmark vector reaches τ, reporting
+    * the nearest benchmark id as evidence. Benchmark = a deterministic
+    * id-residue slice of the embeddings table (both engines state it
+    * identically), the stand-in for the eval suite's embedded items.
+    *
+    * Scale: the benchmark side is small by construction (eval suites),
+    * so it broadcasts against one corpus scan — the knn_bruteforce
+    * shape: |corpus|×|bench| scored in the projection, immediately
+    * thinned by the per-vector top-1 window (partial WindowGroupLimit).
+    * Cosines use the sequential-fold kernel, bit-equal to DuckDB's
+    * list_cosine_similarity; ordering and the τ test both use the
+    * ROUNDED value so the tie-break is cross-engine stable.
+    */
+  private val BENCH_MOD = 50L
+  private val BENCH_RES = 3L
+  private val EMB_TAU = 0.4
+
+  private val decontamEmb = Q(
+    "decontam_embedding",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+      val bench = e.filter(col("vec_id") % BENCH_MOD === BENCH_RES)
+        .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+      val train = e.filter(col("vec_id") % BENCH_MOD =!= BENCH_RES)
+      val cos = round(graft.functions.CosineSim.cosineSim(
+        col("v"), col("bv")), 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(cos.desc, col("bench_id"))
+      train.crossJoin(broadcast(bench))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bench_id").as("best_bench_id"),
+          cos.as("cosine"), (cos >= EMB_TAU).as("is_contaminated"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    b AS (SELECT vec_id AS bench_id, v AS bv FROM e
+      WHERE vec_id % $BENCH_MOD = $BENCH_RES),
+    t AS (SELECT * FROM e WHERE vec_id % $BENCH_MOD <> $BENCH_RES),
+    sc AS (SELECT t.vec_id, b.bench_id,
+        round(list_cosine_similarity(t.v, b.bv), 6) AS cos
+      FROM t, b),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY cos DESC, bench_id) AS rn FROM sc)
+    SELECT vec_id, bench_id AS best_bench_id, cos AS cosine,
+      cos >= $EMB_TAU AS is_contaminated
+    FROM r WHERE rn = 1 ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(decontam, decontamEmb)
 }
