@@ -29,7 +29,8 @@ object SparkEntry {
       text.Decontam.all ++ text.Packing.all ++ text.Bpe.all ++
       text.Classify.all ++
       text.TextIndex.all ++
-      text.Pipelines.all ++ dedup.Dedup.all ++ sim.Knn.all ++ sim.Pq.all ++
+      text.Pipelines.all ++ dedup.Dedup.all ++ dedup.Overlap.all ++
+      sim.Knn.all ++ sim.Pq.all ++
       sim.Quantize.all ++ sim.SemDedup.all ++ multimodal.Multimodal.all ++
       handler.HandlerQueries.all
 

@@ -516,7 +516,70 @@ object Quantize {
     FROM comp JOIN vt USING (i)
     GROUP BY vec_id ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------- emb_outliers
+  /** Top-K embedding outliers by squared L2 distance to the corpus
+    * centroid — the embedding-space corpus-QA pass (mislabeled media,
+    * encoder failures, and off-distribution injections all surface as
+    * centroid outliers before any clustering runs).
+    *
+    * Exactness: avoid the centroid division entirely — with per-dim
+    * micro sums s_d over n vectors, `Σ_d (n·m_d − s_d)²` is an exact
+    * integer equal to `n²·10¹²` times the real squared distance, and the
+    * real value is recovered with ONE cast-and-divide (the emb_stats
+    * variance argument, applied per vector). Order-independent decimal
+    * sums ⇒ bit-identical across engines and any partitioning. Headroom:
+    * (n·2·10⁶)²·d stays inside DECIMAL(38) to n ≈ 10⁹ vectors at d=64.
+    *
+    * Scale: components explode map-side; the d-row moment table
+    * broadcasts back; partial aggregation collapses each vector's d
+    * terms before the one thin n-row vec_id exchange; top-K plans as
+    * TakeOrdered. The corpus-touching lineage runs twice (moments +
+    * distances) — at 100 TB the caller materializes `comp` once via
+    * [[graft.Checkpoint]] exactly like the text posting streams.
+    */
+  private val OUTLIER_K = 50
+
+  private val outliers = Q(
+    "emb_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val comp = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("d0", "x")))
+        .select(col("vec_id"), (col("d0") + 1).cast("long").as("dim_idx"),
+          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+            .cast(dec).as("m"))
+      val st = comp.groupBy("dim_idx")
+        .agg(count(lit(1)).as("n"), sum("m").cast(dec).as("s"))
+      comp.join(broadcast(st), "dim_idx")
+        .withColumn("diff", (col("n").cast(dec) * col("m") - col("s"))
+          .cast(dec))
+        .groupBy("vec_id")
+        .agg(sum((col("diff") * col("diff")).cast(dec)).cast(dec).as("num"),
+          max(col("n")).as("n"))
+        .select(col("vec_id"), (col("num").cast("double") /
+          ((col("n") * col("n")).cast("double") * lit(1.0e12))).as("dist2"))
+        .orderBy(col("dist2").desc, col("vec_id"))
+        .limit(OUTLIER_K)
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    comp AS (
+      SELECT vec_id, u.s.i AS dim_idx,
+        (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
+      FROM e, UNNEST([struct_pack(i := i::BIGINT, x := v[i])
+          for i in range(1, len(v) + 1)]) u(s)),
+    st AS (SELECT dim_idx, COUNT(*) AS n, SUM(m) AS s
+      FROM comp GROUP BY dim_idx),
+    d AS (
+      SELECT vec_id,
+        SUM((st.n * m - st.s) * (st.n * m - st.s)) AS num, MAX(st.n) AS n
+      FROM comp JOIN st USING (dim_idx) GROUP BY vec_id)
+    SELECT vec_id, CAST(num AS DOUBLE) / (CAST(n * n AS DOUBLE) * 1e12)
+      AS dist2
+    FROM d ORDER BY dist2 DESC, vec_id LIMIT $OUTLIER_K"""))
+
   val all: Seq[Q] =
     Seq(quantize, stats, standardize, project, covariance, pcaPower,
-      pcaProject)
+      pcaProject, outliers)
 }

@@ -88,6 +88,7 @@ class PlanSpec extends SparkSpec {
     "sample_temperature",  // broadcast 1-row total / sum-of-weights scalars
     "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
     "decontam_embedding",  // broadcast benchmark vectors vs corpus scan
+    "corpus_overlap",      // |sources|-row grid (a < b) pair table
     "text_classify_centroid") // broadcast L-row class table (scoring grid)
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
