@@ -1139,8 +1139,56 @@ object Dedup {
         FROM (${ngramJaccard.oracle.get}) t2
         JOIN (${simhash.oracle.get}) f2 USING (a_id, b_id))"""))
 
+  // ---------------------------------------------------- text_gram_novelty
+  /** Per-document n-gram NOVELTY — the diversity complement of the dedup
+    * suite (same shingle stream, opposite question): what fraction of a
+    * doc's distinct shingles appear in NO other document? Low novelty =
+    * boilerplate/templated mass the near-dup detectors are about to find;
+    * corpus-level novelty decay over ingest batches is the standard
+    * "are we scraping the same web again" curation dashboard number.
+    *
+    * Scale: reuses the checkpointed [[docShingles]] frame; df is one
+    * map-side-combined count on the shingle key, the probe is the same
+    * equi-join every dedup op here makes — both sides shuffle on the
+    * shingle, never doc×doc. Ratio is exact floor-millionths; shingle-free
+    * docs (<K tokens) report -1, not a 0/0.
+    */
+  private val gramNovelty = Q(
+    "text_gram_novelty",
+    (s, dir) => {
+      val ex = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      val dfs = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val agg = ex.join(dfs, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      Tables(s, dir, "documents").select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty_micro", expr(
+          "CASE WHEN n_grams = 0 THEN -1L " +
+            "ELSE n_novel * 1000000 DIV n_grams END"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $sqlShingleCte,
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    dfs AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+    ag AS (SELECT ex.doc_id AS doc_id, COUNT(*) AS n_grams,
+        SUM(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      FROM ex JOIN dfs USING (g) GROUP BY doc_id)
+    SELECT d0.doc_id, COALESCE(n_grams, 0) AS n_grams,
+      COALESCE(n_novel, 0) AS n_novel,
+      CASE WHEN COALESCE(n_grams, 0) = 0 THEN -1
+           ELSE (COALESCE(n_novel, 0) * 1000000) // n_grams END
+        AS novelty_micro
+    FROM documents d0 LEFT JOIN ag ON d0.doc_id = ag.doc_id
+    ORDER BY d0.doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
-      splitDedup, dedupRecall)
+      splitDedup, dedupRecall, gramNovelty)
 }

@@ -256,5 +256,36 @@ object Multimodal {
       md5(frame) AS frame_md5
     FROM f ORDER BY frame_id"""))
 
-  val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames)
+  /** The typed resize path under the oracle gate — the last of the four
+    * stub stages (decode / feature-extract / frame-sample / RESIZE) to
+    * get a hash-gated row: documents → `Dataset[MediaRecord]` →
+    * [[resize]] to a 16×16 target (payload prefix-truncated to ≤256
+    * bytes, metadata rewritten) → per-record byte length + digest on the
+    * codegen builtin `md5` after the typed boundary (the mm_dedup
+    * lesson). ASCII corpus ⇒ DuckDB mirrors the byte truncation with
+    * string `substr` exactly (the mm_feature_hist argument).
+    */
+  private val RESIZE_W = 16
+  private val RESIZE_H = 16
+
+  private val resized = Q(
+    "mm_resize",
+    (s, dir) => {
+      val r = resize(mediaFromDocuments(s, dir), RESIZE_W, RESIZE_H)
+      r.toDF()
+        .select(col("mediaId").as("media_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
+    },
+    Some(s"""SELECT doc_id AS media_id,
+      octet_length(encode(substr(text, 1,
+        LEAST(length(text), ${RESIZE_W * RESIZE_H}))))::BIGINT AS n_bytes,
+      md5(substr(text, 1, LEAST(length(text), ${RESIZE_W * RESIZE_H})))
+        AS payload_md5,
+      $RESIZE_W AS width, $RESIZE_H AS height
+    FROM documents ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized)
 }

@@ -698,26 +698,27 @@ object Knn {
     * aggregation order — the kmeans_train fixed-round-iteration
     * precedent applied to a graph fixpoint.
     *
-    * Scale: the edge list (n·k thin rows) is checkpointed once; each
-    * round is one join of the (id, pr) frame with the degree table and
-    * one map-side-combined sum keyed by neighbor — the standard
-    * distributed PageRank shape, no driver-side state.
+    * Scale: the degree-annotated edge list (n·k thin (u, v_id, d) rows)
+    * is checkpointed once; each round is ONE join of the (id, pr) frame
+    * against it plus one map-side-combined sum keyed by neighbor — the
+    * standard distributed PageRank shape, no driver-side state.
     */
   private val PR_ROUNDS = 3
 
   private val pagerank = Q(
     "graph_pagerank",
     (s, dir) => {
-      val edges = knnGraph(s, dir)
+      val e0 = knnGraph(s, dir)
         .select(col("query_id").as("u"), col("neighbor_id").as("v_id"))
-        .transform(graft.Checkpoint.of)
-      val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      val deg = e0.groupBy("u").agg(count(lit(1)).as("d"))
+      // static (u, v_id, d) — the per-round loop then needs ONE join
+      // (pr on u) instead of pr⋈deg followed by ⋈edges
+      val edges = e0.join(deg, "u").transform(graft.Checkpoint.of)
       val nodes = emb(s, dir).select("vec_id")
       val last = (1 to PR_ROUNDS).foldLeft(
           nodes.withColumn("pr", lit(1000000L))) { (pr, _) =>
-        val contrib = pr.join(deg, pr("vec_id") === deg("u"))
-          .select(col("u"), expr("pr DIV d").as("c"))
-          .join(edges, "u")
+        val contrib = pr.join(edges, pr("vec_id") === edges("u"))
+          .select(expr("pr DIV d").as("c"), col("v_id"))
           .groupBy(col("v_id").as("vec_id"))
           .agg(sum("c").as("contrib"))
         nodes.join(contrib, Seq("vec_id"), "left")

@@ -250,6 +250,21 @@ object Streaming {
       out(graft.text.Decontam.flags(batch, grams))
   }
 
+  /** Streaming PII scrubbing — the online mirror of the batch
+    * `text_pii_scrub` stage for a corpus arriving as a stream (the
+    * Dolma/RefinedWeb ingest loop scrubs BEFORE anything else persists
+    * the text): per micro-batch, one [[graft.functions.PiiScrub]]
+    * codegen kernel call per row via the SHARED
+    * [[graft.text.TextOps.piiScrubFlags]] projection. Stateless and
+    * shuffle-free by construction — redaction has no cross-document
+    * state — so any corpus slicing into micro-batches yields exactly
+    * the batch rows (asserted in StreamingSpec), and the 100 TB posture
+    * is identical to the batch query: map-only, zero exchanges.
+    */
+  def piiScrubSink(out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      out(graft.text.TextOps.piiScrubFlags(batch))
+
   /** Streaming backward as-of enrichment — the online mirror of the
     * native [[graft.plans.AsofJoinExec]]: every click picks up the
     * latest prior-or-equal purchase of the same user. Per-user state is

@@ -694,32 +694,45 @@ object TextOps {
     * hashes the scrubbed TEXT, not just the counts, so any semantic
     * divergence between the engines' regex dialects would fail the row.
     */
+  /** The deterministic PII injection over (doc_id, text) — shared by the
+    * batch query and StreamingSpec's stream feed, so the two can never
+    * drift apart. See the text_pii_scrub docstring for the forms.
+    */
+  def piiInjected(docs: DataFrame): DataFrame = {
+    val injected = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact john.doe+spam"),
+          col("doc_id").cast("string"),
+          lit("@mail.example-host.org or (555) 123-4567 now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" server 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (expr("doc_id DIV 7") % 256).cast("string"),
+          lit(" gw [172.16.254.1] peer 555.867.5309 dialed" +
+            " +1 650 253 0000")))
+      .otherwise(concat(col("text"),
+        lit(" clean: ver 1.2.3 build 1234 mailto a@b nope 12.34.56 end")))
+    docs.select(col("doc_id"), injected.as("text"))
+  }
+
+  /** The ONE-kernel scrub projection over (doc_id, text) — shared by the
+    * batch query and [[graft.streaming.Streaming.piiScrubSink]] (stateless,
+    * so any micro-batch slicing equals the batch rows exactly).
+    */
+  def piiScrubFlags(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
+      graft.functions.PiiScrub(org.apache.spark.sql.graft.Shim
+        .expression(col("text")))).as("p"))
+    .select(col("doc_id"),
+      col("p.scrubbed").as("scrubbed"),
+      col("p.n_emails").as("n_emails"),
+      col("p.n_ips").as("n_ips"),
+      col("p.n_phones").as("n_phones"))
+
   private val piiScrub = Q(
     "text_pii_scrub",
-    (s, dir) => {
-      val injected = when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" contact john.doe+spam"),
-            col("doc_id").cast("string"),
-            lit("@mail.example-host.org or (555) 123-4567 now")))
-        .when(col("doc_id") % 3 === 1,
-          concat(col("text"), lit(" server 10."),
-            (col("doc_id") % 256).cast("string"), lit(".0."),
-            (expr("doc_id DIV 7") % 256).cast("string"),
-            lit(" gw [172.16.254.1] peer 555.867.5309 dialed" +
-              " +1 650 253 0000")))
-        .otherwise(concat(col("text"),
-          lit(" clean: ver 1.2.3 build 1234 mailto a@b nope 12.34.56 end")))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), org.apache.spark.sql.graft.Shim.column(
-          graft.functions.PiiScrub(org.apache.spark.sql.graft.Shim
-            .expression(injected))).as("p"))
-        .select(col("doc_id"),
-          col("p.scrubbed").as("scrubbed"),
-          col("p.n_emails").as("n_emails"),
-          col("p.n_ips").as("n_ips"),
-          col("p.n_phones").as("n_phones"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      piiScrubFlags(piiInjected(Tables(s, dir, "documents")))
+        .orderBy("doc_id"),
     Some {
       val e = graft.functions.TextKernels.EMAIL_RE
       val i = graft.functions.TextKernels.IP_RE

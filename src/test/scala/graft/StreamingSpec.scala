@@ -435,6 +435,35 @@ class StreamingSpec extends SparkSpec {
       "streamed flags must equal the batch decontam_ngram rows")
   }
 
+  test("streaming PII scrub equals the batch rows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = text.TextOps.piiInjected(Tables(spark, sfDir, "documents"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val got = scala.collection.mutable.Map[Long, (String, Long, Long, Long)]()
+    val sink = Streaming.piiScrubSink { out =>
+      out.collect().foreach(r => got(r.getLong(0)) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      val n = docs.length
+      Seq(docs.slice(0, n / 3), docs.slice(n / 3, 2 * n / 3),
+        docs.slice(2 * n / 3, n)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = SparkEntry.queries("text_pii_scrub")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.toMap == want,
+      "streamed scrubs must equal the batch text_pii_scrub rows")
+  }
+
   test("minhashDedupSink replays a micro-batch idempotently") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_ndsr").toString
