@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -1187,8 +1188,223 @@ object Dedup {
     FROM documents d0 LEFT JOIN ag ON d0.doc_id = ag.doc_id
     ORDER BY d0.doc_id"""))
 
+  // ---------------------------------------------------- dedup_containment
+  /** Asymmetric CONTAINMENT pairs — `C(a⊂b) = |Sa∩Sb| / |Sa|` over the
+    * same shingle sets the jaccard suite uses. Jaccard misses the
+    * sub-document case on purpose (a page quoted whole inside a longer
+    * page has low jaccard but containment ≈ 1); crawl pipelines run both
+    * (Broder's original resemblance/containment pair). Emits BOTH
+    * orientations (src_id, dst_id) with floor-millionths containment
+    * ≥ [[CONT_MICRO]].
+    *
+    * Scale and exactness: see [[containmentPairs]] — the count-based
+    * df-capped postings shape of [[jaccardPairs]], arrays touched only
+    * in the V>0 bracket-verify branch. The all-pairs oracle proves
+    * candidate recall is exact at every test SF (V = 0).
+    */
+  val CONT_MICRO = 900000L
+
+  /** Containment pairs over a (doc_id, sh, nsh) shingle frame: both
+    * orientations (src_id, dst_id, containment_micro) with
+    * floor-millionths `|Ssrc∩Sdst| / |Ssrc| ≥ tauMicro`.
+    *
+    * Same COUNT-based shape as [[jaccardPairs]] (an earlier array-verify
+    * form joined both full shingle arrays to every candidate pair —
+    * 4× slower at sf0.1): the df-capped postings self-join yields each
+    * pair's exact intersection count over kept shingles, both
+    * orientations explode from that ONE count (a fwd/rev union would
+    * re-run the candidate lineage per branch), and arrays are touched
+    * only in the V>0 verify branch. With V distinct dropped viral
+    * shingles, the true intersection is ≤ inter+V and ≤ min(na,nb), so
+    * a pair whose best-case orientation `inter_high/min(na,nb)` misses
+    * τ is rejected exactly; survivors verify on the full arrays. V=0 at
+    * every test SF ⇒ the verify branch receives zero rows, and the
+    * all-pairs oracle proves candidate recall. Same documented
+    * boilerplate-only recall edge as [[jaccardPairs]].
+    */
+  def containmentPairs(shingleTable: DataFrame, tauMicro: Long,
+      dfCap: Int = DEFAULT_DF_CAP): DataFrame = {
+    require(dfCap >= 2,
+      s"dfCap must be >= 2 to ever pair documents, got $dfCap")
+    val ex = shingleTable
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("sh"))
+    val kept = ex.join(ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap)).select("sh"), "sh")
+    val a = kept.select(col("doc_id").as("a_id"), col("nsh").as("na"),
+      col("sh"))
+    val b = kept.select(col("doc_id").as("b_id"), col("nsh").as("nb"),
+      col("sh"))
+    val counted = a.join(b, "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).cast("long").as("inter"))
+    // structurally identical to the df aggregate feeding `kept` — the
+    // planner shares ONE exchange between them (ReusedExchange)
+    val nViral = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(when(col("df") > dfCap, 1L).otherwise(0L)),
+        lit(0L)).as("n_viral"))
+    val bracketed = counted.crossJoin(broadcast(nViral))
+    def orientations(pairs: DataFrame): DataFrame = pairs
+      .select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          expr("inter * 1000000 DIV na").as("containment_micro")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          expr("inter * 1000000 DIV nb").as("containment_micro"))))
+        .as("o"))
+      .select(col("o.src_id"), col("o.dst_id"), col("o.containment_micro"))
+      .filter(col("containment_micro") >= tauMicro)
+    val certain = orientations(bracketed.filter(col("n_viral") === 0L))
+    val uncertain = bracketed.filter(col("n_viral") > 0L)
+      .withColumn("inter_high",
+        least(col("inter") + col("n_viral"), least(col("na"), col("nb"))))
+      .filter(expr(s"inter_high * 1000000 DIV least(na, nb) >= $tauMicro"))
+      .select("a_id", "b_id")
+    val verified = orientations(uncertain
+      .join(shingleTable.select(col("doc_id").as("a_id"),
+        col("sh").as("sha"), col("nsh").as("na")), "a_id")
+      .join(shingleTable.select(col("doc_id").as("b_id"),
+        col("sh").as("shb"), col("nsh").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long")))
+    certain.unionByName(verified)
+  }
+
+  private val containment = Q(
+    "dedup_containment",
+    (s, dir) =>
+      containmentPairs(docShingles(s, dir), CONT_MICRO)
+        .orderBy("src_id", "dst_id"),
+    Some(s"""WITH $sqlShingleCte
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+      (len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh))::BIGINT
+        AS containment_micro
+    FROM s a, s b
+    WHERE a.doc_id <> b.doc_id AND len(a.sh) >= 1
+      AND len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh)
+        >= $CONT_MICRO
+    ORDER BY src_id, dst_id"""))
+
+  // ------------------------------------------------------ dedup_keep_best
+  /** Quality-priority canonical selection — the KEEP rule a production
+    * dedup actually applies. [[clusters]] answers "which docs are
+    * together"; this answers "which one survives": per near-dup cluster
+    * keep the member with the MOST tokens (C4/RefinedWeb keep-longest —
+    * near-dup clusters are truncations and excerpts of one source, the
+    * longest member is the least-clipped copy), doc_id ascending as the
+    * deterministic tie-break. Singletons keep themselves.
+    *
+    * Scale: reuses the verified-pair + connected-components machinery
+    * (thin (id, label) longs per round); the keep decision adds one
+    * token-count projection (codegen [[TextOps.tokens]], map-only) and a
+    * row_number window keyed by cluster_id over thin (cluster_id,
+    * n_tokens, doc_id) rows — near-dup clusters are small (star-shaped
+    * template families), so no skewed window partition. The oracle
+    * recomputes the closure from ground-truth exact-jaccard pairs, so a
+    * green row proves pair recall, the component fixpoint, AND the
+    * argmax rule in one gate.
+    */
+  private val keepBest = Q(
+    "dedup_keep_best",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val labels = connectedComponents(pairs)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(labels.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          col("n_tokens"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlShingleCte,
+    p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= $TAU),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    cmin AS (SELECT u AS doc_id, MIN(v) AS m FROM reach GROUP BY u),
+    tk AS (SELECT d2.doc_id,
+        COALESCE(LEAST(c.m, d2.doc_id), d2.doc_id) AS cluster_id,
+        len(list_filter(string_split(d2.text,' '), w -> w <> ''))::BIGINT
+          AS n_tokens
+      FROM documents d2 LEFT JOIN cmin c ON d2.doc_id = c.doc_id)
+    SELECT doc_id, cluster_id, n_tokens,
+      (row_number() OVER (PARTITION BY cluster_id
+        ORDER BY n_tokens DESC, doc_id) = 1) AS keep
+    FROM tk ORDER BY doc_id"""))
+
+  // -------------------------------------------------------- dedup_weights
+  /** SOFT dedup — downweight duplicates instead of dropping them: every
+    * member of an n-doc near-dup cluster trains at weight 1/n (floor
+    * millionths), so each piece of CONTENT contributes one unit of
+    * training mass regardless of how many times it was crawled. The
+    * softer alternative pipelines reach for when hard dedup costs too
+    * much tail diversity (repeated-content downweighting; the
+    * sample_quality_weighted machinery consumes these as priors).
+    *
+    * Scale: same verified-pair + connected-components machinery as
+    * [[clusters]]/[[keepBest]]; the weight adds one map-side-combined
+    * count on cluster_id and a broadcast-able join back. Weights are
+    * exact integer millionths — Σ weight over a cluster recovers ~10⁶
+    * (up to floor), auditable in-plan.
+    */
+  private val weights = Q(
+    "dedup_weights",
+    (s, dir) => {
+      val pairs = minhashPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val labels = connectedComponents(pairs)
+      val assigned = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val sizes = assigned.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      assigned.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          expr("1000000 DIV cluster_size").as("weight_micro"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlShingleCte,
+    p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= $TAU),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    cmin AS (SELECT u AS doc_id, MIN(v) AS m FROM reach GROUP BY u),
+    asg AS (SELECT d2.doc_id,
+        COALESCE(LEAST(c.m, d2.doc_id), d2.doc_id) AS cluster_id
+      FROM documents d2 LEFT JOIN cmin c ON d2.doc_id = c.doc_id),
+    sz AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+      FROM asg GROUP BY cluster_id)
+    SELECT doc_id, asg.cluster_id, cluster_size,
+      (1000000 // cluster_size)::BIGINT AS weight_micro
+    FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id
+    ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
-      splitDedup, dedupRecall, gramNovelty)
+      splitDedup, dedupRecall, gramNovelty, containment, keepBest, weights)
 }

@@ -57,6 +57,45 @@ object Knn {
       FROM q, e WHERE query_id <> e.vec_id)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
+  // ---------------------------------------------------------- knn_radius
+  /** RADIUS (range) search — the other half of the vector-search API
+    * surface: not "the k nearest" but "EVERYTHING within similarity τ"
+    * (retrieval recall floors, near-dup audits around a probe vector,
+    * density queries). Same broadcast-queries-vs-one-corpus-pass shape
+    * as [[bruteforce]], but the per-query window disappears entirely —
+    * the τ predicate filters INSIDE the scan projection, so the plan is
+    * map-only codegen with zero exchange before the output sort, and
+    * result size is data-dependent (that's the operator's contract).
+    *
+    * The τ comparison is on the RAW cosine: both engines hold
+    * bit-identical doubles (sequential-fold kernel both sides), so the
+    * boundary decision is exact — rounding first would only blur it.
+    */
+  private val RAD_TAU = 0.3
+
+  private val radius = Q(
+    "knn_radius",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val cos = cosineSim(col("qv"), col("v"))
+      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .filter(cos >= RAD_TAU)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cos, 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < $NQ)
+    SELECT query_id, e.vec_id AS neighbor_id,
+      round(list_cosine_similarity(qv, e.v), 6) AS cosine
+    FROM q, e
+    WHERE query_id <> e.vec_id
+      AND list_cosine_similarity(qv, e.v) >= $RAD_TAU
+    ORDER BY query_id, neighbor_id"""))
+
   // -------------------------------------------------------------- knn_lsh
   /** Random-hyperplane LSH: 16 tables × 6-bit signatures from a fixed
     * seeded hyperplane bank (deterministic across runs/executors — the
@@ -730,17 +769,6 @@ object Knn {
       last.orderBy("vec_id")
     },
     Some {
-      val edgeCte = s"""edges AS (
-      SELECT query_id AS u, neighbor_id AS v_id FROM (
-        SELECT p.query_id, a.vec_id AS neighbor_id,
-          row_number() OVER (PARTITION BY p.query_id
-            ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
-              a.vec_id) AS rank
-        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-        WHERE p.query_id <> a.vec_id)
-      WHERE rank <= $JOIN_K),
-    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
-    pr0 AS (SELECT vec_id, 1000000::BIGINT AS pr FROM e)"""
       val roundCtes = (1 to PR_ROUNDS).map { r =>
         s"""pr$r AS (
       SELECT n.vec_id,
@@ -752,7 +780,18 @@ object Knn {
       LEFT JOIN deg d ON d.u = ed.u
       GROUP BY n.vec_id)"""
       }.mkString(",\n    ")
-      s"""WITH e AS (
+      s"""WITH $sqlKnnEdgesCte,
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    pr0 AS (SELECT vec_id, 1000000::BIGINT AS pr FROM e),
+    $roundCtes
+    SELECT vec_id, pr FROM pr$PR_ROUNDS ORDER BY vec_id"""})
+
+  /** The knn-graph edge list as a DuckDB CTE chain (`e` … `edges`) —
+    * the shared oracle prefix of graph_pagerank / graph_triangles,
+    * mirroring [[knnGraph]]'s directed top-[[JOIN_K]] edges exactly.
+    */
+  private def sqlKnnEdgesCte: String =
+    s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
@@ -774,9 +813,87 @@ object Knn {
             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
             AS rk
         FROM e, c2 c) WHERE rk <= $NPROBE),
-    $edgeCte,
-    $roundCtes
-    SELECT vec_id, pr FROM pr$PR_ROUNDS ORDER BY vec_id"""})
+    edges AS (
+      SELECT query_id AS u, neighbor_id AS v_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+              a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE p.query_id <> a.vec_id)
+      WHERE rank <= $JOIN_K)"""
+
+  // -------------------------------------------------------- graph_triangles
+  /** Per-node TRIANGLE COUNT + degree over the undirected kNN graph —
+    * the local-density signal next to [[pagerank]]'s centrality: a
+    * node whose neighbors also neighbor each other sits inside a tight
+    * near-dup/topic cluster (its local clustering coefficient
+    * 2T/(d(d−1)) follows from these two integers); triangle-free
+    * spokes are the corpus's genuinely isolated points. Classic
+    * distributed triangle counting (Suri & Vassilvitskii's MapReduce
+    * formulation) as three self-equi-joins on the ORDERED edge list
+    * (u < v), so each triangle {a<b<c} materializes exactly once from
+    * (a,b)⋈(b,c)⋈(a,c).
+    *
+    * Scale: the undirected edge list is n·k thin long pairs,
+    * checkpointed once; the ab⋈bc join is keyed on the shared vertex
+    * (Σ deg² pair volume — bounded by k·n·k here since out-degree ≤ k)
+    * and the closing ac probe is another thin equi-join. Per-node
+    * roll-ups are map-side-combined counts. No arrays, no windows, no
+    * driver state.
+    */
+  private val triangleQ = Q(
+    "graph_triangles",
+    (s, dir) => {
+      val und = knnGraph(s, dir)
+        .select(least(col("query_id"), col("neighbor_id")).as("u"),
+          greatest(col("query_id"), col("neighbor_id")).as("v"))
+        .distinct()
+        .transform(graft.Checkpoint.of)
+      val deg = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val tri = und.as("ab")
+        .join(und.as("bc"), col("ab.v") === col("bc.u"))
+        .join(und.as("ac"),
+          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+        .select(col("ab.u").as("a"), col("ab.v").as("b"),
+          col("bc.v").as("c"))
+      val perNode = tri.select(col("a").as("node"))
+        .unionByName(tri.select(col("b").as("node")))
+        .unionByName(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+      emb(s, dir).select(col("vec_id"))
+        .join(deg.withColumnRenamed("node", "vec_id"), Seq("vec_id"),
+          "left")
+        .join(perNode.withColumnRenamed("node", "vec_id"), Seq("vec_id"),
+          "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $sqlKnnEdgesCte,
+    und AS (SELECT DISTINCT least(u, v_id) AS u, greatest(u, v_id) AS v
+      FROM edges),
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM und ab
+      JOIN und bc ON ab.v = bc.u
+      JOIN und ac ON ac.u = ab.u AND ac.v = bc.v),
+    deg AS (SELECT node, COUNT(*)::BIGINT AS degree FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY node),
+    tpn AS (SELECT node, COUNT(*)::BIGINT AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT e.vec_id, COALESCE(deg.degree, 0) AS degree,
+      COALESCE(tpn.triangles, 0) AS triangles
+    FROM e
+    LEFT JOIN deg ON deg.node = e.vec_id
+    LEFT JOIN tpn ON tpn.node = e.vec_id
+    ORDER BY e.vec_id"""))
 
   // ---------------------------------------------------- kmeans_train/assign
   /** The trained Lloyd codebook and its corpus assignment as first-class
@@ -890,6 +1007,6 @@ object Knn {
     FROM kk LEFT JOIN m ON kk.query_id = m.query_id
     ORDER BY kk.query_id"""))
 
-  val all: Seq[Q] = Seq(bruteforce, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, pagerank, kmeansTrain, kmeansAssign, recallQ)
+  val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
+    knnJoin, pagerank, triangleQ, kmeansTrain, kmeansAssign, recallQ)
 }

@@ -1075,7 +1075,48 @@ object TextOps {
     FROM sc GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT $BM25_K"""))
 
+  // --------------------------------------------------------- text_badwords
+  /** Blocklist screening — the lexicon-hit filter every crawl pipeline
+    * runs (C4's badwords list, Gopher's obscenity gate). [[BADWORDS]] is
+    * a 2-entry stand-in lexicon (this corpus has no real profanity —
+    * same convention as [[stopwords]]); the operator shape is the real
+    * one: per-doc hit counting via the codegen [[tokenMatchCount]]
+    * kernel (ONE pass over the text, the blocklist a hashed reference
+    * object — a production 10³-word list changes the constant, not the
+    * plan), flag = hit rate ≥ 5% stated in exact integer arithmetic
+    * (`n_flagged · 20 ≥ n_tokens`, no float threshold to drift).
+    *
+    * Scale: map-only projection, zero exchange before the output sort;
+    * the blocklist never joins — it compiles into the kernel.
+    */
+  val BADWORDS: Seq[String] = Seq("slow", "big")
+
+  private val badwordsSqlList: String =
+    BADWORDS.map(w => "'" + w.replace("'", "''") + "'").mkString(",")
+
+  private val badwords = Q(
+    "text_badwords",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          tokenMatchCount(col("text"), BADWORDS).cast("long")
+            .as("n_flagged"))
+        .withColumn("flagged",
+          col("n_tokens") > 0 && col("n_flagged") * 20 >= col("n_tokens"))
+        .orderBy("doc_id"),
+    Some(s"""WITH tk AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), w -> w <> ''))::BIGINT
+          AS n_tokens,
+        len(list_filter(string_split(text,' '),
+          w -> w IN ($badwordsSqlList)))::BIGINT AS n_flagged
+      FROM documents)
+    SELECT doc_id, n_tokens, n_flagged,
+      (n_tokens > 0 AND n_flagged * 20 >= n_tokens) AS flagged
+    FROM tk ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
-    piiScrub, pplBucket, lineDedup, htmlStrip, bm25)
+    piiScrub, pplBucket, lineDedup, htmlStrip, bm25, badwords)
 }

@@ -164,6 +164,86 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((false, None)), "no base match -> not flagged")
   }
 
+  test("containment covers every planted near-dup both ways; a strict " +
+      "sub-document flags ONE-way even at jaccard far below TAU") {
+    val cont = SparkEntry.queries("dedup_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // containment ≥ jaccard, so J ≥ 0.9 pairs must flag BOTH ways;
+    // lower-J near-dups (TAU=0.6) may legitimately fall under 0.9
+    val strong = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .collect().filter(_.getDouble(2) >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(strong.nonEmpty)
+    for ((a, b) <- strong) {
+      assert(cont.contains((a, b)) && cont.contains((b, a)),
+        s"J>=0.9 near-dup ($a,$b) must flag in both orientations")
+    }
+    cont.values.foreach(v =>
+      assert(v >= dedup.Dedup.CONT_MICRO && v <= 1000000L))
+    // constructed asymmetric case: doc 1 is a strict prefix of doc 2,
+    // whose long unique tail pushes jaccard well below TAU — exactly
+    // the sub-document overlap jaccard-based dedup cannot see
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta " +
+          (1 to 40).map(i => s"tail$i").mkString(" ")),
+        (3L, "unrelated tokens sharing nothing with either document")))
+      .toDF("doc_id", "text")
+    val st = docs.select(col("doc_id"),
+        dedup.Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val rows = dedup.Dedup.containmentPairs(st, dedup.Dedup.CONT_MICRO)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L, 1000000L)),
+      "prefix doc contained fully in the long doc, never the reverse, " +
+        "and the unrelated doc pairs with nothing")
+  }
+
+  test("keep_best keeps exactly one member per cluster — the longest, " +
+      "doc_id tie-broken — and agrees with dedup_clusters' assignment") {
+    val kb = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(kb.length == kb.map(_._1).distinct.length)
+    kb.groupBy(_._2).foreach { case (cid, rows) =>
+      val keeps = rows.filter(_._4)
+      assert(keeps.length == 1, s"cluster $cid must keep exactly one")
+      val best = rows.minBy(t => (-t._3, t._1))
+      assert(keeps.head._1 == best._1,
+        s"cluster $cid keeper must be the longest member (min-id ties)")
+    }
+    assert(kb.exists(t => !t._4), "planted dup clusters must drop members")
+    val cl = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kb.foreach { case (id, cid, _, _) =>
+      assert(cl(id) == cid, s"doc $id cluster differs from dedup_clusters")
+    }
+  }
+
+  test("soft-dedup weights: floor millionths of 1/cluster_size, sizes " +
+      "agree with dedup_clusters, cluster mass recovers ~1e6") {
+    val rows = SparkEntry.queries("dedup_weights")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clSizes = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(1)).groupBy(identity)
+      .map { case (c, xs) => c -> xs.length.toLong }
+    rows.foreach { case (id, cid, size, w) =>
+      assert(size == clSizes(cid), s"doc $id cluster size mismatch")
+      assert(w == 1000000L / size, s"doc $id weight not floor(1e6/n)")
+    }
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val mass = members.map(_._4).sum
+      val n = members.length
+      assert(n.toLong == members.head._3)
+      assert(mass <= 1000000L && mass > 1000000L - n,
+        s"cluster $cid mass $mass outside (1e6-n, 1e6]")
+    }
+    assert(rows.exists(_._3 > 1), "planted dup clusters must downweight")
+  }
+
   test("simhash drops token-less docs instead of pairing them at zero") {
     import org.apache.spark.sql.functions._
     // the oracle's unnest produces no tok rows for empty docs, so they

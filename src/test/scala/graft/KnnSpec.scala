@@ -138,6 +138,61 @@ class KnnSpec extends SparkSpec {
       "partial WindowGroupLimit keeps the window shuffle at O(n*k)")
   }
 
+  test("knn_radius == a driver-side exact range scan; consistent with " +
+      "the top-k baseline") {
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (q, qv) <- vecs.toSeq if q < 10
+      (x, xv) <- vecs.toSeq if x != q
+      c = cosine(qv, xv) if c >= 0.3
+    } yield (q, x)).toSet
+    val got = SparkEntry.queries("knn_radius")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == expected)
+    got.foreach { case (_, _, c) => assert(c >= 0.3 - 5e-7 && c <= 1.0) }
+    // every top-k hit at cosine ≥ τ must also be a radius hit
+    val topk = SparkEntry.queries("knn_bruteforce")(spark, sfDir)
+      .collect().filter(_.getDouble(3) >= 0.3 + 1e-6)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    topk.foreach(p => assert(expected(p), s"top-k pair $p missing"))
+  }
+
+  test("graph_triangles == a driver-side brute force over knn_join edges") {
+    val edges = SparkEntry.queries("knn_join")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val tri = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    // each triangle a<b<c counted once: edge (u,v) with u<v, closer w>v
+    for ((u, v) <- edges; w <- nbrs(u) & nbrs(v) if w > v) {
+      tri(u) += 1; tri(v) += 1; tri(w) += 1
+    }
+    val got = SparkEntry.queries("graph_triangles")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == Tables(spark, sfDir, "embeddings").count())
+    got.foreach { case (id, degree, t) =>
+      assert(degree == nbrs(id).size.toLong, s"degree mismatch at $id")
+      assert(t == tri(id), s"triangle count mismatch at $id")
+    }
+    assert(got.map(_._3).sum > 0, "the kNN graph must close some triangles")
+  }
+
   test("emb_stats: valid per-dimension moments over the full corpus") {
     val n = Tables(spark, sfDir, "embeddings").count()
     val rows = SparkEntry.queries("emb_stats")(spark, sfDir)

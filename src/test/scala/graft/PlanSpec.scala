@@ -65,6 +65,7 @@ class PlanSpec extends SparkSpec {
     */
   private val intendedNestedLoop = Set(
     "knn_bruteforce",   // broadcast query set vs corpus (no equi key exists)
+    "knn_radius",       // same broadcast query set, τ filter in the scan
     "knn_ivf",          // broadcast 16-centroid codebook
     "knn_ivf_quantized", // same broadcast codebook argmax as knn_ivf
     "knn_ivf_persisted", // same broadcast codebook (train + probe)
@@ -77,6 +78,7 @@ class PlanSpec extends SparkSpec {
     "sample_stratified", // broadcast 1-row min-source-count aggregate
     "text_tfidf",       // broadcast 1-row corpus-count aggregate
     "dedup_ngram_jaccard", // broadcast 1-row viral-shingle count (dfCap)
+    "dedup_containment",   // same broadcast 1-row viral-shingle count
     "pipeline_prepare",    // same, via the shared jaccardPairs
     "corpus_mix",          // broadcast 1-row binding-lang (am, wm) entry
     "emb_standardize",     // broadcast 1-row collapsed moment table

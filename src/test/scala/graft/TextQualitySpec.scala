@@ -95,6 +95,27 @@ class TextQualitySpec extends SparkSpec {
     assert(mean > 0.0 && mean < 0.9, s"mean OOV rate $mean")
   }
 
+  test("text_badwords: counts == a driver-side token scan; flag is " +
+      "exactly the 5% integer rule and splits the corpus") {
+    val lex = text.TextOps.BADWORDS.toSet
+    val raw = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        r.getLong(0) -> (toks.length.toLong, toks.count(lex).toLong)
+      }.toMap
+    val rows = SparkEntry.queries("text_badwords")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == raw.size)
+    rows.foreach { case (id, n, f, flagged) =>
+      assert((n, f) == raw(id), s"doc $id count mismatch")
+      assert(flagged == (n > 0 && f * 20 >= n), s"doc $id flag rule")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "the 5% threshold must separate docs at this lexicon density")
+  }
+
   test("text_ppl_bucket: distributed ntile == naive global sort; " +
       "head outranks tail") {
     val got = SparkEntry.queries("text_ppl_bucket")(spark, sfDir)
