@@ -579,7 +579,79 @@ object Quantize {
       AS dist2
     FROM d ORDER BY dist2 DESC, vec_id LIMIT $OUTLIER_K"""))
 
+  // -------------------------------------------------------------- emb_drift
+  /** Embedding-distribution DRIFT between the base corpus and an
+    * incoming slice — the monitor a pipeline reads before admitting a
+    * new crawl batch (encoder version skew, a scraper gone wrong, or a
+    * genuine domain shift all show up as per-dimension mean
+    * displacement). The slice convention is dedup_cross's: sources
+    * src0/src1 are the NEW batch, everything else is base.
+    *
+    * Exactness: per slice per dimension, Σ of round(x,6)-millionths in
+    * DECIMAL(38,0) (exact in any aggregation order — the emb_stats
+    * recipe), then each mean is ONE IEEE cast-and-divide and the drift
+    * is ONE IEEE subtraction of bit-identical doubles — shipped RAW
+    * (integer `DIV` would need floor/truncate agreement on negative
+    * sums; see CLAUDE.md). Scale: one corpus pass, map-side posexplode,
+    * the only exchange the d-key combined aggregate; the documents join
+    * is broadcast-able (thin id→source).
+    */
+  private val DRIFT_NEW = Seq("src0", "src1")
+
+  private val drift = Q(
+    "emb_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"),
+          col("source").isin(DRIFT_NEW: _*).as("is_new"))
+      val comp = emb(s, dir).join(src, "vec_id")
+        .select(posexplode(col("v")).as(Seq("d0", "x")), col("is_new"))
+        .select((col("d0") + 1).cast("long").as("dim_idx"), col("is_new"),
+          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+            .cast(dec).as("m"))
+      comp.groupBy("dim_idx")
+        .agg(
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(!col("is_new"), col("m")).otherwise(lit(0).cast(dec)))
+            .cast(dec).as("s_base"),
+          sum(when(col("is_new"), col("m")).otherwise(lit(0).cast(dec)))
+            .cast(dec).as("s_new"))
+        .select(col("dim_idx"), col("n_base"), col("n_new"),
+          (col("s_base").cast("double") / (col("n_base") * lit(1000000.0)))
+            .as("mean_base"),
+          (col("s_new").cast("double") / (col("n_new") * lit(1000000.0)))
+            .as("mean_new"))
+        .withColumn("drift", col("mean_new") - col("mean_base"))
+        .orderBy("dim_idx")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    comp AS (
+      SELECT u.s.i AS dim_idx,
+        d.source IN ('src0','src1') AS is_new,
+        (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
+      FROM e
+      JOIN documents d ON e.vec_id = d.doc_id,
+        UNNEST([struct_pack(i := i::BIGINT, x := v[i])
+          for i in range(1, len(v) + 1)]) u(s)),
+    st AS (
+      SELECT dim_idx,
+        SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS n_base,
+        SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        SUM(CASE WHEN NOT is_new THEN m ELSE 0 END) AS s_base,
+        SUM(CASE WHEN is_new THEN m ELSE 0 END) AS s_new
+      FROM comp GROUP BY dim_idx)
+    SELECT dim_idx, n_base, n_new,
+      CAST(s_base AS DOUBLE) / (n_base * 1000000.0) AS mean_base,
+      CAST(s_new AS DOUBLE) / (n_new * 1000000.0) AS mean_new,
+      CAST(s_new AS DOUBLE) / (n_new * 1000000.0)
+        - CAST(s_base AS DOUBLE) / (n_base * 1000000.0) AS drift
+    FROM st ORDER BY dim_idx"""))
+
   val all: Seq[Q] =
     Seq(quantize, stats, standardize, project, covariance, pcaPower,
-      pcaProject, outliers)
+      pcaProject, outliers, drift)
 }

@@ -327,6 +327,69 @@ object Sampling {
       (w_micro * 1000000 // sumw)::BIGINT AS q_micro
     FROM w CROSS JOIN s ORDER BY lang"""))
 
+  // -------------------------------------------------------- sample_budget
+  /** Token-BUDGET allocation — the table a training run is actually
+    * configured from (the mC4/Pile "mixing proportions" appendix):
+    * given the temperature-scaled weights ([[temperature]]'s α = 0.5
+    * chain, same sqrt-exact arithmetic) and a fixed training budget of
+    * [[BUDGET]] tokens, each language gets `alloc = budget·q DIV 10⁶`
+    * tokens, and `epochs_milli = alloc·1000 DIV available` says how
+    * many passes over that language's data the allocation implies —
+    * >1000 milli-epochs is upsampling (low-resource repetition), <1000
+    * is subsampling. Every step after the one blessed sqrt is integer
+    * floor arithmetic on non-negative values (truncate == floor).
+    *
+    * Scale: identical to sample_temperature — one map-side-combined
+    * lang aggregate, then |langs|-row arithmetic with two 1-row
+    * broadcast scalars.
+    */
+  private val BUDGET = 10000000L
+
+  private val budget = Q(
+    "sample_budget",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long")
+            .as("ntok"))
+      val langs = d.groupBy("lang").agg(sum("ntok").as("tokens"))
+      val tot = langs.agg(sum("tokens").as("total"))
+      val withP = langs.crossJoin(broadcast(tot))
+        .withColumn("p_micro", expr("tokens * 1000000 DIV total"))
+        .withColumn("w_micro",
+          floor(sqrt(col("p_micro").cast("double") / lit(1000000.0d))
+            * lit(1000000.0d)).cast("long"))
+      val sw = withP.agg(sum("w_micro").as("sumw"))
+      withP.crossJoin(broadcast(sw))
+        .withColumn("q_micro", expr("w_micro * 1000000 DIV sumw"))
+        .withColumn("alloc_tokens", expr(s"$BUDGET * q_micro DIV 1000000"))
+        .withColumn("epochs_milli", expr("alloc_tokens * 1000 DIV tokens"))
+        .select(col("lang"), col("tokens"), col("q_micro"),
+          col("alloc_tokens"), col("epochs_milli"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH d AS (
+      SELECT lang,
+        len(list_filter(string_split(text,' '), t -> t <> ''))::BIGINT
+          AS ntok
+      FROM documents),
+    l AS (SELECT lang, SUM(ntok)::BIGINT AS tokens FROM d GROUP BY lang),
+    t AS (SELECT SUM(tokens)::BIGINT AS total FROM l),
+    p AS (SELECT lang, tokens,
+        (tokens * 1000000 // total)::BIGINT AS p_micro
+      FROM l CROSS JOIN t),
+    w AS (SELECT *, floor(sqrt(p_micro / 1000000.0) * 1000000.0)::BIGINT
+        AS w_micro FROM p),
+    s AS (SELECT SUM(w_micro)::BIGINT AS sumw FROM w),
+    q AS (SELECT lang, tokens,
+        (w_micro * 1000000 // sumw)::BIGINT AS q_micro
+      FROM w CROSS JOIN s),
+    a AS (SELECT *, ($BUDGET * q_micro // 1000000)::BIGINT AS alloc_tokens
+      FROM q)
+    SELECT lang, tokens, q_micro, alloc_tokens,
+      (alloc_tokens * 1000 // tokens)::BIGINT AS epochs_milli
+    FROM a ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted,
-    temperature)
+    temperature, budget)
 }

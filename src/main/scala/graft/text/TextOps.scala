@@ -1116,7 +1116,62 @@ object TextOps {
       (n_tokens > 0 AND n_flagged * 20 >= n_tokens) AS flagged
     FROM tk ORDER BY doc_id"""))
 
+  // -------------------------------------------------------- text_keywords
+  /** Per-SOURCE distinctive terms — "what characterizes this slice":
+    * for each source, the tokens whose occurrence mass concentrates in
+    * it (`score = tf_source·10⁶ DIV tf_corpus`, the integer-exact
+    * lift/purity ratio — log-free, so no transcendental drift), top
+    * [[KEYWORDS_K]] per source. The quick corpus-composition dashboard
+    * next to corpus_stats: a source whose keywords are navigation chrome
+    * is boilerplate; one whose keywords are another's is a re-crawl.
+    *
+    * Scale: token counts aggregate map-side-combined on (source, tok)
+    * then tok (vocab-bounded exchanges, never corpus-keyed); the
+    * per-source top-k goes through row_number with rank-filter
+    * pushdown — WindowGroupLimit cuts each partition to k rows per
+    * source BEFORE the window shuffle, so the window carries
+    * O(|sources|·k), not the vocabulary.
+    */
+  private val KEYWORDS_K = 3
+
+  private val keywords = Q(
+    "text_keywords",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val bySrc = toks.groupBy("source", "tok")
+        .agg(count(lit(1)).as("tf_source"))
+      val corpus = bySrc.groupBy("tok")
+        .agg(sum("tf_source").as("tf_corpus"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score_micro").desc, col("tok"))
+      bySrc.join(corpus, "tok")
+        .withColumn("score_micro",
+          expr("tf_source * 1000000 DIV tf_corpus"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= KEYWORDS_K)
+        .select(col("source"), col("tok"), col("tf_source"),
+          col("tf_corpus"), col("score_micro"), col("rk"))
+        .orderBy("source", "rk")
+    },
+    Some(s"""WITH toks AS (
+      SELECT source, u.t AS tok
+      FROM documents,
+        UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)),
+    bs AS (SELECT source, tok, COUNT(*)::BIGINT AS tf_source
+      FROM toks GROUP BY source, tok),
+    c AS (SELECT tok, SUM(tf_source)::BIGINT AS tf_corpus
+      FROM bs GROUP BY tok),
+    sc AS (SELECT source, tok, tf_source, tf_corpus,
+        (tf_source * 1000000 // tf_corpus)::BIGINT AS score_micro
+      FROM bs JOIN c USING (tok))
+    SELECT source, tok, tf_source, tf_corpus, score_micro, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY score_micro DESC, tok) AS rk FROM sc)
+    WHERE rk <= $KEYWORDS_K ORDER BY source, rk"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
-    piiScrub, pplBucket, lineDedup, htmlStrip, bm25, badwords)
+    piiScrub, pplBucket, lineDedup, htmlStrip, bm25, badwords, keywords)
 }

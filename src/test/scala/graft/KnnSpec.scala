@@ -193,6 +193,29 @@ class KnnSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "the kNN graph must close some triangles")
   }
 
+  test("emb_drift: slice moments recombine to the emb_stats corpus mean") {
+    val stats = SparkEntry.queries("emb_stats")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4)))
+      .toMap
+    val newDocs = Tables(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("source")
+        .isin("src0", "src1")).count()
+    val rows = SparkEntry.queries("emb_drift")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dim, nb, nn, mb, mn, drift) =>
+      val (n, mean) = stats(dim)
+      assert(nb + nn == n, s"dim $dim slice counts must partition n")
+      assert(nn == newDocs, s"dim $dim new-slice count")
+      assert(drift == mn - mb, s"dim $dim drift must be the subtraction")
+      // recombined mean: same exact integer sums, so only the final
+      // float combine differs from emb_stats' single division
+      assert(math.abs((mb * nb + mn * nn) / n - mean) < 1e-9,
+        s"dim $dim slice means must recombine to the corpus mean")
+    }
+  }
+
   test("emb_stats: valid per-dimension moments over the full corpus") {
     val n = Tables(spark, sfDir, "embeddings").count()
     val rows = SparkEntry.queries("emb_stats")(spark, sfDir)

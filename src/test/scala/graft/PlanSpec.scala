@@ -88,6 +88,7 @@ class PlanSpec extends SparkSpec {
     "text_ppl_bucket",     // broadcast 1-row corpus-count aggregate
     "text_rank_bm25",      // broadcast 1-row (N, avgdl) corpus scalars
     "sample_temperature",  // broadcast 1-row total / sum-of-weights scalars
+    "sample_budget",       // same broadcast scalars + budget arithmetic
     "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
     "decontam_embedding",  // broadcast benchmark vectors vs corpus scan
     "corpus_overlap",      // |sources|-row grid (a < b) pair table

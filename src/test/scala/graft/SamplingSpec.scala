@@ -95,4 +95,22 @@ class SamplingSpec extends SparkSpec {
         s"score $q: kept $k of $n, expected ~${n * p}")
     }
   }
+
+  test("sample_budget: weights match sample_temperature, allocation " +
+      "sums under budget, epoch rule exact and non-trivial") {
+    val temp = SparkEntry.queries("sample_temperature")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val rows = SparkEntry.queries("sample_budget")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == temp.keySet)
+    rows.foreach { case (lang, tokens, q, alloc, epochs) =>
+      assert(q == temp(lang), s"$lang weight differs from temperature op")
+      assert(alloc == 10000000L * q / 1000000L, s"$lang allocation rule")
+      assert(epochs == alloc * 1000L / tokens, s"$lang epoch rule")
+    }
+    assert(rows.map(_._4).sum <= 10000000L, "floor allocs stay in budget")
+    assert(rows.exists(_._5 != 1000L),
+      "temperature mixing must up- or down-sample some language")
+  }
 }

@@ -116,6 +116,29 @@ class TextQualitySpec extends SparkSpec {
       "the 5% threshold must separate docs at this lexicon density")
   }
 
+  test("text_keywords == a driver-side lift model: top-3 per source by " +
+      "integer purity ratio") {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text"))
+      .collect().flatMap(r => r.getString(1).split(" ")
+        .filter(_.nonEmpty).map(r.getString(0) -> _))
+    val bySrc = toks.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val corpus = toks.groupBy(_._2).map { case (t, v) =>
+      t -> v.length.toLong }
+    val expected = bySrc.toSeq
+      .map { case ((src, tok), tf) =>
+        (src, tok, tf, corpus(tok), tf * 1000000L / corpus(tok)) }
+      .groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex
+          .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, i + 1L) }
+      }.toSet
+    val got = SparkEntry.queries("text_keywords")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
   test("text_ppl_bucket: distributed ntile == naive global sort; " +
       "head outranks tail") {
     val got = SparkEntry.queries("text_ppl_bucket")(spark, sfDir)
