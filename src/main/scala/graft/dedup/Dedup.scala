@@ -190,7 +190,12 @@ object Dedup {
         val nViral = ex.groupBy("sh").agg(count(lit(1)).as("df"))
           .agg(coalesce(sum(when(col("df") > cap, 1L).otherwise(0L)),
             lit(0L)).as("n_viral"))
-        val bracketed = counted.crossJoin(broadcast(nViral))
+        // thin (pair, counts, V) frame consumed by BOTH union branches —
+        // materialize it or each branch re-runs the postings self-join
+        // (the exchanges would be reusable, but AQE's broadcast
+        // conversion breaks that reuse — the dedup_substring lesson)
+        val bracketed = graft.Checkpoint.of(
+          counted.crossJoin(broadcast(nViral)))
         val jLow = col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))
         val interHigh = least(col("inter") + col("n_viral"),
@@ -1243,7 +1248,11 @@ object Dedup {
     val nViral = ex.groupBy("sh").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(when(col("df") > dfCap, 1L).otherwise(0L)),
         lit(0L)).as("n_viral"))
-    val bracketed = counted.crossJoin(broadcast(nViral))
+    // materialized for the same two-consumer reason as [[jaccardPairs]]'
+    // bracketed frame: certain + verify branches must not each re-run
+    // the postings self-join lineage
+    val bracketed = graft.Checkpoint.of(
+      counted.crossJoin(broadcast(nViral)))
     def orientations(pairs: DataFrame): DataFrame = pairs
       .select(explode(array(
         struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
