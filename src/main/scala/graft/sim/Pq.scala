@@ -77,45 +77,66 @@ object Pq {
 
   private def sub(m: Int, v: Column): Column = slice(v, m * SD + 1, SD)
 
-  /** Train subspace m's codebook; output (code 1..≤KSUB dense LONG, cv). */
-  private def subCodebook(e: DataFrame, m: Int): DataFrame = {
-    val sv = e.select(col("vec_id"), sub(m, col("v")).as("sv"))
+  /** Train ALL M sub-codebooks jointly; output (m, code 1..≤KSUB dense
+    * LONG, cv). One Lloyd chain keyed by (m, cent_id) instead of M
+    * sequential per-subspace chains: the corpus explodes once to
+    * (vec_id, m, sv) rows and every round is ONE assignment + ONE
+    * grouped mean job covering all subspaces — M× fewer Spark jobs and
+    * checkpoint barriers for byte-identical per-subspace arithmetic
+    * (the seed set, the kernel's per-m sorted centroid array, the
+    * DECIMAL(38,6) sums per (m, cent_id), and the per-m dense-rank
+    * codes are each exactly what the sequential chain computed).
+    */
+  private def subCodebooks(e: DataFrame): DataFrame = {
+    val sve = e.select(col("vec_id"), explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"), sub(m, col("v")).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
     val hk = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
       16, 10).cast("long")
-    val seeds = sv
-      .select(col("vec_id").as("cent_id"), col("sv").as("cv"), hk.as("hk"))
-      .orderBy("hk", "cent_id").limit(KSUB).drop("hk")
+    // the seed ROWS are the same md5-ordered vec_ids in every subspace —
+    // one corpus sort-limit, joined back to the m-exploded slices
+    val seedIds = e.select(col("vec_id"), hk.as("hk"))
+      .orderBy("hk", "vec_id").limit(KSUB).select("vec_id")
+    val seeds = sve.join(seedIds, "vec_id")
+      .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
       .transform(graft.Checkpoint.of)
     val trained = (1 to ITER).foldLeft(seeds) { (cents, _) =>
-      val centArr = cents.agg(
+      val centArr = cents.groupBy("m").agg(
         array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("cs"))
       val sums = (0 until SD).map(i =>
         sum(round(element_at(col("sv"), i + 1), 6)
           .cast(DecimalType(38, 6))).as(s"s$i"))
-      sv.crossJoin(broadcast(centArr))
+      sve.join(broadcast(centArr), "m")
         .withColumn("cent_id", nc(col("sv"), col("cs")))
-        .groupBy("cent_id")
+        .groupBy("m", "cent_id")
         .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-        .select(col("cent_id"), array((0 until SD).map(i =>
+        .select(col("m"), col("cent_id"), array((0 until SD).map(i =>
           col(s"s$i").cast("double") / col("n")): _*).as("cv"))
         .transform(graft.Checkpoint.of)
     }
     trained
-      .withColumn("code",
-        row_number().over(Window.orderBy("cent_id")).cast("long"))
-      .select("code", "cv")
+      .withColumn("code", row_number().over(
+        Window.partitionBy("m").orderBy("cent_id")).cast("long"))
+      .select("m", "code", "cv")
       .transform(graft.Checkpoint.of)
+  }
+
+  /** Per-subspace one-row broadcast codebook arrays (code-ASC sorted so
+    * the kernel's strict-> scan reproduces (cos DESC, code ASC)) off the
+    * jointly-trained table — M tiny filters of one checkpointed frame.
+    */
+  private def cbArrays(e: DataFrame): Seq[DataFrame] = {
+    val cbs = subCodebooks(e)
+    (0 until M).map(m => cbs.filter(col("m") === m).agg(
+      array_sort(collect_list(
+        struct(col("code").as("cent_id"), col("cv")))).as(s"cs$m")))
   }
 
   private val pq = Q(
     "knn_pq",
     (s, dir) => {
       val e = emb(s, dir)
-      // one-row broadcast codebook per subspace, code-ASC sorted so the
-      // kernel's strict-> scan reproduces (cos DESC, code ASC)
-      val cbArrs = (0 until M).map(m => subCodebook(e, m).agg(
-        array_sort(collect_list(
-          struct(col("code").as("cent_id"), col("cv")))).as(s"cs$m")))
+      val cbArrs = cbArrays(e)
       // ENCODE: M map-side kernel calls, zero exchange — the codes table
       // is the 4-codes-per-vector compressed corpus
       val codes = cbArrs.zipWithIndex.foldLeft(e) { case (df, (cb, m)) =>
@@ -268,9 +289,7 @@ object Pq {
         .select(col("vec_id"), col("cent_id"),
           vecSub(col("v"), col("cv")).as("v"))
         .transform(graft.Checkpoint.of)
-      val cbArrs = (0 until M).map(m => subCodebook(res, m).agg(
-        array_sort(collect_list(
-          struct(col("code").as("cent_id"), col("cv")))).as(s"cs$m")))
+      val cbArrs = cbArrays(res)
       // inverted lists carry (cent_id, 4 residual codes) — no floats
       val codes = cbArrs.zipWithIndex.foldLeft(res) { case (df, (cb, m)) =>
         df.crossJoin(broadcast(cb))
