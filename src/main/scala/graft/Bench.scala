@@ -53,6 +53,13 @@ object Bench {
     }
   }
 
+  /** Queries that errored during the current runAll (name → first error).
+    * An erroring query records an instant "time", which without this would
+    * make a broken suite LOOK fast — BENCH_r07 recorded 16 analysis-failing
+    * events queries as 4–104 ms rows and polluted the min-time history. The
+    * names are carried in the JSON contract and force a nonzero exit. */
+  private val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
   /** Run every query at `sfDir`: REPS timed reps (+ load-guard extras),
     * per-query rep vectors in SparkEntry.queries order.
     */
@@ -66,9 +73,9 @@ object Bench {
         // Catalyst prune projections out of the measured plan).
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          // never silent: an erroring query would otherwise record a tiny
-          // time and LOOK fast (stderr only — stdout is the JSON contract)
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -81,6 +88,19 @@ object Bench {
     }
   }
 
+  /** JSON string escape for error messages interpolated into the contract. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => String.format("\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    } + "\""
+
+  private def errJson: String =
+    errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+
   private def obj(results: Seq[(String, Vector[Double])])(
       f: Vector[Double] => String): String =
     results.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -89,10 +109,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // repo-owned scratch dir: /tmp cleaners killed the driver's r7 bench
+    // 40 minutes in by deleting shuffle temp files under /tmp/spark-local
+    val localDir = new java.io.File("target/spark-local")
+    localDir.mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir.getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.tune(spark)
@@ -102,6 +127,11 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries ERRORED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 
   /** The driver's per-round path: one scale factor. Stdout carries ONE
@@ -120,12 +150,14 @@ object Bench {
     val total = results.map(v => median(v._2)).sum
     val totalMin = results.map(_._2.min).sum
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$REPS,"total_min":${r3(totalMin)},"n_queries":${results.size},"sf":"$sfDir","detail":"$out"}"""
+    val errNames = errors.keys.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$REPS,"total_min":${r3(totalMin)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"sf":"$sfDir","detail":"$out"}"""
     println(line)
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec",
       |"reps":$REPS,"max_extra_reps":$MAX_EXTRA,
       |"total_min":${r3(totalMin)},
       |"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",
+      |"n_errors":${errors.size},"errors":$errJson,
       |"queries":$med,
       |"queries_min":${obj(results)(v => r3(v.min))},
       |"queries_reps":${obj(results)(v => v.map(r3).mkString("[", ",", "]"))},
@@ -194,12 +226,13 @@ object Bench {
         .mkString("[", ",", "]")},
       |"reps":$REPS,"fit":"least-squares slope of log(median) vs log(sf), top ${math.min(2, sfs.size)} sfs",
       |"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",
+      |"n_errors":${errors.size},"errors":$errJson,
       |"exponents":$expObj,
       |"runs":$perSf}""".stripMargin.replace("\n", "")
     val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT", "BENCH_SWEEP.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     val flagged = exps.filter(_._2._1 > 1.3).map(_._1)
-    println(s"""{"metric":"sf_sweep","n_queries":${names.size},"superlinear":${flagged.size},"detail":"$out"}""")
+    println(s"""{"metric":"sf_sweep","n_queries":${names.size},"superlinear":${flagged.size},"n_errors":${errors.size},"detail":"$out"}""")
     System.err.println(s"[bench] sweep written to $out; " +
       s"exponent>1.3: ${flagged.mkString(", ")}")
   }

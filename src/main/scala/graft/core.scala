@@ -26,10 +26,29 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts_ms` (epoch millis, floor-truncated from nanos — same
-    * semantics as DuckDB `epoch_ms(ts)`). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+  /** events with `ts_ms` (epoch millis, floor-truncated — same semantics as
+    * DuckDB `epoch_ms(ts)`). The physical encoding of `ts` has changed under
+    * us before (int64 nanos → micros TIMESTAMP_NTZ), so we branch on the
+    * dtype the reader actually produced instead of assuming one layout:
+    *   - LongType: raw epoch nanos (nanos parquet read under
+    *     `nanosAsLong=true`, which `SparkEntry.tune` keeps set so old files
+    *     still load) → integer `DIV 1000000`.
+    *   - TIMESTAMP_NTZ (micros): reinterpret the wall-clock as a UTC instant
+    *     (session tz is UTC via tune) → exact `unix_micros DIV 1000`.
+    *   - TIMESTAMP (isAdjustedToUTC=true): already an instant.
+    * All three paths are pure integer arithmetic — no float rounding, and
+    * identical floor-millis to the oracle's `epoch_ms`. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000000")
+      case TimestampNTZType => expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000")
+      case TimestampType    => expr("unix_micros(ts) DIV 1000")
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts encoding: $other")
+    }
+    df.withColumn("ts_ms", tsMs)
+  }
 }
 
 /** Determinism helpers — see SURVEY.md §5.
