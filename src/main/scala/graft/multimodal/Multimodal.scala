@@ -287,5 +287,194 @@ object Multimodal {
       $RESIZE_W AS width, $RESIZE_H AS height
     FROM documents ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized)
+  // ------------------------------------------------- perceptual near-dup
+  /** aHash parameters. The hash is [[graft.functions.PerceptualHash]]:
+    * 60 segment-mean bits (the 1-D "resize to a fixed grid" aHash).
+    *
+    * Production layout (the [[perceptualPairs]] DEFAULT): 4 bands × 15
+    * bits, hamming ≤ 3 — the pigeonhole guarantee (ham ≤ 3 ⇒ ≥1 equal
+    * 15-bit band) with 32k distinct values per band, the blocking power a
+    * billion-image corpus needs (the same layout dedup_simhash ships).
+    *
+    * Gated-demo layout (`mm_dedup_perceptual`): 12 bands × 5 bits,
+    * hamming ≤ 10 (pigeonhole covers ≤ 11). A 5-bit band holds only 32
+    * distinct values — weak blocking that a 100 TB corpus must NOT use;
+    * it is deliberately loose here because the synthetic ASCII corpus has
+    * no re-encoded payloads, so structural near-pairs sit at hamming
+    * 8–12 and the demo threshold keeps the gated result non-trivial. The
+    * spec proves the production layout on constructed near-identical
+    * payloads.
+    */
+  private val PH_BITS = 60
+  private val PH_DEMO_BANDS = 12
+  private val PH_DEMO_HAM = 10
+
+  /** (media_id, phash) for every non-empty payload — empty payloads hash
+    * to 0 and are dropped BEFORE pairing (they would all collide at
+    * hamming 0; the dedup_simhash empty-doc rule). Map-only codegen.
+    */
+  def perceptualHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.graft.Shim.column(
+          graft.functions.PerceptualHash(
+            org.apache.spark.sql.graft.Shim.expression(
+              encode(col("text"), "UTF-8")), PH_BITS)).as("phash"))
+
+  /** Banded-hamming near-dup pairs over a (media_id, phash) frame:
+    * explode each hash into `bands` fixed-width band values, equi-join on
+    * (band, value) — hamming ≤ hamMax < bands ⇒ at least one band is
+    * untouched (pigeonhole), so candidate recall is EXACT, not
+    * probabilistic — then verify `bit_count(xor) ≤ hamMax` on the
+    * distinct candidates. Same shape as dedup_simhash's pair search; the
+    * hash frame is checkpointed because the band table feeds both sides
+    * of the self-join.
+    */
+  def perceptualPairs(hashes: DataFrame, bands: Int = 4,
+      hamMax: Int = 3): DataFrame = {
+    require(PH_BITS % bands == 0, s"$bands bands must divide $PH_BITS bits")
+    require(hamMax < bands,
+      s"pigeonhole needs hamMax < bands, got $hamMax vs $bands")
+    val width = PH_BITS / bands
+    val h = graft.Checkpoint.of(hashes)
+    val banded = h.select(col("media_id"), col("phash"),
+        explode(array((0 until bands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            shiftright(col("phash"), bnd * width)
+              .bitwiseAND((1L << width) - 1).as("bv"))): _*)).as("b"))
+      .select(col("media_id"), col("phash"), col("b.band"), col("b.bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= hamMax)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** DuckDB mirror of [[perceptualHashes]]: positional segment sums over
+    * the ASCII corpus (`ord` = byte value, `length` = octet_length —
+    * the mm_feature_hist argument), bit set iff `sb·n > tv·lb` (the
+    * kernel's cross-multiplied integer compare), `::BIGINT` because a
+    * DuckDB SUM would otherwise surface as HUGEINT → float64 at the
+    * driver's pandas fetch.
+    */
+  private val sqlPhashCte = s"""chars AS (
+      SELECT doc_id, unnest(range(length(text))) AS i, text
+      FROM documents WHERE length(text) > 0),
+    seg AS (SELECT doc_id, (i * $PH_BITS) // length(text) AS b,
+        ord(substr(text, (i + 1)::INT, 1)) AS v
+      FROM chars),
+    bsum AS (SELECT doc_id, b, SUM(v) AS sb, COUNT(*) AS lb
+      FROM seg GROUP BY doc_id, b),
+    tot AS (SELECT doc_id, SUM(v) AS tv, COUNT(*) AS n
+      FROM seg GROUP BY doc_id),
+    ph AS (SELECT t.doc_id AS media_id,
+        COALESCE(SUM(CASE WHEN sb * n > tv * lb
+          THEN (1::BIGINT << b) ELSE 0 END), 0)::BIGINT AS phash
+      FROM tot t JOIN bsum USING (doc_id) GROUP BY t.doc_id)"""
+
+  /** The perceptual fingerprint itself under the hash gate: bit-exact
+    * kernel parity on every corpus payload (the pair queries inherit it).
+    */
+  private val phashQ = Q(
+    "mm_phash",
+    (s, dir) => perceptualHashes(s, dir).orderBy("media_id"),
+    Some(s"""WITH $sqlPhashCte
+    SELECT media_id, phash FROM ph ORDER BY media_id"""))
+
+  /** Perceptual near-dup pairs under the hash gate (demo band layout —
+    * see the parameter scaladoc above for why it differs from the
+    * production default).
+    */
+  private val perceptual = Q(
+    "mm_dedup_perceptual",
+    (s, dir) =>
+      perceptualPairs(perceptualHashes(s, dir),
+        bands = PH_DEMO_BANDS, hamMax = PH_DEMO_HAM)
+        .orderBy("a_id", "b_id"),
+    Some(s"""WITH $sqlPhashCte,
+    banded AS (SELECT media_id, phash, b.range AS band,
+        (phash >> (b.range * ${PH_BITS / PH_DEMO_BANDS})::INT)
+          & ${(1L << (PH_BITS / PH_DEMO_BANDS)) - 1} AS bv
+      FROM ph, range($PH_DEMO_BANDS) b),
+    cand AS (SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id,
+        x.phash AS ha, y.phash AS hb
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
+    SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= $PH_DEMO_HAM
+    ORDER BY a_id, b_id"""))
+
+  // --------------------------------------------------- cross-modal pairs
+  /** CLIP-style (media, caption) curation filter — the step an aligned
+    * image-text corpus runs before training: score each candidate pair's
+    * agreement, keep pairs above a threshold. The stub feature space is
+    * the decoded payload's token set (a real pipeline scores caption
+    * embedding × image embedding; the Spark shape — typed pair table,
+    * per-pair integer score, gate — is identical).
+    *
+    * Candidates: each media row pairs with its ALIGNED caption (the first
+    * [[CAPTION_TOKENS]] tokens of its own document) and one deterministic
+    * HARD NEGATIVE (the caption of doc_id+1 — same template family often,
+    * so the gate has non-trivial work). Score = how many distinct caption
+    * tokens appear in the decoded payload's token set (array_intersect —
+    * codegen'd set intersection, not a lambda HOF); kept iff ≥ 75%
+    * (`4·matched ≥ 3·n_cap`, pure integer).
+    *
+    * Scale: candidate generation is an equi-join on doc_id (broadcast- or
+    * shuffle-hash; no similarity blow-up), scoring is map-side per pair.
+    * At 100 TB the same shape pairs a media lake with a caption table on
+    * a shared key; the explode is 2 rows per media, not a cross join.
+    */
+  val CAPTION_TOKENS = 8
+
+  private val captionFilter = Q(
+    "mm_caption_filter",
+    (s, dir) => {
+      val toks = graft.text.TextOps.tokens(
+        decode(col("payload"), "UTF-8"))
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .select(col("media_id"), array_distinct(toks).as("mw"))
+      // distinct caption tokens: a repeated token in the first 8 must not
+      // depress the coverage ratio below 100% for a perfectly aligned pair
+      val caps = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(slice(graft.text.TextOps.tokens(col("text")), 1,
+            CAPTION_TOKENS)).as("cw"))
+      media
+        .select(col("media_id"), col("mw"),
+          explode(array(col("media_id"), col("media_id") + 1))
+            .as("doc_id"))
+        .join(caps, "doc_id")
+        .withColumn("n_matched",
+          size(array_intersect(col("cw"), col("mw"))).cast("long"))
+        .select(col("media_id"), col("doc_id"),
+          size(col("cw")).cast("long").as("n_cap"), col("n_matched"),
+          (col("n_matched") * 4 >= size(col("cw")) * 3).as("kept"))
+        .orderBy("media_id", "doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') w
+      FROM documents),
+    media AS (SELECT doc_id AS media_id, list_distinct(w) AS mw FROM d),
+    cap AS (SELECT doc_id, list_distinct(w[1:$CAPTION_TOKENS]) AS cw
+      FROM d),
+    cand AS (SELECT media_id, mw,
+        unnest([media_id, media_id + 1]) AS doc_id
+      FROM media)
+    SELECT media_id, doc_id, len(cw)::BIGINT AS n_cap,
+      len(list_intersect(cw, mw))::BIGINT AS n_matched,
+      len(list_intersect(cw, mw)) * 4 >= len(cw) * 3 AS kept
+    FROM cand JOIN cap USING (doc_id)
+    ORDER BY media_id, doc_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
+    phashQ, perceptual, captionFilter)
 }

@@ -287,4 +287,42 @@ class KernelSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0).toSeq)
     assert(k2.toSeq == c2.toSeq)
   }
+
+  test("PerceptualHash kernel == per-byte Scala reference, and codegen " +
+    "path agrees with interpreted eval") {
+    def reference(bytes: Array[Byte], bins: Int): Long = {
+      val n = bytes.length
+      if (n == 0) 0L
+      else {
+        val byBin = bytes.indices.groupBy(i => (i.toLong * bins / n).toInt)
+        val total = bytes.map(b => (b & 0xFF).toLong).sum
+        (0 until bins).map { b =>
+          val seg = byBin.getOrElse(b, Seq.empty)
+          val sb = seg.map(i => (bytes(i) & 0xFF).toLong).sum
+          if (sb * n > total * seg.size) 1L << b else 0L
+        }.sum
+      }
+    }
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](0),
+      Array[Byte](-1, 0, 127, -128),          // full signed-byte range
+      "plain words here".getBytes("UTF-8"),
+      "unicode héllo wörld 东京".getBytes("UTF-8"),
+      Array.fill[Byte](7)(42),                 // shorter than bins: empty segments
+      Array.tabulate[Byte](4096)(i => (i % 251).toByte))
+    for (bins <- Seq(1, 8, 60); p <- payloads)
+      assert(graft.functions.PerceptualHash.hash(p, bins) ===
+        reference(p, bins), s"bins=$bins len=${p.length}")
+    // codegen vs the same kernel on the real corpus through the SQL engine
+    val df = Tables(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val viaSql = df.select(col("doc_id"), Shim.column(
+        graft.functions.PerceptualHash(
+          Shim.expression(col("payload")), 60)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = df.collect().map(r => r.getLong(0) ->
+      graft.functions.PerceptualHash.hash(r.getAs[Array[Byte]](1), 60)).toMap
+    assert(viaSql === direct)
+  }
 }

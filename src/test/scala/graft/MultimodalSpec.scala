@@ -79,4 +79,47 @@ class MultimodalSpec extends SparkSpec {
       "mm_dedup must use the codegen'd builtin md5, not a typed " +
         "mapPartitions digest")
   }
+
+  test("perceptualPairs (production 4x15-bit layout) pairs constructed " +
+    "near-identical payloads and rejects structurally different ones") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.Shim
+    // structured base payload: a ramp — segment means rise monotonically,
+    // so ~half the 60 aHash bits are set and the hash is informative
+    val base = Array.tabulate[Byte](1200)(i => (i * 200 / 1200).toByte)
+    // near-identical: perturb a handful of bytes inside TWO segments
+    // (a re-encode artifact) — at most a couple of segment means cross
+    // the global mean, so hamming stays within the production ham<=3
+    val near = base.clone()
+    for (i <- 100 until 110) near(i) = (near(i) + 40).toByte
+    for (i <- 700 until 710) near(i) = (near(i) - 40).toByte
+    // structurally different: the reversed ramp flips every segment's
+    // relation to the mean
+    val far = base.reverse
+    val df = Seq((0L, base), (1L, near), (2L, far))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), Shim.column(graft.functions.PerceptualHash(
+        Shim.expression(col("payload")), 60)).as("phash"))
+    val pairs = Multimodal.perceptualPairs(df) // default: 4 bands, ham<=3
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"expected exactly the near-identical pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 3)
+    // sanity: base vs far really is distant in hamming
+    val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(2L)) > 3)
+  }
+
+  test("mm_caption_filter keeps every aligned pair (caption is a prefix " +
+    "of its own payload)") {
+    val out = SparkEntry.queries("mm_caption_filter")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    val aligned = out.filter(p => p._1 == p._2)
+    assert(aligned.nonEmpty && aligned.forall(_._3),
+      "an aligned caption's tokens all appear in its own payload")
+    // and the hard negatives are present and not universally kept
+    val negatives = out.filter(p => p._1 != p._2)
+    assert(negatives.nonEmpty)
+  }
 }
