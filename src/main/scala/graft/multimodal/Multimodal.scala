@@ -410,6 +410,99 @@ object Multimodal {
     FROM cand WHERE bit_count(xor(ha, hb)) <= $PH_DEMO_HAM
     ORDER BY a_id, b_id"""))
 
+  // ------------------------------------------------- video-shaped near-dup
+  /** Frame-fingerprint sequence matching — the shape VIDEO dedup actually
+    * takes at scale: sample frames, fingerprint each frame, and call two
+    * media near-dups when enough of their frame fingerprints coincide
+    * (re-encodes, trims and re-muxes keep most frame content; whole-file
+    * hashing sees none of that). Here: [[frameSample]] (64-byte frames,
+    * keep every 2nd — the mm_frames stub plumbing) → per-frame
+    * [[graft.functions.PerceptualHash]] → per-media DISTINCT fingerprint
+    * set → pairs sharing ≥ 50% of the smaller set's fingerprints
+    * (`2·matched ≥ min(n_a, n_b)`, pure integer).
+    *
+    * Scale: the pair generator is the postings shape (equi-join on the
+    * fingerprint, never media×media); `dfCap` drops fingerprints indexed
+    * by more than `cap` media from candidate generation AND match
+    * counting — the "black frame"/static-scene-card guard, one viral
+    * fingerprint otherwise contributes df² join rows. At the test SFs no
+    * fingerprint reaches the default cap (max df = 8 at sf0.01), so the
+    * uncapped oracle mirrors exactly; a pair matching ONLY on viral
+    * frames is boilerplate overlap, not a near-dup — the jaccard dfCap
+    * argument. The distinct fingerprint table is checkpointed: it feeds
+    * both sides of the self-join and the per-media counts.
+    */
+  def frameFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val fr = frameSample(mediaFromDocuments(spark, dir),
+      frameBytes = 64, everyN = 2).toDF()
+    fr.select(expr(s"mediaId DIV $FRAME_STRIDE").as("media_id"),
+        org.apache.spark.sql.graft.Shim.column(
+          graft.functions.PerceptualHash(
+            org.apache.spark.sql.graft.Shim.expression(col("payload")),
+            PH_BITS)).as("fh"))
+      .distinct()
+  }
+
+  def videoNearDups(fingerprints: DataFrame,
+      dfCap: Int = 1000): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 to ever pair media, got $dfCap")
+    val fp = graft.Checkpoint.of(fingerprints)
+    val nf = fp.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val kept = fp.join(
+      fp.groupBy("fh").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, dfCap)).select("fh"), "fh")
+    val matched = kept.select(col("media_id").as("a_id"), col("fh"))
+      .join(kept.select(col("media_id").as("b_id"), col("fh")), "fh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("long").as("matched"))
+    matched
+      .join(nf.select(col("media_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(nf.select(col("media_id").as("b_id"), col("n").as("n_b")), "b_id")
+      .filter(col("matched") * 2 >= least(col("n_a"), col("n_b")))
+      .select(col("a_id"), col("b_id"), col("matched"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
+
+  private val videoNearDup = Q(
+    "mm_video_neardup",
+    (s, dir) => videoNearDups(frameFingerprints(s, dir))
+      .orderBy("a_id", "b_id"),
+    Some(s"""WITH idxs AS (
+      SELECT doc_id, unnest(range((length(text) + 63) // 64)) AS idx, text
+      FROM documents),
+    fr AS (SELECT doc_id AS media_id, idx,
+        substr(text, (idx * 64 + 1)::INT, 64) AS frame
+      FROM idxs WHERE idx % 2 = 0),
+    chars AS (SELECT media_id, idx,
+        unnest(range(length(frame))) AS j, frame
+      FROM fr),
+    seg AS (SELECT media_id, idx,
+        (j * $PH_BITS) // length(frame) AS b,
+        ord(substr(frame, (j + 1)::INT, 1)) AS v
+      FROM chars),
+    bsum AS (SELECT media_id, idx, b, SUM(v) AS sb, COUNT(*) AS lb
+      FROM seg GROUP BY media_id, idx, b),
+    tot AS (SELECT media_id, idx, SUM(v) AS tv, COUNT(*) AS n
+      FROM seg GROUP BY media_id, idx),
+    fh0 AS (SELECT t.media_id, t.idx,
+        COALESCE(SUM(CASE WHEN sb * n > tv * lb
+          THEN (1::BIGINT << b) ELSE 0 END), 0)::BIGINT AS fh
+      FROM tot t JOIN bsum USING (media_id, idx)
+      GROUP BY t.media_id, t.idx),
+    fp AS (SELECT DISTINCT media_id, fh FROM fh0),
+    nf AS (SELECT media_id, COUNT(*) AS n FROM fp GROUP BY media_id),
+    pairs AS (SELECT a.media_id AS a_id, b.media_id AS b_id,
+        COUNT(*)::BIGINT AS matched
+      FROM fp a JOIN fp b ON a.fh = b.fh AND a.media_id < b.media_id
+      GROUP BY a.media_id, b.media_id)
+    SELECT a_id, b_id, matched, na.n::BIGINT AS n_a, nb.n::BIGINT AS n_b
+    FROM pairs
+    JOIN nf na ON na.media_id = a_id
+    JOIN nf nb ON nb.media_id = b_id
+    WHERE matched * 2 >= LEAST(na.n, nb.n)
+    ORDER BY a_id, b_id"""))
+
   // --------------------------------------------------- cross-modal pairs
   /** CLIP-style (media, caption) curation filter — the step an aligned
     * image-text corpus runs before training: score each candidate pair's
@@ -476,5 +569,5 @@ object Multimodal {
     ORDER BY media_id, doc_id"""))
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
-    phashQ, perceptual, captionFilter)
+    phashQ, perceptual, videoNearDup, captionFilter)
 }
