@@ -503,6 +503,73 @@ object Multimodal {
     WHERE matched * 2 >= LEAST(na.n, nb.n)
     ORDER BY a_id, b_id"""))
 
+  // ------------------------------------------------------ scene detection
+  /** Content-based scene segmentation — the PySceneDetect shape: a scene
+    * boundary is a LARGE perceptual jump between consecutive frames
+    * (`hamming(fh_i, fh_{i-1}) > τ`), and a media's scene count is
+    * 1 + boundaries. Here every 64-byte frame ([[frameSample]] with
+    * everyN = 1) gets a [[graft.functions.PerceptualHash]]; the
+    * frame-over-frame comparison is ONE lag window partitioned by media
+    * (frame order rides the mediaId·2³²+idx key), then a thin per-media
+    * count aggregate — no joins, no pair blow-up, scales as one shuffle
+    * of 2-long rows per frame.
+    */
+  val SCENE_HAM = 20
+
+  private val sceneDetect = Q(
+    "mm_scene_detect",
+    (s, dir) => {
+      val fr = frameSample(mediaFromDocuments(s, dir),
+        frameBytes = 64, everyN = 1).toDF()
+        .select(expr(s"mediaId DIV $FRAME_STRIDE").as("media_id"),
+          expr(s"mediaId % $FRAME_STRIDE").as("idx"),
+          org.apache.spark.sql.graft.Shim.column(
+            graft.functions.PerceptualHash(
+              org.apache.spark.sql.graft.Shim.expression(col("payload")),
+              PH_BITS)).as("fh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("idx")
+      fr.withColumn("prev", lag(col("fh"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNotNull &&
+            bit_count(col("fh").bitwiseXOR(col("prev"))) > SCENE_HAM, 1L)
+            .otherwise(0L))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          (sum("cut") + 1L).as("n_scenes"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH idxs AS (
+      SELECT doc_id, unnest(range((length(text) + 63) // 64)) AS idx, text
+      FROM documents),
+    fr AS (SELECT doc_id AS media_id, idx,
+        substr(text, (idx * 64 + 1)::INT, 64) AS frame
+      FROM idxs),
+    chars AS (SELECT media_id, idx,
+        unnest(range(length(frame))) AS j, frame
+      FROM fr),
+    seg AS (SELECT media_id, idx,
+        (j * $PH_BITS) // length(frame) AS b,
+        ord(substr(frame, (j + 1)::INT, 1)) AS v
+      FROM chars),
+    bsum AS (SELECT media_id, idx, b, SUM(v) AS sb, COUNT(*) AS lb
+      FROM seg GROUP BY media_id, idx, b),
+    tot AS (SELECT media_id, idx, SUM(v) AS tv, COUNT(*) AS n
+      FROM seg GROUP BY media_id, idx),
+    fh AS (SELECT t.media_id, t.idx,
+        COALESCE(SUM(CASE WHEN sb * n > tv * lb
+          THEN (1::BIGINT << b) ELSE 0 END), 0)::BIGINT AS fh
+      FROM tot t JOIN bsum USING (media_id, idx)
+      GROUP BY t.media_id, t.idx),
+    lagd AS (SELECT media_id, fh,
+        LAG(fh) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+      FROM fh)
+    SELECT media_id, COUNT(*)::BIGINT AS n_frames,
+      (SUM(CASE WHEN prev IS NOT NULL
+          AND bit_count(xor(fh, prev)) > $SCENE_HAM
+        THEN 1 ELSE 0 END) + 1)::BIGINT AS n_scenes
+    FROM lagd GROUP BY media_id ORDER BY media_id"""))
+
   // --------------------------------------------------- cross-modal pairs
   /** CLIP-style (media, caption) curation filter — the step an aligned
     * image-text corpus runs before training: score each candidate pair's
@@ -569,5 +636,5 @@ object Multimodal {
     ORDER BY media_id, doc_id"""))
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
-    phashQ, perceptual, videoNearDup, captionFilter)
+    phashQ, perceptual, videoNearDup, sceneDetect, captionFilter)
 }
