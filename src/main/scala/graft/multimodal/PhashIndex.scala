@@ -29,7 +29,7 @@ object PhashIndex {
   private val BITS = 60
 
   /** Banded rows for a (media_id, phash) frame. */
-  private def bandRows(hashes: DataFrame, bands: Int): DataFrame = {
+  private[graft] def bandRows(hashes: DataFrame, bands: Int): DataFrame = {
     require(BITS % bands == 0, s"$bands bands must divide $BITS bits")
     val width = BITS / bands
     hashes.select(col("media_id"), col("phash"),

@@ -145,29 +145,11 @@ object Streaming {
       val buckets = graft.dedup.Dedup.bandBuckets(batch, perms, bands)
         .localCheckpoint()
       try {
-        val path = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val stateSchema = buckets.schema.add("batch_id", "long")
-        // explicit schema: a state dir holding only _SUCCESS (an earlier
-        // batch produced zero shingles) must load as zero rows, not fail
-        // schema inference — while a real read error still propagates
-        def readState(): DataFrame =
-          spark.read.schema(stateSchema).parquet(stateDir)
-        // replay-idempotent: state is partitioned by the writing batch's
-        // id and a replayed batch (failure between state write and
-        // checkpoint commit) only reads STRICTLY older batches, then
-        // dynamically overwrites its own partition — a real read error
-        // propagates instead of silently restarting with empty history
-        val horizon = retentionBatches.fold(Long.MinValue)(n => batchId - n)
-        val state =
-          if (fs.exists(path))
-            readState()
-              .filter(col("batch_id") < batchId &&
-                col("batch_id") >= horizon)
-          else
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              stateSchema)
+        val st = new BatchState(spark, stateDir,
+          org.apache.spark.sql.types.StructType(
+            buckets.schema.filter(f => f.name == "band" || f.name == "bh")),
+          compactEvery, retentionBatches)
+        val state = st.visible(batchId)
         // seen before: in state, or claimed by a lower doc_id this batch
         val vsState = buckets.join(state,
           Seq("band", "bh"), "left_semi").select("doc_id")
@@ -181,52 +163,64 @@ object Streaming {
             "left")
           .select(col("doc_id"),
             coalesce(col("is_neardup"), lit(false)).as("is_neardup")))
-        buckets.select("band", "bh").distinct()
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(stateDir)
-        // fold history into the PREVIOUS batch's partition (never this
-        // one: a replay of batch `batchId` reads strictly older ids, so
-        // the compacted rows must stay visible to it)
-        if (batchId > 0 && batchId % compactEvery == 0) {
-          val target = batchId - 1
-          // deletion candidates ignore the horizon: an EXPIRED partition
-          // (batch_id < horizon) is excluded from reads and from the
-          // fold, but its directory still sits on disk — without this it
-          // would never appear in oldIds and would accumulate forever
-          val old = readState().filter(col("batch_id") < target)
-          val oldIds = old.select("batch_id").distinct()
-            .collect().map(_.getLong(0)) // ≤ compactEvery ids, driver-tiny
-          if (oldIds.nonEmpty) {
-            // materialize BEFORE writing: the fold reads the very
-            // partitions the dynamic overwrite rewrites — checkpointing
-            // breaks the read-while-overwrite cycle; only live
-            // (>= horizon) rows are folded forward
-            val folded = old.filter(col("batch_id") >= horizon)
-              .select("band", "bh")
-              .union(readState().filter(col("batch_id") === target)
-                .select("band", "bh"))
-              .distinct()
-              .localCheckpoint()
-            try {
-              folded
-                .withColumn("batch_id", lit(target))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(stateDir)
-            } finally folded.unpersist()
-            // delete AFTER the fold is durable; a crash in between only
-            // leaves duplicates the semi-join ignores
-            oldIds.foreach { id =>
-              fs.delete(new org.apache.hadoop.fs.Path(path,
-                s"batch_id=$id"), true)
-            }
-          }
-        }
+        st.commit(buckets.select("band", "bh"), batchId)
       } finally buckets.unpersist() // free this batch's checkpoint blocks
+  }
+
+  /** Streaming PERCEPTUAL near-dup suppression — the media twin of
+    * [[minhashDedupSink]] for a stream of (media_id, phash) rows (the
+    * [[graft.multimodal.Multimodal.perceptualHashes]] projection of an
+    * ingest pipeline): per micro-batch, band each 60-bit hash
+    * ([[graft.multimodal.PhashIndex.bandRows]] — production 4×15-bit
+    * layout by default, pigeonhole-exact for `hamMax < bands`), flag
+    * media within `hamMax` hamming of the state table OR of an
+    * earlier-id media of the same batch, then append the batch's banded
+    * hashes to state. Unlike the MinHash sink, the match is VERIFIED
+    * in-plan (`bit_count(xor) ≤ hamMax` against the stored hash) — a
+    * perceptual hash carries its own distance evidence, so the sink
+    * emits confirmed near-dups, not candidates.
+    *
+    * Same [[BatchState]] replay/compaction/retention contract as the
+    * MinHash sink (asserted in StreamingSpec for this sink too).
+    *
+    * @param out receives (media_id, is_neardup) per micro-batch
+    */
+  def phashDedupSink(stateDir: String,
+      bands: Int = graft.multimodal.PhashIndex.BANDS,
+      hamMax: Int = graft.multimodal.PhashIndex.HAM_MAX,
+      compactEvery: Int = 16, retentionBatches: Option[Long] = None)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(hamMax < bands,
+      s"pigeonhole needs hamMax < bands, got $hamMax vs $bands")
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val rows = graft.multimodal.PhashIndex.bandRows(
+        batch.select("media_id", "phash"), bands).localCheckpoint()
+      try {
+        val st = new BatchState(spark, stateDir,
+          org.apache.spark.sql.types.StructType(
+            rows.schema.filter(f => f.name != "media_id")),
+          compactEvery, retentionBatches)
+        val state = st.visible(batchId)
+          .select(col("band"), col("bv"), col("phash").as("base_phash"))
+        val vsState = rows.join(state, Seq("band", "bv"))
+          .filter(bit_count(col("phash").bitwiseXOR(col("base_phash")))
+            <= hamMax)
+          .select("media_id")
+        val vsBatch = rows.as("x").join(rows.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+              && col("x.media_id") > col("y.media_id"))
+          .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+            <= hamMax)
+          .select(col("x.media_id").as("media_id"))
+        val dups = vsState.union(vsBatch).distinct()
+        out(batch.select("media_id")
+          .join(dups.withColumn("is_neardup", lit(true)), Seq("media_id"),
+            "left")
+          .select(col("media_id"),
+            coalesce(col("is_neardup"), lit(false)).as("is_neardup")))
+        st.commit(rows.select("band", "bv", "phash"), batchId)
+      } finally rows.unpersist()
   }
 
   /** Streaming benchmark decontamination — the online mirror of the

@@ -547,6 +547,52 @@ class StreamingSpec extends SparkSpec {
       s"partitions older than the last compaction target leaked: $parts")
   }
 
+  test("phashDedupSink flags verified perceptual near-dups against " +
+    "history and replays idempotently") {
+    import org.apache.spark.sql.graft.Shim
+    // PhashIndexSpec's segment-pattern family: bases are mutually >=10
+    // hamming apart, nearOf(base) is hamming 1 from its own base only
+    def base(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](1200)(j =>
+        if (((j * 60 / 1200) * 7 + seed * 13) % 60 < 30) 200.toByte
+        else 20.toByte)
+    def nearOf(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      for (i <- 700 until 710) out(i) = 255.toByte
+      out
+    }
+    def hashed(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("media_id", "payload")
+        .select(col("media_id"), Shim.column(graft.functions.PerceptualHash(
+          Shim.expression(col("payload")), 60)).as("phash"))
+        .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phs").toString
+    var lastFlags = Map.empty[Long, Boolean]
+    val sink = Streaming.phashDedupSink(s"$tmp/state") { out =>
+      lastFlags = out.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val bases = hashed((0 until 6).map(i => (i.toLong, base(i))))
+    sink(bases, 0L)
+    assert(lastFlags.values.forall(!_),
+      s"mutually distant bases must not flag, got $lastFlags")
+    // within-batch: near copy AFTER its base id flags, the base does not
+    val mixed = hashed(Seq((10L, base(7)), (11L, nearOf(base(7)))))
+    sink(mixed, 1L)
+    assert(lastFlags == Map(10L -> false, 11L -> true), s"got $lastFlags")
+    // vs-history: near copies of indexed bases all flag, verified not
+    // just banded (an unrelated pattern stays clean)
+    // seed 45's pattern offset (13·45 mod 60 = 45) sits ≥6 from every
+    // indexed offset {0,5,13,26,31,39,52} → hamming ≥12 from all history
+    val probes = hashed(Seq((100L, nearOf(base(2))), (101L, base(45))))
+    sink(probes, 2L)
+    assert(lastFlags == Map(100L -> true, 101L -> false), s"got $lastFlags")
+    val atFirstRun = lastFlags
+    sink(probes, 2L) // replay after a failure post-state-write
+    assert(lastFlags == atFirstRun,
+      "replayed batch must not see its own state")
+  }
+
   test("minhashDedupSink tolerates a zero-shingle first batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nde").toString
