@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only probe: time the new multimodal queries at a given SF. */
+object ProbeMm {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.tune(spark)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.format("noop").mode("overwrite").save()
+    for (q <- Seq("mm_phash", "mm_dedup_perceptual", "mm_video_neardup",
+        "mm_scene_detect", "mm_caption_filter"); r <- 1 to 2) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"$q rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
