@@ -110,6 +110,74 @@ object Sketches {
       MAX(n) AS n
     FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** KMV (k-minimum-values) distinct sketch under the FULL hash gate —
+    * unlike HLL++ (engine-specific internals, rows-only check), KMV's
+    * state is just the k smallest distinct hash values, which both
+    * engines can compute bit-identically: h = first 10 md5 hex chars of
+    * the key (40 bits — so the estimator's `(k−1)·2⁴⁰ DIV h_k` stays in
+    * long range), estimate exact-integer floor. Groups smaller than K
+    * aren't estimated (the sketch holds them exactly). The `__all__` row
+    * is the MERGED sketch — union the per-type hash sets, keep the k
+    * smallest — demonstrating the mergeability that makes KMV a
+    * map-side-combinable aggregate at 100 TB (the exchange carries ≤K
+    * longs per group, never the key space). `n_distinct` (distinct
+    * hashes ≈ distinct users) rides along as the in-row accuracy anchor;
+    * SketchSpec bounds the relative error.
+    *
+    * Scale note: the window top-k here runs over DISTINCT (type, hash)
+    * rows — at 100 TB you'd fold the same arithmetic into an Aggregator
+    * keeping a bounded heap per group; the k-smallest-of-distinct
+    * semantics (and this gate) are unchanged.
+    */
+  private val KMV_K = 64
+  private val KMV_SPACE = 1L << 40
+
+  private val kmvDistinct = Q(
+    "sketch_kmv_users",
+    (s, dir) => {
+      val dist = Tables.events(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 10),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val merged = dist.select(lit("__all__").as("event_type"), col("h"))
+        .distinct()
+      val hh = dist.unionByName(merged)
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val sk = hh.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(max("h").as("h_k"), count(lit(1)).cast("long").as("k_used"))
+      val exact = hh.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_distinct"))
+      sk.join(exact, "event_type")
+        .select(col("event_type"), col("k_used"), col("h_k"),
+          when(col("k_used") < KMV_K, col("k_used"))
+            .otherwise(expr(s"(k_used - 1) * $KMV_SPACE DIV h_k"))
+            .cast("long").as("est_users"),
+          col("n_distinct"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH dist AS (
+      SELECT DISTINCT event_type,
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 10))::BIGINT AS h
+      FROM events),
+    merged AS (SELECT DISTINCT '__all__' AS event_type, h FROM dist),
+    hh AS (SELECT * FROM dist UNION ALL SELECT * FROM merged),
+    ranked AS (SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hh),
+    sk AS (SELECT event_type, MAX(h) AS h_k, COUNT(*)::BIGINT AS k_used
+      FROM ranked WHERE rn <= $KMV_K GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(*)::BIGINT AS n_distinct
+      FROM hh GROUP BY event_type)
+    SELECT event_type, k_used, h_k,
+      (CASE WHEN k_used < $KMV_K THEN k_used
+        ELSE (k_used - 1) * $KMV_SPACE // h_k END)::BIGINT AS est_users,
+      n_distinct
+    FROM sk JOIN ex USING (event_type) ORDER BY event_type"""))
+
   val all: Seq[Q] =
-    Seq(approxDistinct, approxQuantiles, exactDistinct, exactQuantiles)
+    Seq(approxDistinct, approxQuantiles, exactDistinct, exactQuantiles,
+      kmvDistinct)
 }

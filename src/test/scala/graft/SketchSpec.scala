@@ -47,4 +47,26 @@ class SketchSpec extends SparkSpec {
         s"$prio p95: approx=$ap95 exact=$e95")
     }
   }
+
+  test("KMV estimate within stderr bounds of its in-row exact anchor; " +
+    "small groups held exactly; merged row covers the union") {
+    val rows = SparkEntry.queries("sketch_kmv_users")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val K = 64
+    for ((etype, kUsed, est, exact) <- rows) {
+      if (kUsed < K)
+        assert(est == exact,
+          s"$etype: a non-full sketch IS the exact answer ($est vs $exact)")
+      else
+        // KMV stderr ≈ 1/sqrt(k−2) ≈ 12.7% at k=64; 4σ guard band
+        assert(math.abs(est - exact) <= exact * 0.51,
+          s"$etype: est=$est exact=$exact beyond 4σ")
+    }
+    val all = rows.find(_._1 == "__all__").get
+    val perType = rows.filter(_._1 != "__all__")
+    assert(all._4 >= perType.map(_._4).max,
+      "merged distinct count must cover every per-type count")
+  }
 }
