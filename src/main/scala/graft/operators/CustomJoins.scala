@@ -313,6 +313,85 @@ object CustomJoins {
       FROM lineitem GROUP BY l_suppkey, l_partkey)
     WHERE rank <= 3 ORDER BY l_suppkey, rank"""))
 
+  /** Time-weighted INTERPOLATION join — the time-series twin the asof
+    * family is missing: an as-of join snaps to ONE bracketing row; sensor
+    * / pricing pipelines want the value interpolated BETWEEN the
+    * surrounding rows. For each click, linearly interpolate the purchase
+    * `value` between the user's latest prior purchase and earliest later
+    * purchase (ROWS-bounded conditional first/last IGNORE NULLS windows —
+    * two window passes over one user-partitioned sort, no join at all).
+    *
+    * Exactness: value enters as FLOOR(value·10⁶) (IEEE product identical
+    * in both engines, floor deterministic) and the interpolation is the
+    * integer weighted mean `(pm·(nt−ts) + nm·(ts−pt)) DIV (nt−pt)` —
+    * all operands non-negative here, so Spark's truncating DIV equals
+    * DuckDB's flooring `//`. Overflow headroom: value_micro ≤ 5·10⁸ ×
+    * span 2.6·10⁹ ms ≈ 1.3·10¹⁸ < 2⁶³; a wider domain widens the
+    * numerator to DECIMAL(38,0) (Spark IntegralDivide accepts decimals)
+    * with the same semantics. Clicks with no bracket on either side
+    * carry NULL — the honest answer, not an extrapolation.
+    */
+  private val asofInterpolate = Q(
+    "asof_interpolate",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_ms"),
+          floor(col("value") * 1000000d).cast("long").as("vm"))
+      val order = Seq(col("ts_ms"), col("event_id"))
+      val wP = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wN = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(1, Window.unboundedFollowing)
+      val isP = col("event_type") === "purchase"
+      e.withColumn("pm", last(when(isP, col("vm")), ignoreNulls = true)
+          .over(wP))
+        .withColumn("pt", last(when(isP, col("ts_ms")), ignoreNulls = true)
+          .over(wP))
+        .withColumn("nm", first(when(isP, col("vm")), ignoreNulls = true)
+          .over(wN))
+        .withColumn("nt", first(when(isP, col("ts_ms")), ignoreNulls = true)
+          .over(wN))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("pt").as("prev_ms"), col("nt").as("next_ms"),
+          when(col("pt").isNotNull && col("nt").isNotNull,
+            when(col("nt") > col("pt"),
+              expr("(pm * (nt - ts_ms) + nm * (ts_ms - pt)) DIV (nt - pt)"))
+              .otherwise(col("pm")))
+            .as("interp_micro"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+        FLOOR(value * 1000000)::BIGINT AS vm
+      FROM events),
+    w AS (SELECT event_id, user_id, event_type, ts_ms,
+        LAST_VALUE(CASE WHEN event_type = 'purchase' THEN vm END
+          IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+        LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts_ms END
+          IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN vm END
+          IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nm,
+        FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts_ms END
+          IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM e)
+    SELECT event_id, user_id, ts_ms, pt AS prev_ms, nt AS next_ms,
+      CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+        CASE WHEN nt > pt
+          THEN (pm * (nt - ts_ms) + nm * (ts_ms - pt)) // (nt - pt)
+          ELSE pm END
+      END AS interp_micro
+    FROM w WHERE event_type = 'click' ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(asof, asofNative, asofTolerance, asofForward,
-    asofNearest, range, topk)
+    asofNearest, range, topk, asofInterpolate)
 }

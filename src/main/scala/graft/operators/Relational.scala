@@ -680,8 +680,39 @@ object Relational {
     FROM e JOIN c USING (user_id)
     GROUP BY cohort_wk, wk ORDER BY cohort_wk, wk"""))
 
+  // ---------------------------------------------------------------- q30
+  /** CDC-style latest-record dedup: keep the newest event per
+    * (user, event_type) — the compaction every change-stream ingest runs
+    * before joining dimensions. One row_number window over thin
+    * (key, ts, id) rows, ties broken by event_id so both engines pick
+    * the identical row; at scale this is the shape to replace with
+    * `max_by` / sort-merge on a bucketed key when the key space is huge.
+    */
+  private val q30 = Q(
+    "q30_latest_per_key",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"),
+          col("ts_ms").as("latest_ms"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, latest_event_id, latest_ms FROM (
+      SELECT user_id, event_type, event_id AS latest_event_id,
+        epoch_ms(ts) AS latest_ms,
+        row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 ORDER BY user_id, event_type"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29)
+      q28, q29, q30)
 }
