@@ -711,8 +711,42 @@ object Relational {
       FROM events)
     WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  // ---------------------------------------------------------------- q31
+  /** Rolling 7-day per-user aggregates — the RANGE-frame feature-
+    * engineering shape (q27's range window counts events in a fixed
+    * bucket; this is the sliding event-time frame ML feature pipelines
+    * compute per interaction): for every event, the sum/count of the
+    * user's events in `[ts − 7d, ts]`. One RANGE window over the
+    * user-partitioned time sort; values ride as floor-micro longs so the
+    * sums are integer-exact (`::BIGINT` on the DuckDB side — SUM of
+    * BIGINT surfaces as HUGEINT otherwise). RANGE frames include
+    * timestamp PEERS in both engines, so ties contribute identically.
+    */
+  private val q31 = Q(
+    "q31_rolling_window",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms")
+        .rangeBetween(-604800000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          floor(col("value") * 1000000d).cast("long").as("vm"))
+        .withColumn("roll_sum_micro", sum("vm").over(w))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .select("event_id", "user_id", "ts_ms", "roll_sum_micro", "roll_n")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      (SUM(FLOOR(value * 1000000)::BIGINT) OVER (PARTITION BY user_id
+        ORDER BY epoch_ms(ts)
+        RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW))::BIGINT
+        AS roll_sum_micro,
+      COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+        AS roll_n
+    FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30)
+      q28, q29, q30, q31)
 }

@@ -1027,34 +1027,49 @@ object TextOps {
     * only corpus-keyed exchange is the dl join on doc_id. Top-k is
     * TakeOrderedAndProject, never a global sort.
     */
+  /** BM25 integer scores for `terms` over the corpus — (doc_id,
+    * n_terms_matched, score) for every matching doc, unranked. Shared by
+    * text_rank_bm25 and hybrid_search_rrf.
+    */
+  private[graft] def bm25Scores(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val dl = d.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val n = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) DIV count(1)").as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text")))
+        .as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib", expr(
+        "((((n_docs - df) * 2 + 1) * 1000000 DIV (2 * df + 1)) " +
+          "* 22 * avgdl * tf) " +
+          "DIV (10 * avgdl * tf + 3 * avgdl + 9 * dl)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum("contrib").as("score"))
+  }
+
   private val bm25 = Q(
     "text_rank_bm25",
-    (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val dl = d.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("dl"))
-      val n = dl.agg(count(lit(1)).as("n_docs"),
-        expr("sum(dl) DIV count(1)").as("avgdl"))
-      val tf = d.select(col("doc_id"), explode(tokens(col("text")))
-          .as("term"))
-        .filter(col("term").isin(BM25_TERMS: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(n))
-        .withColumn("contrib", expr(
-          "((((n_docs - df) * 2 + 1) * 1000000 DIV (2 * df + 1)) " +
-            "* 22 * avgdl * tf) " +
-            "DIV (10 * avgdl * tf + 3 * avgdl + 9 * dl)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms_matched"),
-          sum("contrib").as("score"))
+    (s, dir) =>
+      bm25Scores(s, dir, BM25_TERMS)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(BM25_K)
-        .select(col("doc_id"), col("n_terms_matched"), col("score"))
-    },
-    Some(s"""WITH d AS (
+        .select(col("doc_id"), col("n_terms_matched"), col("score")),
+    Some(s"""WITH ${sqlBm25ScoreCte(BM25_TERMS)}
+    SELECT doc_id, n_terms_matched, score FROM bm
+    ORDER BY score DESC, doc_id LIMIT $BM25_K"""))
+
+  /** DuckDB CTE chain mirroring [[bm25Scores]] exactly, ending in
+    * `bm(doc_id, n_terms_matched, score)`. */
+  private[graft] def sqlBm25ScoreCte(terms: Seq[String]): String =
+    s"""d AS (
       SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
       FROM documents),
     dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
@@ -1062,18 +1077,97 @@ object TextOps {
       (SUM(dl) // COUNT(*))::BIGINT AS avgdl FROM dl),
     t AS (SELECT doc_id, unnest(w) AS term FROM d),
     tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM t
-      WHERE term IN (${BM25_TERMS.map("'" + _ + "'").mkString(",")})
+      WHERE term IN (${terms.map("'" + _ + "'").mkString(",")})
       GROUP BY 1, 2),
     df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
     sc AS (SELECT doc_id,
         ((((n_docs - df) * 2 + 1) * 1000000 // (2 * df + 1))
           * 22 * avgdl * tf)
           // (10 * avgdl * tf + 3 * avgdl + 9 * dl) AS contrib
-      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n)
-    SELECT doc_id, COUNT(*)::BIGINT AS n_terms_matched,
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+    bm AS (SELECT doc_id, COUNT(*)::BIGINT AS n_terms_matched,
       SUM(contrib)::BIGINT AS score
-    FROM sc GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT $BM25_K"""))
+    FROM sc GROUP BY doc_id)"""
+
+  // ----------------------------------------------------- hybrid_search_rrf
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. '09 —
+    * the fusion every production RAG stack runs): the BM25 leg
+    * ([[bm25Scores]], same terms as text_rank_bm25) and a vector leg
+    * (exact cosine against one query embedding) each produce a top-50
+    * rank list; fused score = Σ 10⁶ DIV (60 + rank) over the legs a doc
+    * appears in (integer RRF in millionths, k=60 the published
+    * constant), final top-20 by fused score with doc_id tie-break.
+    * Docs found by only one leg keep a NULL rank on the other — the
+    * honest provenance column.
+    *
+    * Shape: each leg is its own bounded top-k (the global row_number
+    * windows here run over leg-sized frames, ≤ corpus matches); the
+    * fusion is a full outer join of two ≤50-row lists — driver-free and
+    * broadcastable. At 100 TB the legs swap in the persisted index
+    * paths (text_search_ranked's DPP index, knn_ivf_persisted) and the
+    * fusion shape is unchanged.
+    */
+  private val RRF_K = 60
+  private val HYBRID_LEG_K = 50
+  private val HYBRID_K = 20
+  private val HYBRID_QVEC = 0L
+
+  private val hybrid = Q(
+    "hybrid_search_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.CosineSim.cosineSim
+      val tw = Window.orderBy(col("score").desc, col("doc_id"))
+      val textRanks = bm25Scores(s, dir, BM25_TERMS)
+        .withColumn("text_rank", row_number().over(tw).cast("long"))
+        .filter(col("text_rank") <= HYBRID_LEG_K)
+        .select(col("doc_id"), col("text_rank"))
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+      val qv = e.filter(col("vec_id") === HYBRID_QVEC)
+        .select(col("v").as("qv"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val vw = Window.orderBy(cos.desc, col("vec_id"))
+      val vecRanks = e.crossJoin(broadcast(qv))
+        .withColumn("vec_rank", row_number().over(vw).cast("long"))
+        .filter(col("vec_rank") <= HYBRID_LEG_K)
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      val fw = Window.orderBy(col("rrf_micro").desc, col("doc_id"))
+      textRanks.join(vecRanks, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr(s"1000000 DIV ($RRF_K + text_rank)"), lit(0L)) +
+            coalesce(expr(s"1000000 DIV ($RRF_K + vec_rank)"), lit(0L)))
+        .withColumn("rank", row_number().over(fw).cast("long"))
+        .filter(col("rank") <= HYBRID_K)
+        .select("rank", "doc_id", "text_rank", "vec_rank", "rrf_micro")
+        .orderBy("rank")
+    },
+    Some(s"""WITH ${sqlBm25ScoreCte(BM25_TERMS)},
+    trk AS (SELECT doc_id, text_rank FROM (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS text_rank
+        FROM bm)
+      WHERE text_rank <= $HYBRID_LEG_K),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = $HYBRID_QVEC),
+    vrk AS (SELECT doc_id, vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+          row_number() OVER (
+            ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id)
+            AS vec_rank
+        FROM e CROSS JOIN qv)
+      WHERE vec_rank <= $HYBRID_LEG_K),
+    fused AS (SELECT COALESCE(trk.doc_id, vrk.doc_id) AS doc_id,
+        text_rank, vec_rank,
+        COALESCE(1000000 // ($RRF_K + text_rank), 0)
+          + COALESCE(1000000 // ($RRF_K + vec_rank), 0) AS rrf_micro
+      FROM trk FULL JOIN vrk ON trk.doc_id = vrk.doc_id)
+    SELECT rank, doc_id, text_rank, vec_rank, rrf_micro FROM (
+      SELECT doc_id, text_rank, vec_rank, rrf_micro,
+        row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= $HYBRID_K ORDER BY rank"""))
 
   // --------------------------------------------------------- text_badwords
   /** Blocklist screening — the lexicon-hit filter every crawl pipeline
@@ -1173,5 +1267,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
-    piiScrub, pplBucket, lineDedup, htmlStrip, bm25, badwords, keywords)
+    piiScrub, pplBucket, lineDedup, htmlStrip, bm25, hybrid, badwords,
+    keywords)
 }
