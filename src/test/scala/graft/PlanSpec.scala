@@ -87,6 +87,7 @@ class PlanSpec extends SparkSpec {
     "emb_pca_project",     // same broadcast normalizer via powerIterate
     "text_ppl_bucket",     // broadcast 1-row corpus-count aggregate
     "text_rank_bm25",      // broadcast 1-row (N, avgdl) corpus scalars
+    "hybrid_search_rrf",   // same BM25 scalars + broadcast 1-row query vec
     "sample_temperature",  // broadcast 1-row total / sum-of-weights scalars
     "sample_budget",       // same broadcast scalars + budget arithmetic
     "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
