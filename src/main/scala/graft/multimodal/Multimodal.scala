@@ -516,29 +516,36 @@ object Multimodal {
     */
   val SCENE_HAM = 20
 
+  /** Per-media (n_frames, n_scenes) over a media Dataset: every
+    * `frameBytes` frame fingerprinted, boundary = frame-over-frame
+    * hamming > hamMax, scenes = boundaries + 1. The callable form behind
+    * `mm_scene_detect`; spec'd on constructed two-scene payloads.
+    */
+  def sceneCounts(media: Dataset[MediaRecord], frameBytes: Int = 64,
+      hamMax: Int = SCENE_HAM): DataFrame = {
+    val fr = frameSample(media, frameBytes = frameBytes, everyN = 1).toDF()
+      .select(expr(s"mediaId DIV $FRAME_STRIDE").as("media_id"),
+        expr(s"mediaId % $FRAME_STRIDE").as("idx"),
+        org.apache.spark.sql.graft.Shim.column(
+          graft.functions.PerceptualHash(
+            org.apache.spark.sql.graft.Shim.expression(col("payload")),
+            PH_BITS)).as("fh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("idx")
+    fr.withColumn("prev", lag(col("fh"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          bit_count(col("fh").bitwiseXOR(col("prev"))) > hamMax, 1L)
+          .otherwise(0L))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        (sum("cut") + 1L).as("n_scenes"))
+  }
+
   private val sceneDetect = Q(
     "mm_scene_detect",
-    (s, dir) => {
-      val fr = frameSample(mediaFromDocuments(s, dir),
-        frameBytes = 64, everyN = 1).toDF()
-        .select(expr(s"mediaId DIV $FRAME_STRIDE").as("media_id"),
-          expr(s"mediaId % $FRAME_STRIDE").as("idx"),
-          org.apache.spark.sql.graft.Shim.column(
-            graft.functions.PerceptualHash(
-              org.apache.spark.sql.graft.Shim.expression(col("payload")),
-              PH_BITS)).as("fh"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("media_id").orderBy("idx")
-      fr.withColumn("prev", lag(col("fh"), 1).over(w))
-        .withColumn("cut",
-          when(col("prev").isNotNull &&
-            bit_count(col("fh").bitwiseXOR(col("prev"))) > SCENE_HAM, 1L)
-            .otherwise(0L))
-        .groupBy("media_id")
-        .agg(count(lit(1)).as("n_frames"),
-          (sum("cut") + 1L).as("n_scenes"))
-        .orderBy("media_id")
-    },
+    (s, dir) => sceneCounts(mediaFromDocuments(s, dir))
+      .orderBy("media_id"),
     Some(s"""WITH idxs AS (
       SELECT doc_id, unnest(range((length(text) + 63) // 64)) AS idx, text
       FROM documents),

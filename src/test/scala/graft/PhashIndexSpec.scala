@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shim
 
-import graft.multimodal.{Multimodal, PhashIndex}
+import graft.multimodal.{MediaMeta, MediaRecord, Multimodal, PhashIndex}
 
 /** Persisted perceptual-hash index: check resolves band collisions to
   * VERIFIED near-dups against the stored hash, and append ≡ build from
@@ -94,5 +94,27 @@ class PhashIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)),
       s"expected exactly the frame-sharing pair, got $pairs")
+  }
+
+  test("sceneCounts finds exactly the constructed scene boundary") {
+    // two scenes of 8 identical 64-byte frames each: within a scene the
+    // frame-over-frame hamming is 0; across the boundary the segment
+    // patterns differ by 26 bits (> SCENE_HAM)
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](64)(j =>
+        if (((j * 60 / 64) * 7 + seed * 13) % 60 < 30) 200.toByte
+        else 20.toByte)
+    def rep(f: Array[Byte], n: Int): Array[Byte] =
+      Array.fill(n)(f).flatten
+    val twoScenes = rep(frame(0), 8) ++ rep(frame(1), 8)
+    val oneScene = rep(frame(3), 16)
+    val media = spark.createDataset(Seq(
+      MediaRecord(0L, twoScenes, MediaMeta("vid", 0, 0, 0L)),
+      MediaRecord(1L, oneScene, MediaMeta("vid", 0, 0, 0L))))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.sceneCounts(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(0L -> (16L, 2L), 1L -> (16L, 1L)), s"got $got")
   }
 }
