@@ -1007,6 +1007,54 @@ object Knn {
     FROM kk LEFT JOIN m ON kk.query_id = m.query_id
     ORDER BY kk.query_id"""))
 
+  // ------------------------------------------------------ graph_components
+  /** Connected components over the kNN graph — the third of the classic
+    * graph trio (pagerank: importance; triangles: local density;
+    * components: global connectivity — the "is my embedding space one
+    * blob or many islands" diagnostic, and the same label machinery
+    * dedup's cluster assignment runs). Reuses
+    * [[graft.dedup.Dedup.connectedComponents]] (iterated min-label
+    * propagation over thin (id, label) longs, checkpointed per round);
+    * the oracle recomputes the closure with a recursive CTE over the
+    * mirrored edge list, so a green row proves the edge list AND the
+    * fixpoint. Output carries the component size — the quantity a
+    * curation dashboard actually reads.
+    */
+  private val componentsQ = Q(
+    "graph_components",
+    (s, dir) => {
+      val edges = knnGraph(s, dir)
+        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+      val labels = graft.dedup.Dedup.connectedComponents(edges)
+      val lab = emb(s, dir).select(col("vec_id"))
+        .join(labels.select(col("id").as("vec_id"), col("label")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("component_id"))
+      val sizes = lab.groupBy("component_id")
+        .agg(count(lit(1)).as("component_size"))
+      lab.join(sizes, "component_id")
+        .select("vec_id", "component_id", "component_size")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlKnnEdgesCte,
+    sym AS (SELECT u, v_id AS v FROM edges
+      UNION SELECT v_id, u FROM edges),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u),
+    cmin AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS component_id
+      FROM reach GROUP BY u),
+    lab AS (SELECT e.vec_id,
+        COALESCE(c.component_id, e.vec_id) AS component_id
+      FROM e LEFT JOIN cmin c USING (vec_id)),
+    sz AS (SELECT component_id, COUNT(*)::BIGINT AS component_size
+      FROM lab GROUP BY component_id)
+    SELECT vec_id, component_id, component_size
+    FROM lab JOIN sz USING (component_id) ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, pagerank, triangleQ, kmeansTrain, kmeansAssign, recallQ)
+    knnJoin, pagerank, triangleQ, componentsQ, kmeansTrain, kmeansAssign,
+    recallQ)
 }
