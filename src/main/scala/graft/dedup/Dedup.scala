@@ -635,10 +635,29 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .groupBy(col("u").as("id")).agg(min("label").as("nmin"))
-      val next = labels
+      // materialized: prop feeds BOTH sides of the compression self-join
+      // below — without the barrier the join+groupBy lineage runs twice
+      // per round (the dedup_substring lesson)
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .transform(graft.Checkpoint.of)
+      // pointer-doubling (path compression): label ← min(label,
+      // label(label)). Plain neighbor-min propagation needs O(diameter)
+      // rounds — a 5k-node kNN giant component ran the loop into maxIter
+      // (graph_components was the slowest query in the suite at 13.5 s);
+      // the extra self-join halves the propagation distance each round,
+      // O(log d) rounds total. The fixpoint is unchanged: labels only
+      // ever take node-id values from the same component and only
+      // decrease, so the stable point is still the component minimum —
+      // the six oracle-gated CC consumers re-prove it.
+      val next = prop.as("a")
+        .join(prop.select(col("id").as("pid"), col("label").as("plabel"))
+          .as("b"), col("a.label") === col("b.pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("plabel"), col("a.label")))
             .as("label"))
         .transform(graft.Checkpoint.of)
       val changed = next.as("n")
