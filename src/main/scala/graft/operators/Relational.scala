@@ -745,8 +745,73 @@ object Relational {
         AS roll_n
     FROM events ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q32
+  /** Salted skewed join under the oracle gate — the [[Skew]] machinery
+    * (spec-only until now) run end-to-end: lineitem joined against the
+    * supplier dim with an 8-way salt (each supplier row replicated 8×,
+    * each fact row routed to one replica by a seeded rand), then
+    * aggregated per nation. The salt only ROUTES rows, so the result is
+    * provably identical to the plain equi-join the oracle runs — the
+    * exact property that makes salting safe to drop into a production
+    * plan when one reducer owns a hot key even after map-side combine.
+    * Exact decimal revenue (SURVEY §5). Scale: the replicated side is
+    * |supplier|·8 — dimension-sized; the fact side is scanned once with
+    * no extra shuffle beyond the join's own exchange.
+    */
+  private val q32 = Q(
+    "q32_skew_salted",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      Skew.saltedJoin(li, sup, "s_suppkey", 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("s_nationkey")
+    },
+    Some(s"""SELECT s_nationkey, COUNT(*) AS n_items,
+      ${sqlSum6("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  // ---------------------------------------------------------------- q33
+  /** SCD type-2 interval build — the other half of the CDC pair with
+    * [[q30]]: q30 keeps only the LATEST record per key; this keeps them
+    * ALL, turning each (user, event_type) change stream into validity
+    * intervals `[valid_from, valid_to)` via one `lead` over a
+    * per-key sort — the slowly-changing-dimension table every
+    * point-in-time join (and our as-of family) reads at a warehouse.
+    * Open intervals (`valid_to IS NULL`) are flagged `is_current`.
+    * Determinism: the window orders by (ts_ms, event_id) so same-ms
+    * events chain identically in both engines; all-integer output.
+    * Scale: ONE hash exchange on the key + per-partition sort — the
+    * same shape as q23's windows; no joins, no second pass.
+    */
+  private val q33 = Q(
+    "q33_scd2_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("valid_from", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_ms").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+      epoch_ms(ts) AS valid_from,
+      lead(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+        ORDER BY epoch_ms(ts), event_id) AS valid_to,
+      lead(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+        ORDER BY epoch_ms(ts), event_id) IS NULL AS is_current
+    FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31)
+      q28, q29, q30, q31, q32, q33)
 }

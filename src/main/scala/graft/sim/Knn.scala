@@ -1054,7 +1054,81 @@ object Knn {
     SELECT vec_id, component_id, component_size
     FROM lab JOIN sz USING (component_id) ORDER BY vec_id"""))
 
+  // --------------------------------------------------------- knn_hamming
+  /** Binary-sketch ANN — 1-bit scalar quantization: each vector collapses
+    * to the 64-bit word of its component signs ([[graft.functions.SignBits]]
+    * codegen kernel), hamming distance (`bit_count(sig ^ qsig)` — one
+    * popcount on 8 bytes instead of 64 FMAs on 512 bytes) screens the
+    * corpus down to [[HCAND]] candidates per query, and exact cosine
+    * re-ranks only those. The sign(⟨x−y⟩) ↔ angle link is the same
+    * hyperplane-LSH fact behind dedup_embedding_lsh, specialized to the
+    * coordinate hyperplanes; it's the binary-embedding retrieval shape
+    * (Faiss `IndexBinaryFlat` + refine) that pairs with int8
+    * [[ivfQuantized]] and PQ on the memory/recall curve — 64× smaller
+    * scan than raw doubles.
+    *
+    * Exactness: signatures are exact integers (`v[i] > 0` is the same
+    * IEEE decision both engines), hamming rank ties break on vec_id, and
+    * the re-rank cosine is the bit-exact sequential-fold kernel — the
+    * candidate SET and final ranking are engine-identical, so the oracle
+    * mirrors the full pipeline (not just the end result). Scale: corpus
+    * scanned once map-only (scan + kernel stay in one codegen stage),
+    * per-query top-CAND via WindowGroupLimit, re-rank touches
+    * NQ·HCAND rows.
+    */
+  private val HCAND = 32
+
+  private val hamming = Q(
+    "knn_hamming",
+    (s, dir) => {
+      val sigExpr = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.SignBits(
+          org.apache.spark.sql.graft.Shim.expression(col("v"))))
+      val sigs = emb(s, dir).withColumn("sig", sigExpr)
+      val q = sigs.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("sig").as("qsig"))
+      val ham = bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long")
+      val wh = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("vec_id"))
+      val cand = sigs.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("hamming", ham)
+        .withColumn("hrank", row_number().over(wh))
+        .filter(col("hrank") <= HCAND)
+      val cos = cosineSim(col("qv"), col("v"))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(wc).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("hamming"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    sg AS (
+      SELECT vec_id, SUM(CASE WHEN v[i.range + 1] <= 0 THEN 0
+          WHEN i.range = 63 THEN -9223372036854775807 - 1
+          ELSE (1::BIGINT << i.range) END)::BIGINT AS sig
+        FROM e, range(64) i GROUP BY vec_id),
+    es AS (SELECT e.vec_id, v, sig FROM e JOIN sg USING (vec_id)),
+    q AS (SELECT vec_id query_id, v qv, sig qsig FROM es
+      WHERE vec_id < $NQ),
+    cand AS (
+      SELECT query_id, qv, s.vec_id, s.v,
+        bit_count(xor(s.sig, qsig))::BIGINT AS hamming,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY bit_count(xor(s.sig, qsig)), s.vec_id) AS hrank
+      FROM q, es s WHERE query_id <> s.vec_id)
+    SELECT query_id, neighbor_id, rank, hamming, cosine FROM (
+      SELECT query_id, vec_id AS neighbor_id, hamming,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank,
+        round(list_cosine_similarity(qv, v), 6) AS cosine
+      FROM cand WHERE hrank <= $HCAND)
+    WHERE rank <= $K ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, kmeansTrain, kmeansAssign,
-    recallQ)
+    recallQ, hamming)
 }

@@ -390,6 +390,107 @@ object Sampling {
       (alloc_tokens * 1000 // tokens)::BIGINT AS epochs_milli
     FROM a ORDER BY lang"""))
 
+  // ------------------------------------------------------------ sample_dsir
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): select raw-corpus documents whose hashed-n-gram feature
+    * distribution looks like a TARGET domain. Target here = `source =
+    * 'src0'`; candidates = every other source. Features are unigrams +
+    * bigrams hashed into [[DSIR_B]] buckets (60-bit md5 prefix mod B — the
+    * repo-standard cross-engine hash); the per-bucket importance weight is
+    * the add-one-smoothed log-likelihood ratio `log2 p_target(b) −
+    * log2 p_raw(b)`, and a candidate's score is the sum of its gram
+    * occurrences' bucket weights — the paper's
+    * `log w(x) = Σ_b c_b(x)·(log p_b − log q_b)` with hashed features.
+    * Top-[[DSIR_K]] by score are the selected training docs.
+    *
+    * Cross-engine exactness WITHOUT transcendental logs (ln() ulp drift —
+    * the text_lm_score lesson): log2 runs as the deterministic
+    * piecewise-linear fixed-point `ilog2_m20(x) = e·2²⁰ +
+    * (x·2²⁰ DIV 2^e) − 2²⁰` with `e = ⌊log2 x⌋ = length(bin(x)) − 1` —
+    * exact at powers of two, linear interpolation between (max error
+    * 0.086 bits, a rank-irrelevant smooth bias), identical integer
+    * arithmetic in both engines. Scores stay BIGINT end-to-end.
+    *
+    * Scale shape: ONE pass over the checkpointed thin gram stream
+    * (doc_id, is_target, bucket) into a ≤B-row model (map-side-combined
+    * conditional counts), model broadcast back onto the candidate grams,
+    * one per-doc aggregate, TakeOrdered top-K. No windows, no self-joins;
+    * at 100 TB the trained model is still 512 rows — it ships as a
+    * broadcast exactly like the paper's hashed-bigram generative model.
+    */
+  private val DSIR_B = 512
+  private val DSIR_K = 100
+
+  /** Fixed-point piecewise-linear log2 in 2⁻²⁰ units — exact integer
+    * arithmetic, mirrored verbatim in the DuckDB oracle. */
+  private def ilog2m20(x: String): String =
+    s"((length(bin($x)) - 1) * 1048576 + " +
+      s"($x * 1048576) DIV shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1)" +
+      s" - 1048576)"
+  private def dIlog2m20(x: String): String =
+    s"((length(bin($x)) - 1) * 1048576 + " +
+      s"($x * 1048576) // (1::BIGINT << (length(bin($x)) - 1)) - 1048576)"
+
+  private val dsir = Q(
+    "sample_dsir",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val bigramArr = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 2,
+          distinct = false))
+      val grams = d
+        .select(col("doc_id"), (col("source") === "src0").as("is_t"),
+          explode(concat(graft.text.TextOps.tokens(col("text")), bigramArr))
+            .as("g"))
+        .select(col("doc_id"), col("is_t"),
+          (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            % DSIR_B).as("b"))
+        .transform(graft.Checkpoint.of)   // model agg + scoring both read it
+      val model = grams.groupBy("b").agg(
+        (sum(when(col("is_t"), 1L).otherwise(0L)) + 1L).as("p"),
+        (sum(when(!col("is_t"), 1L).otherwise(0L)) + 1L).as("q"))
+      val tot = model.agg(sum("p").as("np"), sum("q").as("nq"))
+      val weights = model.crossJoin(broadcast(tot))
+        .withColumn("llr_m20",
+          expr(s"${ilog2m20("p")} - ${ilog2m20("q")}" +
+            s" - (${ilog2m20("np")} - ${ilog2m20("nq")})"))
+        .select("b", "llr_m20")
+      grams.filter(!col("is_t"))
+        .join(broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("llr_m20").as("score_m20"))
+        .orderBy(col("score_m20").desc, col("doc_id"))
+        .limit(DSIR_K)
+        .orderBy(col("score_m20").desc, col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, source,
+        list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+        (('0x' || substr(md5(u.g), 1, 15))::BIGINT % $DSIR_B) AS b
+      FROM toks, UNNEST(list_concat(w,
+        [w[i] || ' ' || w[i+1] for i in range(1, greatest(len(w), 1))]))
+        u(g)),
+    model AS (
+      SELECT b,
+        (SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1)::BIGINT AS p,
+        (SUM(CASE WHEN is_t THEN 0 ELSE 1 END) + 1)::BIGINT AS q
+      FROM grams GROUP BY b),
+    tot AS (SELECT SUM(p)::BIGINT AS np, SUM(q)::BIGINT AS nq FROM model),
+    wt AS (
+      SELECT b, ${dIlog2m20("p")} - ${dIlog2m20("q")}
+          - (${dIlog2m20("np")} - ${dIlog2m20("nq")}) AS llr_m20
+      FROM model CROSS JOIN tot)
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+      SUM(wt.llr_m20)::BIGINT AS score_m20
+    FROM grams g JOIN wt USING (b)
+    WHERE NOT g.is_t
+    GROUP BY g.doc_id
+    ORDER BY score_m20 DESC, doc_id LIMIT $DSIR_K"""))
+
   val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted,
-    temperature, budget)
+    temperature, budget, dsir)
 }

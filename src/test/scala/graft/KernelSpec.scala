@@ -325,4 +325,43 @@ class KernelSpec extends SparkSpec {
       graft.functions.PerceptualHash.hash(r.getAs[Array[Byte]](1), 60)).toMap
     assert(viaSql === direct)
   }
+
+  test("SignBits kernel == aggregate(sequence) composition, incl. bit 63 " +
+      "and zero/negative-zero edges") {
+    // adversarial vectors: exact zeros (not a set bit), -0.0 (IEEE: not
+    // > 0), a sign in the top bit position (1L << 63 = Long.MinValue),
+    // all-negative, empty, and >64 dims (extra components ignored)
+    val vecs: Seq[Seq[Double]] = Seq(
+      Seq.fill(64)(1.0),
+      Seq.fill(64)(-1.0),
+      Seq.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0),
+      Seq.tabulate(64)(i => if (i == 63) 0.5 else -0.5),
+      Seq(0.0, -0.0, 1e-30, -1e-30),  // float-representable magnitudes:
+      // the float-vs-double assertion below would otherwise diverge on
+      // subnormal underflow (1e-300.toFloat == 0.0f), which is a property
+      // of the cast, not of the kernel
+      Seq.empty[Double],
+      Seq.tabulate(70)(i => 1.0))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val kernel = df.select(Shim.column(
+      graft.functions.SignBits(Shim.expression(col("v")))).as("s"))
+      .collect().map(_.getLong(0))
+    val composed = df.select(expr(
+      "aggregate(zip_with(" +
+        "slice(concat(v, array_repeat(cast(0.0 as double), 64)), 1, 64), " +
+        "sequence(0, 63), " +
+        "(x, i) -> IF(x > 0d, shiftleft(cast(1 as bigint), i), " +
+        "cast(0 as bigint))), " +
+        "cast(0 as bigint), (acc, b) -> acc + b)").as("s"))
+      .collect().map(_.getLong(0))
+    assert(kernel.toSeq == composed.toSeq)
+    // float input widens to double: same bits as the double vector
+    val fdf = vecs.map(v => Tuple1(v.map(_.toFloat))).toDF("v")
+    val fk = fdf.select(Shim.column(
+      graft.functions.SignBits(Shim.expression(col("v")))).as("s"))
+      .collect().map(_.getLong(0))
+    assert(fk.toSeq == kernel.toSeq)
+    // the all-positive 64-dim vector exercises bit 63 = Long.MinValue
+    assert(kernel(0) == -1L)
+  }
 }

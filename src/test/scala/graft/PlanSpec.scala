@@ -92,6 +92,8 @@ class PlanSpec extends SparkSpec {
     "sample_budget",       // same broadcast scalars + budget arithmetic
     "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
     "decontam_embedding",  // broadcast benchmark vectors vs corpus scan
+    "knn_hamming",         // broadcast query sigs vs corpus (bruteforce shape)
+    "sample_dsir",         // broadcast 1-row (np, nq) model-total scalars
     "corpus_overlap",      // |sources|-row grid (a < b) pair table
     "text_classify_centroid") // broadcast L-row class table (scoring grid)
 
