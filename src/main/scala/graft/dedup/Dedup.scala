@@ -635,15 +635,19 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .groupBy(col("u").as("id")).agg(min("label").as("nmin"))
-      // materialized: prop feeds BOTH sides of the compression self-join
-      // below — without the barrier the join+groupBy lineage runs twice
-      // per round (the dedup_substring lesson)
+      // NOT checkpointed: prop is a join+agg of two already-materialized
+      // thin frames; evaluating it once per side of the compression
+      // self-join below costs less than a localCheckpoint action per
+      // round (measured: one checkpoint+probe round ≈ 0.5 s vs 0.3 s at
+      // sf0.1, and the loop runs O(log d) rounds). `old` rides along so
+      // convergence is a scan of the ROUND's own checkpoint, not a
+      // second join.
       val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
-        .transform(graft.Checkpoint.of)
+            .as("label"),
+          col("label").as("old"))
       // pointer-doubling (path compression): label ← min(label,
       // label(label)). Plain neighbor-min propagation needs O(diameter)
       // rounds — a 5k-node kNN giant component ran the loop into maxIter
@@ -652,19 +656,27 @@ object Dedup {
       // O(log d) rounds total. The fixpoint is unchanged: labels only
       // ever take node-id values from the same component and only
       // decrease, so the stable point is still the component minimum —
-      // the six oracle-gated CC consumers re-prove it.
+      // the six oracle-gated CC consumers re-prove it. ONE
+      // materialization per round: this checkpoint.
+      val lut1 = prop.select(col("id").as("pid"), col("label").as("plabel"))
+      val lut2 = prop.select(col("id").as("qid"), col("label").as("qlabel"))
       val next = prop.as("a")
-        .join(prop.select(col("id").as("pid"), col("label").as("plabel"))
-          .as("b"), col("a.label") === col("b.pid"), "left")
+        .join(lut1, col("a.label") === col("pid"), "left")
+        .withColumn("l1",
+          least(col("a.label"), coalesce(col("plabel"), col("a.label"))))
+        // second hop along the SAME round's mapping: two chain steps per
+        // checkpoint, one extra join in the plan instead of an extra
+        // round (rounds are the cost — each is a full job)
+        .join(lut2, col("l1") === col("qid"), "left")
         .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("plabel"), col("a.label")))
-            .as("label"))
+          least(col("l1"), coalesce(col("qlabel"), col("l1"))).as("label"),
+          col("a.old").as("old"))
         .transform(graft.Checkpoint.of)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
+      // labels strictly decrease, so one surviving row ⇒ not converged;
+      // filter over the materialized round output — no join, no shuffle
+      val changed = next.filter(col("label") < col("old"))
         .limit(1).count() > 0
-      labels = next
+      labels = next.select(col("id"), col("label"))
       converged = !changed
       i += 1
     }

@@ -1023,8 +1023,12 @@ object Knn {
   private val componentsQ = Q(
     "graph_components",
     (s, dir) => {
-      val edges = knnGraph(s, dir)
-        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+      // materialized BEFORE the CC loop: connectedComponents unions both
+      // edge orientations, and without the barrier each union branch
+      // re-runs the whole IVF kNN-join lineage (train+assign+probe+topk,
+      // ~2× the graph cost — measured 1.8 s of the query's 9.4 s)
+      val edges = graft.Checkpoint.of(knnGraph(s, dir)
+        .select(col("query_id").as("u"), col("neighbor_id").as("v")))
       val labels = graft.dedup.Dedup.connectedComponents(edges)
       val lab = emb(s, dir).select(col("vec_id"))
         .join(labels.select(col("id").as("vec_id"), col("label")),
