@@ -747,8 +747,11 @@ object Knn {
   private val pagerank = Q(
     "graph_pagerank",
     (s, dir) => {
-      val e0 = knnGraph(s, dir)
-        .select(col("query_id").as("u"), col("neighbor_id").as("v_id"))
+      // materialized FIRST: e0 feeds both the degree aggregate and the
+      // join below — un-checkpointed, the whole IVF kNN-join lineage
+      // would run once per consumer (the graph_components lesson)
+      val e0 = graft.Checkpoint.of(knnGraph(s, dir)
+        .select(col("query_id").as("u"), col("neighbor_id").as("v_id")))
       val deg = e0.groupBy("u").agg(count(lit(1)).as("d"))
       // static (u, v_id, d) — the per-round loop then needs ONE join
       // (pr on u) instead of pr⋈deg followed by ⋈edges
