@@ -1135,7 +1135,57 @@ object Knn {
       FROM cand WHERE hrank <= $HCAND)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
+  // --------------------------------------------------- knn_hard_negatives
+  /** Hard-negative mining — the contrastive-training curation step (DPR /
+    * sentence-transformers): for each query vector, the top-k most
+    * SIMILAR vectors with a DIFFERENT label. Those are the negatives
+    * that actually move a retriever's loss — random negatives are
+    * trivially separable; the near-misses define the decision boundary.
+    * Same broadcast-queries-vs-one-corpus-pass shape as [[bruteforce]]
+    * with the label-disagreement predicate filtered INSIDE the scan
+    * (before the window), so the per-query top-k ranks only true
+    * negatives. Exactness: label equality is integer, ranking is the
+    * bit-exact sequential-fold cosine with vec_id tie-break. Scale: at a
+    * real corpus this runs per training shard with the same plan — the
+    * filter prunes before the WindowGroupLimit, and the broadcast query
+    * block is the batch of anchors being mined.
+    */
+  private val hardNegatives = Q(
+    "knn_hard_negatives",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").as("qlabel"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      e.join(broadcast(q), col("label") =!= col("qlabel"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("qlabel").cast("long").as("query_label"),
+          col("vec_id").as("negative_id"),
+          col("label").cast("long").as("negative_label"),
+          col("rank"), round(cos, 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv, label qlabel FROM e
+      WHERE vec_id < $NQ)
+    SELECT query_id, query_label, negative_id, negative_label, rank, cosine
+    FROM (
+      SELECT query_id, qlabel::BIGINT AS query_label,
+        e.vec_id AS negative_id, e.label::BIGINT AS negative_label,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id) AS rank,
+        round(list_cosine_similarity(qv, e.v), 6) AS cosine
+      FROM q, e WHERE e.label <> qlabel)
+    WHERE rank <= $K ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, kmeansTrain, kmeansAssign,
-    recallQ, hamming)
+    recallQ, hamming, hardNegatives)
 }
