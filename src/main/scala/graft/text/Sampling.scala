@@ -422,14 +422,28 @@ object Sampling {
   private val DSIR_K = 100
 
   /** Fixed-point piecewise-linear log2 in 2⁻²⁰ units — exact integer
-    * arithmetic, mirrored verbatim in the DuckDB oracle. */
-  private def ilog2m20(x: String): String =
-    s"((length(bin($x)) - 1) * 1048576 + " +
-      s"($x * 1048576) DIV shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1)" +
+    * arithmetic, mirrored verbatim in the DuckDB oracle. The mantissa is
+    * a shift-split (`x DIV 2^(e−20)` above 2²⁰, `x · 2^(20−e)` below)
+    * rather than the naive `x·2²⁰ DIV 2^e`, which overflows BIGINT at
+    * x ≥ 2⁴³ — a count a 100 TB corpus actually reaches (~2×10¹³ grams).
+    * Both branches equal the naive form exactly where it's defined
+    * (right-shift after a left-shift is the same floor), so outputs are
+    * unchanged below the old overflow line; PropertySpec sweeps the full
+    * positive-long range. */
+  private[graft] def ilog2m20(x: String): String = {
+    val e = s"(length(bin($x)) - 1)"
+    s"($e * 1048576 + (CASE WHEN $e > 20" +
+      s" THEN $x DIV shiftleft(CAST(1 AS BIGINT), $e - 20)" +
+      s" ELSE $x * shiftleft(CAST(1 AS BIGINT), 20 - $e) END)" +
       s" - 1048576)"
-  private def dIlog2m20(x: String): String =
-    s"((length(bin($x)) - 1) * 1048576 + " +
-      s"($x * 1048576) // (1::BIGINT << (length(bin($x)) - 1)) - 1048576)"
+  }
+  private def dIlog2m20(x: String): String = {
+    val e = s"(length(bin($x)) - 1)"
+    s"($e * 1048576 + (CASE WHEN $e > 20" +
+      s" THEN $x // (1::BIGINT << ($e - 20))" +
+      s" ELSE $x * (1::BIGINT << (20 - $e)) END)" +
+      s" - 1048576)"
+  }
 
   private val dsir = Q(
     "sample_dsir",

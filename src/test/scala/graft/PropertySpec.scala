@@ -164,6 +164,28 @@ class PropertySpec extends AnyFunSuite {
     check(prop, minSuccessful(30))
   }
 
+  test("DSIR fixed-point log2: exact at powers of two, monotone, " +
+      "error < 0.09 bits on generated positive longs") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val e = graft.text.Sampling.ilog2m20("x")
+    def ilog(xs: Seq[Long]): Seq[Long] =
+      xs.toDF("x").select(expr(e).as("l")).collect().map(_.getLong(0)).toSeq
+    // exact at powers of two: ilog2m20(2^k) == k·2^20
+    val pows = (0 to 62).map(1L << _)
+    assert(ilog(pows) == (0 to 62).map(_.toLong << 20))
+    // piecewise-linear error bound vs true log2 (max ≈ 0.0861 bits at
+    // mantissa 1/ln2 − 1), and monotone in x
+    val prop = Prop.forAll(Gen.oneOf(
+      Gen.choose(1L, 1L << 40),
+      Gen.choose(1L << 40, Long.MaxValue - 1))) { x =>
+      val Seq(lx, lx1) = ilog(Seq(x, x + 1))
+      val err = math.abs(lx / 1048576.0 - math.log(x.toDouble) / math.log(2))
+      err < 0.09 && lx <= lx1
+    }
+    check(prop, minSuccessful(30))
+  }
+
   private def minSuccessful(n: Int) =
     org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n)
   private def check(p: Prop,
