@@ -810,8 +810,64 @@ object Relational {
         ORDER BY epoch_ms(ts), event_id) IS NULL AS is_current
     FROM events ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q34
+  /** Time-series RESAMPLE — downsample each user's event stream into
+    * per-hour OHLC bars (open/high/low/close + count), the kdb/Flink
+    * staple that turns a raw tick stream into a fixed-rate feature
+    * table. Open/close are the FIRST/LAST values by (ts_ms, event_id) —
+    * the unique tie-break makes both engines pick the identical event
+    * when a user has same-ms ticks. Values are floor-micro integers
+    * (SURVEY §5), buckets are integer epoch-hour floors — nothing to
+    * drift. Scale: one hash exchange on (user, bucket) feeds both
+    * window passes (ascending + descending rank over the SAME
+    * partitioning — the second is a sort within already-exchanged
+    * partitions, not a new shuffle) and the final aggregate.
+    */
+  private val q34 = Q(
+    "q34_resample_ohlc",
+    (s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          floor(col("value") * 1000000d).cast("long").as("vm"))
+        .withColumn("bucket_ms", expr("ts_ms DIV 3600000 * 3600000"))
+      val wa = Window.partitionBy("user_id", "bucket_ms")
+        .orderBy(col("ts_ms"), col("event_id"))
+      val wd = Window.partitionBy("user_id", "bucket_ms")
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      base
+        .withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy("user_id", "bucket_ms")
+        .agg(max(when(col("rn_a") === 1, col("vm"))).as("open_micro"),
+          max("vm").as("high_micro"),
+          min("vm").as("low_micro"),
+          max(when(col("rn_d") === 1, col("vm"))).as("close_micro"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "bucket_ms")
+    },
+    Some("""WITH base AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        FLOOR(value * 1000000)::BIGINT AS vm,
+        (epoch_ms(ts) // 3600000 * 3600000)::BIGINT AS bucket_ms
+      FROM events),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id, bucket_ms
+          ORDER BY ts_ms, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY user_id, bucket_ms
+          ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+      FROM base)
+    SELECT user_id, bucket_ms,
+      MAX(CASE WHEN rn_a = 1 THEN vm END)::BIGINT AS open_micro,
+      MAX(vm)::BIGINT AS high_micro,
+      MIN(vm)::BIGINT AS low_micro,
+      MAX(CASE WHEN rn_d = 1 THEN vm END)::BIGINT AS close_micro,
+      COUNT(*) AS n_events
+    FROM ranked GROUP BY user_id, bucket_ms
+    ORDER BY user_id, bucket_ms"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33)
+      q28, q29, q30, q31, q32, q33, q34)
 }
