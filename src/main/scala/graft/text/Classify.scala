@@ -115,5 +115,143 @@ object Classify {
     FROM pred WHERE rn = 1
     GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""))
 
-  val all: Seq[Q] = Seq(classify)
+  // ------------------------------------------------------ text_classify_nb
+  /** Trained MULTINOMIAL NAIVE BAYES over hashed token features, with a
+    * real train/held-out protocol — the fastText-style corpus classifier
+    * shape (CCNet / LLaMA quality filters train a linear classifier on
+    * reference text and score the crawl with it), restated as exact
+    * integer arithmetic so the oracle hash-gates train AND predict:
+    *
+    *   - split: the repo's 80/10/10 content-hash split
+    *     ([[Sampling.splitLabel]]) — TRAIN on the 80%, evaluate on the
+    *     held-out `test` 10% (the centroid classifier above
+    *     train==predict corpus; this one is the honest protocol);
+    *   - features: tokens hashed into [[NB_B]] buckets (60-bit md5
+    *     prefix mod B — the DSIR recipe), so the model is a DENSE
+    *     L×B grid that broadcasts at any corpus size;
+    *   - model: add-one smoothing, `w_lb = log2(c_lb+1) − log2(T_l+B)`
+    *     and prior `log2 n_l − log2 n_total`, all in the fixed-point
+    *     2⁻²⁰ log2 ([[Sampling.ilog2m20]] — deterministic integers, no
+    *     transcendental ln); `score(d,l) = prior_l + Σ_b c_b(d)·w_lb`,
+    *     argmax ties to the alphabetically first label.
+    *
+    * Scale shape: ONE pass over the checkpointed thin gram stream feeds
+    * the model agg (≤ L·B rows, map-side combined) and the test-doc
+    * bucket counts; the trained model broadcasts back onto the test
+    * stream (it IS the model — L·B ≤ a few KB at any corpus scale); the
+    * per-doc argmax is a window over L rows per doc. Corpus-sized
+    * exchanges: the gram agg and the per-doc agg — no self-joins, no
+    * driver-side state.
+    */
+  private val NB_B = 256
+
+  private val nb = Q(
+    "text_classify_nb",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import Sampling.ilog2m20
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Sampling.splitLabel(col("text")).as("split"), col("text"))
+      val grams = docs
+        .select(col("doc_id"), col("source"), col("split"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"), col("split"),
+          (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            % NB_B).as("b"))
+        .transform(graft.Checkpoint.of) // model agg + test counts read it
+      val clb = grams.filter(col("split") === "train")
+        .groupBy(col("source").as("label"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val labels = clb.select("label").distinct()
+      val grid = labels.crossJoin(s.range(NB_B).select(col("id").as("b")))
+      val dense = grid.join(clb, Seq("label", "b"), "left")
+        .select(col("label"), col("b"),
+          (coalesce(col("cnt"), lit(0L)) + 1L).as("c1"))
+      val tl = dense.groupBy("label").agg(sum("c1").as("tb"))
+      val nl = docs.filter(col("split") === "train")
+        .groupBy(col("source").as("label"))
+        .agg(count(lit(1)).as("n_l"))
+      val nTot = nl.agg(sum("n_l").as("n_tot"))
+      val model = dense.join(tl, "label")
+        .withColumn("w_m20", expr(s"${ilog2m20("c1")} - ${ilog2m20("tb")}"))
+        .select("label", "b", "w_m20")
+      val prior = nl.crossJoin(broadcast(nTot))
+        .withColumn("prior_m20",
+          expr(s"${ilog2m20("n_l")} - ${ilog2m20("n_tot")}"))
+        .select("label", "prior_m20")
+      val db = grams.filter(col("split") === "test")
+        .groupBy("doc_id", "source", "b")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_m20").desc, col("label"))
+      db.join(broadcast(model), "b")
+        .groupBy("doc_id", "source", "label")
+        .agg(sum(col("c") * col("w_m20")).as("lik_m20"))
+        .join(broadcast(prior), "label")
+        .withColumn("score_m20", col("prior_m20") + col("lik_m20"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("source"), col("label").as("pred_source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "pred_source")
+    },
+    Some({
+      import Sampling.dIlog2m20
+      s"""WITH docs AS (
+      SELECT doc_id, source, text,
+        CASE
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 52429
+            THEN 'train'
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 58982
+            THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source, split,
+        (('0x' || substr(md5(u.t), 1, 15))::BIGINT % $NB_B) AS b
+      FROM docs,
+        UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)),
+    clb AS (
+      SELECT source AS label, b, COUNT(*)::BIGINT AS cnt
+      FROM grams WHERE split = 'train' GROUP BY source, b),
+    grid AS (
+      SELECT l.label, r.range::BIGINT AS b
+      FROM (SELECT DISTINCT label FROM clb) l CROSS JOIN range($NB_B) r),
+    dense AS (
+      SELECT g.label, g.b, COALESCE(c.cnt, 0) + 1 AS c1
+      FROM grid g LEFT JOIN clb c ON c.label = g.label AND c.b = g.b),
+    tl AS (SELECT label, SUM(c1)::BIGINT AS tb FROM dense GROUP BY label),
+    model AS (
+      SELECT d.label, d.b,
+        ${dIlog2m20("c1")} - ${dIlog2m20("tb")} AS w_m20
+      FROM dense d JOIN tl USING (label)),
+    nl AS (
+      SELECT source AS label, COUNT(*)::BIGINT AS n_l
+      FROM docs WHERE split = 'train' GROUP BY source),
+    prior AS (
+      SELECT label,
+        ${dIlog2m20("n_l")} - ${dIlog2m20("(SELECT SUM(n_l)::BIGINT FROM nl)")}
+          AS prior_m20
+      FROM nl),
+    db AS (
+      SELECT doc_id, source, b, COUNT(*)::BIGINT AS c
+      FROM grams WHERE split = 'test' GROUP BY doc_id, source, b),
+    scored AS (
+      SELECT db.doc_id, db.source, m.label,
+        p.prior_m20 + SUM(db.c * m.w_m20) AS score_m20
+      FROM db JOIN model m USING (b) JOIN prior p ON p.label = m.label
+      GROUP BY db.doc_id, db.source, m.label, p.prior_m20),
+    pred AS (
+      SELECT doc_id, source, label,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY score_m20 DESC, label) AS rn
+      FROM scored)
+    SELECT source, label AS pred_source, COUNT(*)::BIGINT AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY source, label ORDER BY source, pred_source"""
+    }))
+
+  val all: Seq[Q] = Seq(classify, nb)
 }

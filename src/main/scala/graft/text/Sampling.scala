@@ -437,7 +437,7 @@ object Sampling {
       s" ELSE $x * shiftleft(CAST(1 AS BIGINT), 20 - $e) END)" +
       s" - 1048576)"
   }
-  private def dIlog2m20(x: String): String = {
+  private[graft] def dIlog2m20(x: String): String = {
     val e = s"(length(bin($x)) - 1)"
     s"($e * 1048576 + (CASE WHEN $e > 20" +
       s" THEN $x // (1::BIGINT << ($e - 20))" +

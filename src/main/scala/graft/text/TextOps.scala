@@ -1265,8 +1265,70 @@ object TextOps {
         ORDER BY score_micro DESC, tok) AS rk FROM sc)
     WHERE rk <= $KEYWORDS_K ORDER BY source, rk"""))
 
+  // ---------------------------------------------------------- text_entropy
+  /** Per-document token (unigram) Shannon entropy — the information-
+    * density quality signal (RedPajama-V2 `rps_doc_unigram_entropy`):
+    * boilerplate, keyword-stuffed and template pages sit far below
+    * natural prose, so a low-entropy flag is a standard curation gate
+    * alongside [[quality]]'s length/ratio rules and [[repetition]]'s
+    * duplicate-gram fractions (which catch VERBATIM repeats; entropy
+    * also catches low-diversity text that never repeats a whole gram).
+    *
+    * `H = log2 N − (Σ_w c_w·log2 c_w)/N` over per-doc token counts
+    * `c_w`, computed in the repo's fixed-point 2⁻²⁰ log2
+    * ([[Sampling.ilog2m20]] — deterministic integer arithmetic, no
+    * transcendental ln, identical both engines; max 0.086-bit smooth
+    * bias is irrelevant for a thresholded quality signal). The floor
+    * division puts `entropy_m20` in [0, ilog2(N)] exactly:
+    * `Σ c·ilog2(c) ≤ N·ilog2(N)` by monotonicity, with equality at a
+    * single repeated token → entropy 0.
+    *
+    * Scale: explode → two map-side-combined hash aggregates on
+    * (doc_id, tok) then doc_id — the tfidf shape, no windows, no joins;
+    * per-doc sums stay < 2⁶³ for any document that fits in memory
+    * (c·ilog2m20(c) ≤ N·63·2²⁰).
+    */
+  private val entropy = Q(
+    "text_entropy",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val counts = d
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      counts
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr(s"c * ${Sampling.ilog2m20("c")}")).as("clc"))
+        .withColumn("entropy_m20",
+          expr(s"${Sampling.ilog2m20("n_tokens")} - clc DIV n_tokens"))
+        .withColumn("is_low_entropy", col("entropy_m20") < 2097152L)
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("entropy_m20"), col("is_low_entropy"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, u.t AS tok
+      FROM documents,
+        UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*)::BIGINT AS c
+      FROM toks GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+        COUNT(*)::BIGINT AS n_distinct,
+        SUM(c * ${Sampling.dIlog2m20("c")})::BIGINT AS clc
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+      (${Sampling.dIlog2m20("n_tokens")} - clc // n_tokens)::BIGINT
+        AS entropy_m20,
+      (${Sampling.dIlog2m20("n_tokens")} - clc // n_tokens) < 2097152
+        AS is_low_entropy
+    FROM agg ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
     piiScrub, pplBucket, lineDedup, htmlStrip, bm25, hybrid, badwords,
-    keywords)
+    keywords, entropy)
 }
