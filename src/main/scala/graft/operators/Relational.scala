@@ -866,8 +866,64 @@ object Relational {
     FROM ranked GROUP BY user_id, bucket_ms
     ORDER BY user_id, bucket_ms"""))
 
+  // ---------------------------------------------------------------- q35
+  /** Trailing-window Z-SCORE anomaly detection — the monitoring staple
+    * (flag an event whose value sits > 3σ from the mean of the user's
+    * previous ≤ 20 events). The detector stays EXACT across engines by
+    * never computing μ, σ or a square root: `|v − μ| > 3σ` over the
+    * n-row trailing frame is equivalently `(v·n − S)² > 9·(n·ΣvΔ² …)`
+    * — i.e. `(v·n − S₁)² > 9·(n·S₂ − S₁²)` with S₁=Σv, S₂=Σv² — all in
+    * floor-micro integer values, carried as DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) since the squares reach ~10²⁰. Warm-up rows
+    * (n < 10) are not judged, mirroring any production detector.
+    *
+    * Scale: one hash exchange on user_id + per-partition sort serves
+    * all three trailing sums (same window frame), then a map-side
+    * filter — the q31 rolling shape; no joins, no second shuffle.
+    */
+  private val q35 = Q(
+    "q35_anomaly_zscore",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val vmD = col("vm").cast(DecimalType(38, 0))
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          floor(col("value") * 1000000d).cast("long").as("vm"))
+      val dev = vmD * col("n_win") - col("s1")
+      base
+        .withColumn("n_win", count(col("vm")).over(w))
+        .withColumn("s1", sum(vmD).over(w))
+        .withColumn("s2", sum(vmD * vmD).over(w))
+        .filter(col("n_win") >= 10 &&
+          dev * dev > (col("n_win") * col("s2") - col("s1") * col("s1")) * 9)
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("vm"),
+          col("n_win"))
+        .orderBy("event_id")
+    },
+    Some("""WITH base AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        FLOOR(value * 1000000)::BIGINT AS vm
+      FROM events),
+    win AS (
+      SELECT *,
+        COUNT(vm) OVER w AS n_win,
+        SUM(vm::HUGEINT) OVER w AS s1,
+        SUM(vm::HUGEINT * vm::HUGEINT) OVER w AS s2
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, ts_ms, vm, n_win::BIGINT AS n_win
+    FROM win
+    WHERE n_win >= 10
+      AND (vm::HUGEINT * n_win - s1) * (vm::HUGEINT * n_win - s1)
+          > 9 * (n_win * s2 - s1 * s1)
+    ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33, q34)
+      q28, q29, q30, q31, q32, q33, q34, q35)
 }
