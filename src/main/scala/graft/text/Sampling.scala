@@ -505,6 +505,49 @@ object Sampling {
     GROUP BY g.doc_id
     ORDER BY score_m20 DESC, doc_id LIMIT $DSIR_K"""))
 
+  // ------------------------------------------------------ sample_reservoir
+  /** Exact-k per-source RESERVOIR sample — the fixed-size uniform
+    * "give me 20 docs from every source" primitive behind eval subsets,
+    * eyeball samples and per-domain probes. Distributed reservoir
+    * sampling is classically stateful; the order-statistics restatement
+    * (keep the k smallest of a uniform key — Vitter's method A by
+    * hash) is stateless, deterministic, and exactly uniform when the
+    * key is a content hash: rank docs per source by
+    * ([[hashBucket]], doc_id) and keep rank ≤ k. Same-sample-every-run
+    * (and every partitioning / cluster size) beats `rand()` reservoirs
+    * for reproducible pipelines, and the nested-sample property holds:
+    * k′ < k is always a subset of the k-sample.
+    *
+    * Scale: one hash exchange on source + per-partition sort; the k
+    * limit pushes into the sort as WindowGroupLimit, so each partition
+    * retains k rows, never the corpus.
+    */
+  private val RESERVOIR_K = 20
+
+  private val reservoir = Q(
+    "sample_reservoir",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hb"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), hashBucket(col("text")).as("hb"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= RESERVOIR_K)
+        .select(col("source"), col("rk"), col("doc_id"), col("hb"))
+        .orderBy("source", "rk")
+    },
+    Some(s"""WITH h AS (
+      SELECT doc_id, source,
+        ('0x' || substr(md5(coalesce(text, '')), 1, 4))::BIGINT AS hb
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id, hb,
+        row_number() OVER (PARTITION BY source ORDER BY hb, doc_id) AS rk
+      FROM h)
+    SELECT source, rk, doc_id, hb FROM ranked
+    WHERE rk <= $RESERVOIR_K ORDER BY source, rk"""))
+
   val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted,
-    temperature, budget, dsir)
+    temperature, budget, dsir, reservoir)
 }
