@@ -72,6 +72,38 @@ object Streaming {
         unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked streaming OHLC downsampler — the streaming mirror of
+    * batch q34_resample_ohlc: per user per tumbling window, emit
+    * open/high/low/close (floor-micro integers) + count once the
+    * watermark closes the window. Open/close ride `min_by`/`max_by`
+    * with a (ts_ms, event_id) struct key — declarative aggregates, so
+    * the window state per (user, bucket) is O(1) (five scalars), the
+    * partial-merge is associative (exactly why OHLC downsampling
+    * streams well), and the unique event_id tie-break picks the
+    * identical row the batch window-rank formulation picks.
+    * StreamingSpec asserts bit-equality with q34 over the real events
+    * table, fed through a MemoryStream.
+    */
+  def ohlcBars(events: DataFrame, windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .withColumn("vm", floor(col("value") * 1000000d).cast("long"))
+      .groupBy(col("user_id"), window(col("event_time"), windowDur))
+      .agg(
+        min_by(col("vm"), struct(col("ts_ms"), col("event_id")))
+          .as("open_micro"),
+        max(col("vm")).as("high_micro"),
+        min(col("vm")).as("low_micro"),
+        max_by(col("vm"), struct(col("ts_ms"), col("event_id")))
+          .as("close_micro"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("window.start")).as("bucket_ms"),
+        col("open_micro"), col("high_micro"), col("low_micro"),
+        col("close_micro"), col("n_events"))
+
   /** Stream-stream inner join with watermarks: clicks join purchases of
     * the same user within `windowMs` AFTER the purchase. Both sides carry
     * watermarks and the join has a two-sided time-range condition, so

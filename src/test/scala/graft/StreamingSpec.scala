@@ -631,4 +631,38 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq(Session(1L, 1L, 2L, base, base + 600000L, 2.0)))
     } finally q.stop()
   }
+
+  test("ohlcBars over the real events table equals batch q34") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts_ms", "value")
+      .orderBy("ts_ms", "event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[Ev]
+    val bars = Streaming.ohlcBars(
+      mem.toDF()
+        .withColumnRenamed("eventId", "event_id")
+        .withColumnRenamed("userId", "user_id")
+        .withColumnRenamed("tsMs", "ts_ms"))
+    val q = bars.writeStream.format("memory")
+      .queryName("ohlc_real").outputMode("append").start()
+    try {
+      mem.addData(evs.toIndexedSeq: _*); q.processAllAvailable()
+      val last = evs.map(_.tsMs).max
+      mem.addData(Ev(-1L, 999999L, last + 100 * HOUR, 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(-2L, 999999L, last + 200 * HOUR, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ohlc_real")
+        .filter(col("user_id") =!= 999999L)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+      val expected = SparkEntry.queries("q34_resample_ohlc")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
