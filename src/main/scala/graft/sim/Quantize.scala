@@ -651,7 +651,89 @@ object Quantize {
         - CAST(s_base AS DOUBLE) / (n_base * 1000000.0) AS drift
     FROM st ORDER BY dim_idx"""))
 
+  // -------------------------------------------------------- emb_matryoshka
+  /** MATRYOSHKA truncation evaluation (Kusupati et al. 2022, and the
+    * dimension-budget question every MRL-trained embedding deployment
+    * answers before shipping a cheap retrieval tier): for prefix budgets
+    * d ∈ {32, 16, 8} of the 64-dim embedding, how much of each query's
+    * exact top-10 (full-dim cosine) does the truncated top-10 retain?
+    * Output = per-query overlap@10 per budget — the table that picks the
+    * operating point on the recall/4×-8× cost-cut curve.
+    *
+    * One BroadcastNestedLoopJoin pass (tiny query set × one corpus scan —
+    * the knn_bruteforce shape) carries ALL four rankings: the four
+    * `row_number` windows share the `query_id` hash partitioning, so
+    * Spark plans ONE exchange and per-partition re-sorts, never four
+    * shuffles; prefix cosines run on `slice()`d arrays through the same
+    * codegen [[graft.functions.CosineSim]] kernel whose sequential fold
+    * matches DuckDB's `list_cosine_similarity` bit-for-bit (cosines only
+    * ORDER here — never emitted — so no rounding contract is involved,
+    * just identical comparisons). Scale: linear in corpus size, corpus
+    * never shuffled; the windows shuffle |queries|·|corpus| thin rows —
+    * at 100 TB the same evaluation runs on a sampled query set exactly
+    * like every recall audit in this module.
+    */
+  private val MAT_K = 10
+  private val MAT_NQ = 10
+
+  private val matryoshka = Q(
+    "emb_matryoshka",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.CosineSim.cosineSim
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < MAT_NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      def rk(d: Int): Column = {
+        val cos =
+          if (d == 64) cosineSim(col("qv"), col("v"))
+          else cosineSim(slice(col("qv"), 1, d), slice(col("v"), 1, d))
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(cos.desc, col("vec_id")))
+      }
+      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("r64", rk(64))
+        .withColumn("r32", rk(32))
+        .withColumn("r16", rk(16))
+        .withColumn("r8", rk(8))
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("r64") <= MAT_K && col("r32") <= MAT_K, 1L)
+            .otherwise(0L)).as("overlap_d32"),
+          sum(when(col("r64") <= MAT_K && col("r16") <= MAT_K, 1L)
+            .otherwise(0L)).as("overlap_d16"),
+          sum(when(col("r64") <= MAT_K && col("r8") <= MAT_K, 1L)
+            .otherwise(0L)).as("overlap_d8"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < $MAT_NQ),
+    ranked AS (
+      SELECT query_id, e.vec_id,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id) AS r64,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv[1:32], e.v[1:32]) DESC,
+            e.vec_id) AS r32,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv[1:16], e.v[1:16]) DESC,
+            e.vec_id) AS r16,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv[1:8], e.v[1:8]) DESC,
+            e.vec_id) AS r8
+      FROM q, e WHERE query_id <> e.vec_id)
+    SELECT query_id,
+      SUM(CASE WHEN r64 <= $MAT_K AND r32 <= $MAT_K THEN 1 ELSE 0 END)::BIGINT
+        AS overlap_d32,
+      SUM(CASE WHEN r64 <= $MAT_K AND r16 <= $MAT_K THEN 1 ELSE 0 END)::BIGINT
+        AS overlap_d16,
+      SUM(CASE WHEN r64 <= $MAT_K AND r8 <= $MAT_K THEN 1 ELSE 0 END)::BIGINT
+        AS overlap_d8
+    FROM ranked GROUP BY query_id ORDER BY query_id"""))
+
   val all: Seq[Q] =
     Seq(quantize, stats, standardize, project, covariance, pcaPower,
-      pcaProject, outliers, drift)
+      pcaProject, outliers, drift, matryoshka)
 }
