@@ -41,6 +41,23 @@ final case class EnrichedClick(eventId: Long, userId: Long, tsMs: Long,
 final case class AsofState(purchaseMs: Long, purchaseId: Long,
     lastActivityMs: Long)
 
+/** A change-stream event for streaming SCD2 interval building. */
+final case class ScdEv(eventId: Long, userId: Long, eventType: String,
+    tsMs: Long)
+
+/** A validity-interval row emitted by [[Streaming.scd2Intervals]];
+  * `validTo == None` marks the open (current) version at flush time.
+  */
+final case class Scd2Row(userId: Long, eventType: String, eventId: Long,
+    validFrom: Long, validTo: Option[Long], isCurrent: Boolean)
+
+/** Open-version state per (user, event_type): the latest record, plus a
+  * `flushed` tombstone once the idle timeout emitted it as current (a
+  * post-flush event starts a fresh chain — snapshot-and-resume CDC
+  * semantics, mirroring the sessionizer's cumulative tombstones).
+  */
+final case class Scd2State(eventId: Long, tsMs: Long, flushed: Boolean)
+
 /** Structured Streaming operators — SURVEY.md §2.8.
   *
   * Both operators are the streaming mirrors of batch queries gated by the
@@ -380,6 +397,85 @@ object Streaming {
                 state.setTimeoutTimestamp(anchor)
               }
             }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming SCD TYPE-2 interval builder — the online mirror of batch
+    * q33_scd2_intervals, completing the CDC trio (q30 latest-record
+    * compaction, q33 batch interval build): each (user, event_type)
+    * change stream becomes `[valid_from, valid_to)` rows, a version's
+    * interval emitted the moment its SUCCESSOR arrives (O(1) state per
+    * key — just the open version), and the open version emitted as
+    * `is_current` when the event-time idle timeout fires.
+    *
+    * Ordering contract: equal-ts versions chain by event_id, exactly the
+    * batch `lead` over (ts_ms, event_id) — so an in-order stream matches
+    * q33 bit-for-bit (asserted on the real events table in
+    * StreamingSpec). Cross-batch late events within the watermark are
+    * handled as SCD repair, not batch-identically: a version older than
+    * the open one emits immediately as a closed historical interval
+    * `[e.ts, open.valid_from)` — correct unless it overlaps an interval
+    * already emitted, which no online builder can retract in append
+    * mode. Post-flush events start a fresh chain (snapshot-and-resume).
+    *
+    * Scale: state is hash-partitioned by key; per-key state is one
+    * (event_id, ts) pair; the idle timeout bounds it on unbounded key
+    * domains.
+    */
+  def scd2Intervals(events: Dataset[ScdEv],
+      watermarkDelay: String = "2 hours",
+      flushIdleMs: Long = 24L * 3600000L): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[ScdEv]
+      .groupByKey(e => (e.userId, e.eventType))
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((userId, eventType), rows, state) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val st = state.get
+            if (!st.flushed) {
+              state.update(st.copy(flushed = true))
+              Iterator.single(Scd2Row(userId, eventType, st.eventId,
+                st.tsMs, None, isCurrent = true))
+            } else Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.eventId))
+            val out = Seq.newBuilder[Scd2Row]
+            var cur = state.getOption.orNull
+            // the sorted batch splits at the open version: everything
+            // before it is a LATE historical chain (closed among
+            // themselves, last one closed by the open version — exactly
+            // the batch `lead` when a key's lates share a batch);
+            // everything after advances the open chain normally
+            val (late, rest) =
+              if (cur == null || cur.flushed) (Nil, sorted)
+              else sorted.span(e => e.tsMs < cur.tsMs ||
+                (e.tsMs == cur.tsMs && e.eventId < cur.eventId))
+            for (Seq(a, b) <- late.sliding(2) if late.size > 1)
+              out += Scd2Row(userId, eventType, a.eventId, a.tsMs,
+                Some(b.tsMs), isCurrent = false)
+            late.lastOption.foreach { a =>
+              out += Scd2Row(userId, eventType, a.eventId, a.tsMs,
+                Some(cur.tsMs), isCurrent = false)
+            }
+            for (e <- rest) {
+              if (cur == null || cur.flushed) {
+                cur = Scd2State(e.eventId, e.tsMs, flushed = false)
+              } else {
+                out += Scd2Row(userId, eventType, cur.eventId, cur.tsMs,
+                  Some(e.tsMs), isCurrent = false)
+                cur = Scd2State(e.eventId, e.tsMs, flushed = false)
+              }
+            }
+            state.update(cur)
+            if (!cur.flushed)
+              state.setTimeoutTimestamp(math.max(cur.tsMs + flushIdleMs,
+                state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

@@ -96,7 +96,9 @@ class PlanSpec extends SparkSpec {
     "knn_hard_negatives",  // broadcast anchors vs corpus, label-≠ predicate
     "sample_dsir",         // broadcast 1-row (np, nq) model-total scalars
     "corpus_overlap",      // |sources|-row grid (a < b) pair table
-    "text_classify_centroid") // broadcast L-row class table (scoring grid)
+    "text_classify_centroid", // broadcast L-row class table (scoring grid)
+    "text_classify_nb",    // L×range(B) model grid + broadcast 1-row total
+    "emb_matryoshka")      // broadcast query set vs corpus (bruteforce shape)
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
@@ -114,6 +116,16 @@ class PlanSpec extends SparkSpec {
       if (!intendedNestedLoop(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unintended BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("q34/q35 window pipelines run on ONE hash exchange") {
+    // both stack multiple windows + an aggregate on the same keys: the
+    // plan must exchange once and re-sort in place, never re-shuffle
+    for (name <- Seq("q34_resample_ohlc", "q35_anomaly_zscore")) {
+      val plan = physical(name)
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash == 1, s"$name should hash-exchange once, got $nHash")
     }
   }
 

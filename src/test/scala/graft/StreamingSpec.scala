@@ -632,6 +632,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Intervals over the real events table equals batch q33") {
+    import graft.streaming.{ScdEv, Scd2Row}
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts_ms")
+      .orderBy("ts_ms", "event_id")
+      .collect()
+      .map(r => ScdEv(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val mem = MemoryStream[ScdEv]
+    val q = Streaming.scd2Intervals(mem.toDS())
+      .writeStream.format("memory")
+      .queryName("scd2_real").outputMode("append").start()
+    try {
+      mem.addData(evs.toIndexedSeq: _*); q.processAllAvailable()
+      val last = evs.map(_.tsMs).max
+      mem.addData(ScdEv(-1L, 999999L, "flush", last + 100 * HOUR))
+      q.processAllAvailable()
+      mem.addData(ScdEv(-2L, 999999L, "flush", last + 200 * HOUR))
+      q.processAllAvailable()
+      val got = spark.table("scd2_real").as[Scd2Row].collect()
+        .filter(_.userId != 999999L)
+        .map(r => (r.eventId, r.userId, r.eventType, r.validFrom,
+          r.validTo, r.isCurrent))
+        .sortBy(_._1).toSeq
+      val expected = SparkEntry.queries("q33_scd2_intervals")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+        .sortBy(_._1).toSeq
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("scd2Intervals repairs a late historical chain within a batch") {
+    import graft.streaming.{ScdEv, Scd2Row}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ScdEv]
+    val q = Streaming.scd2Intervals(mem.toDS())
+      .writeStream.format("memory")
+      .queryName("scd2_late").outputMode("append").start()
+    try {
+      // open version at t=base+1h (watermark = base-1h, so both late
+      // events below stay inside the 2h watermark)
+      mem.addData(ScdEv(10L, 1L, "a", base + HOUR))
+      q.processAllAvailable()
+      // two LATE versions arrive together: they must chain among
+      // themselves and the last must close at the open version's ts
+      mem.addData(ScdEv(3L, 1L, "a", base),
+        ScdEv(7L, 1L, "a", base + HOUR / 2))
+      q.processAllAvailable()
+      val got = spark.table("scd2_late").as[Scd2Row].collect()
+        .map(r => (r.eventId, r.validFrom, r.validTo, r.isCurrent))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(
+        (3L, base, Some(base + HOUR / 2), false),
+        (7L, base + HOUR / 2, Some(base + HOUR), false)))
+    } finally q.stop()
+  }
+
   test("ohlcBars over the real events table equals batch q34") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Tables.events(spark, sfDir)
