@@ -922,8 +922,59 @@ object Relational {
           > 9 * (n_win * s2 - s1 * s1)
     ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q36
+  /** Event-type MARKOV TRANSITION matrix — the generalization of the
+    * q28 funnel: for every ordered pair of consecutive events of the
+    * same user, count (prev_type → type) and express it as an exact
+    * integer millionths-share of the previous type's outgoing total
+    * (`n·10⁶ DIV total_out`) — the first-order behavioral model product
+    * analytics reads (and the sessionize/funnel sanity check: rows of
+    * the matrix sum to ≤ 10⁶ by construction). First events per user
+    * have no predecessor and are excluded, mirroring `lag IS NOT NULL`.
+    *
+    * Scale: one hash exchange on user_id + per-partition sort for the
+    * lag, then a map-side-combined aggregate on ≤|types|² keys; the
+    * outgoing totals re-aggregate those same tiny keys (no second pass
+    * over the data) and broadcast-join back.
+    */
+  private val q36 = Q(
+    "q36_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("prev_type")
+        .agg(sum("n").as("total_out"))
+      pairs.join(broadcast(totals), "prev_type")
+        .select(col("prev_type"), col("event_type"), col("n"),
+          expr("n * 1000000 DIV total_out").as("rate_micro"))
+        .orderBy("prev_type", "event_type")
+    },
+    Some("""WITH ordered AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type, COUNT(*)::BIGINT AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    totals AS (
+      SELECT prev_type, SUM(n)::BIGINT AS total_out
+      FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.event_type, p.n,
+      (p.n * 1000000 // t.total_out)::BIGINT AS rate_micro
+    FROM pairs p JOIN totals t USING (prev_type)
+    ORDER BY prev_type, event_type"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33, q34, q35)
+      q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }
