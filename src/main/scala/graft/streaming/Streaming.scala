@@ -58,6 +58,17 @@ final case class Scd2Row(userId: Long, eventType: String, eventId: Long,
   */
 final case class Scd2State(eventId: Long, tsMs: Long, flushed: Boolean)
 
+/** An anomalous event flagged by [[Streaming.anomalyFlags]] (columns
+  * mirror batch q35_anomaly_zscore).
+  */
+final case class ZscoreFlag(eventId: Long, userId: Long, tsMs: Long,
+    vm: Long, nWin: Long)
+
+/** Per-user trailing buffer for [[Streaming.anomalyFlags]]: the last
+  * ≤ `win` (tsMs, eventId, vm) triples in (ts, id) order.
+  */
+final case class ZState(buf: Seq[(Long, Long, Long)])
+
 /** Structured Streaming operators — SURVEY.md §2.8.
   *
   * Both operators are the streaming mirrors of batch queries gated by the
@@ -399,6 +410,64 @@ object Streaming {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming trailing-window Z-SCORE anomaly detector — the online
+    * mirror of batch q35_anomaly_zscore: flag an event whose floor-micro
+    * value sits > 3σ from the mean of the user's previous ≤ `win`
+    * events, judged with the same sqrt-free integer test
+    * `(v·n − S₁)² > 9(n·S₂ − S₁²)` (BigInt here; DECIMAL(38,0) in the
+    * batch plan — identical integers). State per user is ONE bounded
+    * buffer of the last `win` (ts, id, value) triples — the O(win)
+    * ring a production detector keeps — so state size is |users|·win
+    * regardless of stream length, no timeout needed.
+    *
+    * Contract: in-order streams match batch q35 bit-for-bit (asserted
+    * on the real events table in StreamingSpec). A late event within
+    * the watermark is judged against its true predecessors when they
+    * are still inside the buffer (inserted in (ts, id) order, exactly
+    * the batch frame); one older than the buffer's span is judged
+    * against what remains — the documented online approximation.
+    */
+  def anomalyFlags(events: Dataset[Ev], win: Int = 20, minN: Int = 10,
+      watermarkDelay: String = "2 hours"): Dataset[ZscoreFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[ZState, ZscoreFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[ZState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.eventId))
+          val out = Seq.newBuilder[ZscoreFlag]
+          var buf = state.getOption.map(_.buf.toVector)
+            .getOrElse(Vector.empty)
+          for (e <- sorted) {
+            val vm = math.floor(e.value * 1000000d).toLong
+            val idx = buf.indexWhere(t => t._1 > e.tsMs ||
+              (t._1 == e.tsMs && t._2 > e.eventId)) match {
+              case -1 => buf.size
+              case i  => i
+            }
+            val window = buf.slice(math.max(0, idx - win), idx)
+            val n = window.size
+            if (n >= minN) {
+              val s1 = window.iterator.map(t => BigInt(t._3)).sum
+              val s2 = window.iterator
+                .map(t => BigInt(t._3) * BigInt(t._3)).sum
+              val dev = BigInt(vm) * n - s1
+              if (dev * dev > 9 * (BigInt(n) * s2 - s1 * s1))
+                out += ZscoreFlag(e.eventId, userId, e.tsMs, vm, n.toLong)
+            }
+            buf = (buf.take(idx) :+ ((e.tsMs, e.eventId, vm))) ++
+              buf.drop(idx)
+            if (buf.size > win) buf = buf.takeRight(win)
+          }
+          state.update(ZState(buf))
+          out.result().iterator
       }
   }
 

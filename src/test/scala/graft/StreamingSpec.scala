@@ -632,6 +632,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyFlags over the real events table equals batch q35") {
+    import graft.streaming.ZscoreFlag
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts_ms", "value")
+      .orderBy("ts_ms", "event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.anomalyFlags(mem.toDS())
+      .writeStream.format("memory")
+      .queryName("zscore_real").outputMode("append").start()
+    try {
+      // two slices: flags must be identical to batch regardless of the
+      // micro-batch boundary (state carries the trailing buffer across)
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("zscore_real").as[ZscoreFlag].collect()
+        .map(f => (f.eventId, f.userId, f.tsMs, f.vm, f.nWin))
+        .sortBy(_._1).toSeq
+      val expected = SparkEntry.queries("q35_anomaly_zscore")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("scd2Intervals over the real events table equals batch q33") {
     import graft.streaming.{ScdEv, Scd2Row}
     implicit val sqlCtx = spark.sqlContext
