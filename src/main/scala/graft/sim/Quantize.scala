@@ -268,7 +268,7 @@ object Quantize {
         1 - 2 * ((('0x' || substr(md5(j.range::VARCHAR || '_' ||
           i.range::VARCHAR), 1, 1))::BIGINT) % 2) AS sgn
       FROM range(1, 65) i, range(1, ${PROJ_K + 1}) j),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT vec_id, u.s.i AS i,
         (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::BIGINT AS m
       FROM e, UNNEST([struct_pack(i := k::BIGINT, x := v[k])
@@ -362,7 +362,7 @@ object Quantize {
     },
     Some("""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT vec_id, u.s.i AS i,
         (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
       FROM e, UNNEST([struct_pack(i := k::BIGINT, x := v[k])
@@ -409,7 +409,7 @@ object Quantize {
     * power iteration shared by [[pcaPower]] (exports it) and
     * [[pcaProject]] (applies it corpus-wide).
     */
-  private def powerIterate(e: DataFrame): DataFrame = {
+  private def scatterMirror(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     // upper triangle once (checkpointed: consumed by both union legs),
@@ -419,9 +419,14 @@ object Quantize {
         (col("n").cast(dec) * col("sp") - col("si") * col("sj"))
           .cast(dec).as("sv"))
       .transform(graft.Checkpoint.of)
-    val sm = tri.union(tri.filter(col("i") =!= col("j"))
+    tri.union(tri.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("sv")))
       .transform(graft.Checkpoint.of)
+  }
+
+  private def powerIterateFrom(sm: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
     var v = sm.select(col("i").as("j")).distinct()
       .select(col("j"), lit(1000000L).cast(dec).as("v"))
     for (_ <- 1 to PCA_ROUNDS) {
@@ -434,6 +439,9 @@ object Quantize {
     }
     v
   }
+
+  private def powerIterate(e: DataFrame): DataFrame =
+    powerIterateFrom(scatterMirror(e))
 
   /** The shared DuckDB CTE chain ending at `v$PCA_ROUNDS` (the trained
     * iterate) — prefix of both the pcaPower and pcaProject mirrors.
@@ -449,17 +457,17 @@ object Quantize {
     }.mkString(",\n    ")
     s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT vec_id, u.s.i AS i,
         (round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT AS m
       FROM e, UNNEST([struct_pack(i := k::BIGINT, x := v[k])
         for k in range(1, len(v) + 1)]) u(s)),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT a.i AS i, b.i AS j, COUNT(*)::HUGEINT AS n,
         SUM(a.m * b.m) AS sp, SUM(a.m) AS si, SUM(b.m) AS sj
       FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i),
-    sm AS (
+    sm AS MATERIALIZED (
       SELECT i, j, n * sp - si * sj AS sv FROM tri
       UNION ALL
       SELECT j, i, n * sp - si * sj FROM tri WHERE i < j),
@@ -733,7 +741,93 @@ object Quantize {
         AS overlap_d8
     FROM ranked GROUP BY query_id ORDER BY query_id"""))
 
+  // ------------------------------------------------------------ emb_pca2
+  /** Two-component PCA BASIS via deflated (orthogonalized) power
+    * iteration — extends [[pcaPower]]'s top component to the 2-d basis a
+    * visualization / stratification pass wants, still closing every
+    * round over the integers so the unrolled-CTE oracle hash-gates the
+    * whole two-trainer chain:
+    *
+    *   - v₁ = the [[powerIterateFrom]] iterate (3 rounds, max-norm 10⁶);
+    *   - v₂: each round computes `r = S·w`, NORMALIZES FIRST
+    *     (`u = r·10⁶ DIV max|r|` — entries ≤ 10⁶, so every later
+    *     product stays ≤ ~6.4·10¹⁹, far inside DECIMAL(38), and every
+    *     integral quotient inside a 64-bit lane, headroom pcaPower's
+    *     raw-`r` deflation would NOT have), then projects out v₁ in
+    *     integers: `o = u − (⟨u,v₁⟩·v₁) DIV ⟨v₁,v₁⟩` (truncation toward
+    *     zero in BOTH engines — the pcaPower normalize argument), and
+    *     renormalizes with a `greatest(·,1)` zero-guard.
+    *
+    * The projection quotient truncates, so v₂ is orthogonal to v₁ up to
+    * one unit in the last fixed-point place per component — a
+    * deterministic artifact, not drift; both engines compute the
+    * identical integers. Scale: identical to pcaPower — corpus appears
+    * only in the one scatter pass; both trainers run on the broadcast
+    * d²-row matrix.
+    */
+  private val pca2 = Q(
+    "emb_pca2",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val sm = scatterMirror(emb(s, dir))
+      // consumed by v1v1, three per-round projections, and the output
+      val v1 = powerIterateFrom(sm).transform(graft.Checkpoint.of)
+      val vt = v1.select(col("j").as("i"), col("v").as("v1"))
+      val v1sq = v1.agg(sum(col("v") * col("v")).cast(dec).as("v1v1"))
+      var w = sm.select(col("i").as("j")).distinct()
+        .select(col("j"), lit(1000000L).cast(dec).as("v"))
+      for (_ <- 1 to PCA_ROUNDS) {
+        val r = sm.join(broadcast(w), "j")
+          .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
+        val mu = r.agg(max(abs(col("r"))).cast(dec).as("mx"))
+        val u = r.crossJoin(broadcast(mu))
+          .select(col("i"), expr("r * 1000000 DIV mx").cast(dec).as("u"))
+          .transform(graft.Checkpoint.of) // feeds du AND o (d rows)
+        val du = u.join(broadcast(vt), "i")
+          .agg(sum(col("u") * col("v1")).cast(dec).as("uv1"))
+        val o = u.join(broadcast(vt), "i")
+          .crossJoin(broadcast(du)).crossJoin(broadcast(v1sq))
+          .select(col("i"),
+            (col("u") - expr("uv1 * v1 DIV v1v1")).cast(dec).as("o"))
+        val mo = o.agg(greatest(max(abs(col("o"))), lit(1L).cast(dec))
+          .cast(dec).as("mx"))
+        w = o.crossJoin(broadcast(mo))
+          .select(col("i").as("j"),
+            expr("o * 1000000 DIV mx").cast(dec).as("v"))
+          .transform(graft.Checkpoint.of) // bounds per-round lineage fan-out
+      }
+      v1.select(col("j").as("i"), col("v").cast("long").as("v1_micro"))
+        .join(w.select(col("j").as("i"), col("v").cast("long")
+          .as("v2_micro")), "i")
+        .orderBy("i")
+    },
+    Some {
+      val rounds = (1 to PCA_ROUNDS).map { k =>
+        val prev = if (k == 1) "w0" else s"w${k - 1}"
+        s"""rw$k AS MATERIALIZED (SELECT sm.i, SUM(sv * $prev.v) AS r
+        FROM sm JOIN $prev ON sm.j = $prev.j GROUP BY sm.i),
+      mu$k AS (SELECT MAX(ABS(r)) AS mx FROM rw$k),
+      u$k AS MATERIALIZED (SELECT i, (r * 1000000::HUGEINT) // mx AS u FROM rw$k, mu$k),
+      du$k AS (SELECT SUM(u * vt.v1) AS uv1
+        FROM u$k JOIN vt ON u$k.i = vt.i),
+      o$k AS MATERIALIZED (SELECT u$k.i, u - (du$k.uv1 * vt.v1) // c1.v1v1 AS o
+        FROM u$k JOIN vt ON u$k.i = vt.i, du$k, c1),
+      mo$k AS (SELECT GREATEST(MAX(ABS(o)), 1::HUGEINT) AS mx FROM o$k),
+      w$k AS (SELECT i AS j, (o * 1000000::HUGEINT) // mx AS v
+        FROM o$k, mo$k)"""
+      }.mkString(",\n      ")
+      s"""$pcaCte,
+      vt AS MATERIALIZED (SELECT j AS i, v AS v1 FROM v$PCA_ROUNDS),
+      c1 AS (SELECT SUM(v1 * v1) AS v1v1 FROM vt),
+      w0 AS (SELECT DISTINCT i AS j, 1000000::HUGEINT AS v FROM sm),
+      $rounds
+      SELECT vt.i, vt.v1::BIGINT AS v1_micro, w$PCA_ROUNDS.v::BIGINT
+        AS v2_micro
+      FROM vt JOIN w$PCA_ROUNDS ON vt.i = w$PCA_ROUNDS.j ORDER BY i"""
+    })
+
   val all: Seq[Q] =
     Seq(quantize, stats, standardize, project, covariance, pcaPower,
-      pcaProject, outliers, drift, matryoshka)
+      pcaProject, outliers, drift, matryoshka, pca2)
 }
