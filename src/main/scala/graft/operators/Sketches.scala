@@ -177,7 +177,102 @@ object Sketches {
       n_distinct
     FROM sk JOIN ex USING (event_type) ORDER BY event_type"""))
 
+  // ---------------------------------------------------- sketch_kmv_intersect
+  /** KMV sketch SET ALGEBRA — the theta-sketch intersection (Dasgupta et
+    * al., "Theta Sketch Framework"): estimate every pairwise event-type
+    * audience overlap |A∩B| from the per-type k-min sketches ALONE, the
+    * query a sketch warehouse answers without rescanning raw data (union
+    * mergeability is proved by sketch_kmv_users's `__all__` row; this is
+    * the other half of the algebra). θ = min(θ_A, θ_B); the intersection
+    * sample is the common sketch hashes below θ; estimate =
+    * `n_common·2⁴⁰ DIV θ` — the same deterministic integer estimator as
+    * the base sketch, so the oracle hash-gates sketch contents, θ, the
+    * estimate AND the exact overlap it approximates, side by side.
+    *
+    * Scale: sketches are ≤k rows per type — the pair grid and all joins
+    * are sketch-sized (broadcast), never corpus-sized; the one
+    * corpus-scale stage is the shared distinct pass the base sketch
+    * already runs.
+    */
+  private val kmvIntersect = Q(
+    "sketch_kmv_intersect",
+    (s, dir) => {
+      val dist = Tables.events(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 10),
+            16, 10).cast("long").as("h"))
+        .distinct()
+        .transform(graft.Checkpoint.of) // sketches + exact overlap read it
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val sk = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KMV_K)
+        .transform(graft.Checkpoint.of) // theta agg + both pair-join sides
+      val theta = sk.groupBy("event_type").agg(max("h").as("theta"))
+      val grid = theta.as("a").join(theta.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          least(col("a.theta"), col("b.theta")).as("theta"))
+      val common = sk.as("x").join(sk.as("y"),
+          col("x.h") === col("y.h") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"), col("x.h").as("h"))
+      val nCommon = common.join(grid, Seq("type_a", "type_b"))
+        .filter(col("h") < col("theta"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
+      val exact = dist.as("x").join(dist.as("y"),
+          col("x.h") === col("y.h") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      grid.join(nCommon, Seq("type_a", "type_b"), "left")
+        .join(exact, Seq("type_a", "type_b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+        .select(col("type_a"), col("type_b"), col("theta"),
+          col("n_common"),
+          expr(s"n_common * $KMV_SPACE DIV theta").as("est_common"),
+          col("n_exact"))
+        .orderBy("type_a", "type_b")
+    },
+    Some(s"""WITH dist AS MATERIALIZED (
+      SELECT DISTINCT event_type,
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 10))::BIGINT AS h
+      FROM events),
+    sk AS MATERIALIZED (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dist) WHERE rn <= $KMV_K),
+    theta AS (SELECT event_type, MAX(h) AS theta FROM sk GROUP BY event_type),
+    grid AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        LEAST(a.theta, b.theta) AS theta
+      FROM theta a JOIN theta b ON a.event_type < b.event_type),
+    nc AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        COUNT(*) FILTER (WHERE x.h < g.theta)::BIGINT AS n_common
+      FROM sk x JOIN sk y ON x.h = y.h AND x.event_type < y.event_type
+      JOIN grid g ON g.type_a = x.event_type AND g.type_b = y.event_type
+      GROUP BY x.event_type, y.event_type),
+    ex AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        COUNT(*)::BIGINT AS n_exact
+      FROM dist x JOIN dist y ON x.h = y.h AND x.event_type < y.event_type
+      GROUP BY x.event_type, y.event_type)
+    SELECT g.type_a AS type_a, g.type_b AS type_b, g.theta AS theta,
+      COALESCE(nc.n_common, 0)::BIGINT AS n_common,
+      (COALESCE(nc.n_common, 0) * $KMV_SPACE // g.theta)::BIGINT
+        AS est_common,
+      COALESCE(ex.n_exact, 0)::BIGINT AS n_exact
+    FROM grid g
+    LEFT JOIN nc ON nc.type_a = g.type_a AND nc.type_b = g.type_b
+    LEFT JOIN ex ON ex.type_a = g.type_a AND ex.type_b = g.type_b
+    ORDER BY type_a, type_b"""))
+
   val all: Seq[Q] =
     Seq(approxDistinct, approxQuantiles, exactDistinct, exactQuantiles,
-      kmvDistinct)
+      kmvDistinct, kmvIntersect)
 }
