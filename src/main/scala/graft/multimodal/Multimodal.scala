@@ -642,6 +642,60 @@ object Multimodal {
     FROM cand JOIN cap USING (doc_id)
     ORDER BY media_id, doc_id"""))
 
+  // ------------------------------------------------- mm_phash_clusters
+  /** Perceptual near-dup CLUSTERS — the media twin of dedup_clusters:
+    * roll the [[perceptualPairs]] edge list up to connected components
+    * (pointer-doubled min-label CC, shared with the text side) and name
+    * each cluster by its smallest media_id — the canonical-selection
+    * step an image pipeline runs after pair detection (keep one copy
+    * per perceptual cluster, drop the rest). Gated end-to-end: hashes,
+    * banding, hamming verify, transitive closure and the keep-min rule
+    * all mirrored (recursive-CTE closure on the DuckDB side).
+    *
+    * Scale: pairs are the banded equi-join (never media×media); CC is
+    * O(log d) checkpointed rounds on the thin edge list; the label join
+    * back is broadcast-able (labels ≤ |media in pairs|).
+    */
+  private val phashClusters = Q(
+    "mm_phash_clusters",
+    (s, dir) => {
+      val pairs = perceptualPairs(perceptualHashes(s, dir),
+          bands = PH_DEMO_BANDS, hamMax = PH_DEMO_HAM)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val labels = graft.dedup.Dedup.connectedComponents(pairs)
+      Tables(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"))
+        .join(labels.select(col("id").as("media_id"), col("label")),
+          Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("label"), col("media_id")).as("cluster_id"))
+        .withColumn("is_dup", col("media_id") =!= col("cluster_id"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH RECURSIVE $sqlPhashCte,
+    banded AS (SELECT media_id, phash, b.range AS band,
+        (phash >> (b.range * ${PH_BITS / PH_DEMO_BANDS})::INT)
+          & ${(1L << (PH_BITS / PH_DEMO_BANDS)) - 1} AS bv
+      FROM ph, range($PH_DEMO_BANDS) b),
+    cand AS (SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id
+      WHERE bit_count(xor(x.phash, y.phash)) <= $PH_DEMO_HAM),
+    e AS (SELECT a_id AS u, b_id AS v FROM cand
+      UNION SELECT b_id, a_id FROM cand),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    cmin AS (SELECT u AS media_id, MIN(v) AS m FROM reach GROUP BY u)
+    SELECT p.media_id AS media_id,
+      COALESCE(LEAST(c.m, p.media_id), p.media_id) AS cluster_id,
+      COALESCE(LEAST(c.m, p.media_id), p.media_id) <> p.media_id AS is_dup
+    FROM ph p LEFT JOIN cmin c ON p.media_id = c.media_id
+    ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
-    phashQ, perceptual, videoNearDup, sceneDetect, captionFilter)
+    phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
+    phashClusters)
 }

@@ -98,7 +98,9 @@ class PlanSpec extends SparkSpec {
     "corpus_overlap",      // |sources|-row grid (a < b) pair table
     "text_classify_centroid", // broadcast L-row class table (scoring grid)
     "text_classify_nb",    // L×range(B) model grid + broadcast 1-row total
-    "emb_matryoshka")      // broadcast query set vs corpus (bruteforce shape)
+    "emb_matryoshka",      // broadcast query set vs corpus (bruteforce shape)
+    "emb_pca2",            // broadcast 1-row normalizer/projection scalars
+    "sketch_kmv_intersect") // sketch-sized (≤k-row) inequality pair grids
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
