@@ -973,8 +973,66 @@ object Relational {
     FROM pairs p JOIN totals t USING (prev_type)
     ORDER BY prev_type, event_type"""))
 
+  // ---------------------------------------------------------------- q37
+  /** Per-type INTER-ARRIVAL gap percentiles — the latency/cadence
+    * distribution table (p50/p90/p99 of the time between a user's
+    * consecutive events of a type) every on-call dashboard and
+    * session-gap calibration reads (q20's 30-min gap is exactly the
+    * knee this table exposes). Gaps are integer millis from one lag
+    * window; percentiles are PERCENTILE_DISC selected by the
+    * exact_quantiles integer-rank rule (`rn·q ≥ n·p' ∧ (rn−1)·q <
+    * n·p'`) so both engines pick the identical order statistic — no
+    * float index math anywhere.
+    *
+    * Scale: the lag shuffles on user_id; the rank windows shuffle the
+    * thin (type, gap) stream on event_type — two hash exchanges of
+    * narrow rows, map-side column pruning to 4 columns at the scan.
+    */
+  private val q37 = Q(
+    "q37_interarrival",
+    (s, dir) => {
+      val wLag = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_ms"), col("event_id"))
+      val wRank = Window.partitionBy("event_type").orderBy("gap_ms")
+      val wAll = Window.partitionBy("event_type")
+      def pick(num: Int, den: Int) = max(when(
+        col("rn") * den >= col("n") * num &&
+          (col("rn") - 1) * den < col("n") * num, col("gap_ms")))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"),
+          col("event_id"))
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(wLag))
+        .filter(col("gap_ms").isNotNull)
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("event_type")
+        .agg(pick(1, 2).as("p50_ms"), pick(9, 10).as("p90_ms"),
+          pick(99, 100).as("p99_ms"), max(col("n")).as("n_gaps"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+      SELECT event_type,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY epoch_ms(ts), event_id) AS gap_ms
+      FROM events),
+    r AS (
+      SELECT event_type, gap_ms,
+        row_number() OVER (PARTITION BY event_type ORDER BY gap_ms) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g WHERE gap_ms IS NOT NULL)
+    SELECT event_type,
+      MAX(CASE WHEN rn * 2 >= n * 1 AND (rn - 1) * 2 < n * 1
+        THEN gap_ms END) AS p50_ms,
+      MAX(CASE WHEN rn * 10 >= n * 9 AND (rn - 1) * 10 < n * 9
+        THEN gap_ms END) AS p90_ms,
+      MAX(CASE WHEN rn * 100 >= n * 99 AND (rn - 1) * 100 < n * 99
+        THEN gap_ms END) AS p99_ms,
+      MAX(n)::BIGINT AS n_gaps
+    FROM r GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33, q34, q35, q36)
+      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }
