@@ -227,6 +227,71 @@ object Streaming {
       } finally buckets.unpersist() // free this batch's checkpoint blocks
   }
 
+  /** Streaming KMV distinct-sketch accumulation — the sketch-warehouse
+    * ingest loop: per micro-batch, reduce the batch to its per-type
+    * k-minimum 40-bit hashes and MERGE into persisted sketch state,
+    * emitting the current per-type (+ merged `__all__`) sketch rows and
+    * estimates after each batch. The whole point of KMV mergeability
+    * made operational: the k smallest of a union are the k smallest of
+    * the two sides' k-smallest sets, so state stays ≤ k·|types| live
+    * rows no matter how long the stream runs — the bounded-state
+    * distinct counter you deploy when exact distinct state would grow
+    * with the key domain. Same estimator integers as the batch
+    * `sketch_kmv_users` gate; same [[BatchState]] replay-idempotent
+    * commit/compaction loop as the dedup sinks. The `__all__` row is
+    * derived from the merged per-type state — correct because every
+    * global k-minimum is a k-minimum of its own type.
+    *
+    * StreamingSpec: the corpus streamed in 3 slices yields the
+    * IDENTICAL sketch rows (k_used, h_k, est) as the one-shot batch
+    * query, and a replayed batch changes nothing.
+    *
+    * @param out receives (event_type, k_used, h_k, est_users) per batch
+    */
+  def kmvSketchSink(stateDir: String, k: Int = 64,
+      compactEvery: Int = 8)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    val space = 1L << 40
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val st = new BatchState(spark, stateDir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType))),
+        compactEvery, None)
+      val w = Window.partitionBy("event_type").orderBy("h")
+      def kmin(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("event_type", "h")
+      val batchMins = kmin(batch
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 10),
+            16, 10).cast("long").as("h"))
+        .distinct())
+      // merged live sketch state: old k-mins ∪ batch k-mins, re-reduced
+      val merged = kmin(st.visible(batchId).select("event_type", "h")
+          .unionByName(batchMins).distinct())
+        .localCheckpoint() // feeds __all__, the output agg, and commit
+      try {
+        val all = merged.select(lit("__all__").as("event_type"), col("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).select("event_type", "h")
+        out(merged.unionByName(all)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("k_used"),
+            max("h").as("h_k"))
+          .select(col("event_type"), col("k_used"), col("h_k"),
+            when(col("k_used") < k, col("k_used"))
+              .otherwise(expr(s"(k_used - 1) * $space DIV h_k"))
+              .cast("long").as("est_users")))
+        st.commit(merged, batchId)
+      } finally merged.unpersist()
+  }
+
   /** Streaming PERCEPTUAL near-dup suppression — the media twin of
     * [[minhashDedupSink]] for a stream of (media_id, phash) rows (the
     * [[graft.multimodal.Multimodal.perceptualHashes]] projection of an

@@ -489,6 +489,33 @@ class StreamingSpec extends SparkSpec {
       "batch 1 re-sending batch 0's docs must flag them all")
   }
 
+  test("kmvSketchSink merges slices to the batch sketch; replay is " +
+      "idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    var last = Seq.empty[(String, Long, Long, Long)]
+    val sink = Streaming.kmvSketchSink(s"$tmp/state") { out =>
+      last = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+    }
+    val evs = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").localCheckpoint()
+    sink(evs.filter(col("user_id") % 3 === 0).localCheckpoint(), 0L)
+    sink(evs.filter(col("user_id") % 3 === 1).localCheckpoint(), 1L)
+    sink(evs.filter(col("user_id") % 3 === 2).localCheckpoint(), 2L)
+    val merged = last
+    // the streamed merge must equal the one-shot batch sketch exactly
+    val expected = SparkEntry.queries("sketch_kmv_users")(spark, sfDir)
+      .select("event_type", "k_used", "h_k", "est_users").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(merged == expected)
+    // replaying the last slice (crash between state write and checkpoint
+    // commit) must re-emit the identical sketch
+    sink(evs.filter(col("user_id") % 3 === 2).localCheckpoint(), 2L)
+    assert(last == merged)
+  }
+
   test("minhashDedupSink compaction preserves flags and bounds state") {
     def run(every: Int): (Seq[Map[Long, Boolean]], String) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ndc").toString
