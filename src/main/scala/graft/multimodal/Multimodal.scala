@@ -652,15 +652,27 @@ object Multimodal {
     * banding, hamming verify, transitive closure and the keep-min rule
     * all mirrored (recursive-CTE closure on the DuckDB side).
     *
+    * The cluster radius is TIGHTER than the pair-report radius
+    * (ham ≤ [[PH_CLUSTER_HAM]] vs the demo report's ≤ 10): transitive
+    * closure at a loose radius chains A~B~C into one cluster even when
+    * ham(A,C) is far beyond the radius — on this corpus the ≤ 10 graph
+    * is literally one long hamming path (takes the CC loop 12
+    * pointer-doubling rounds and merges half the corpus; measured), so
+    * clustering strictly below the detection radius is the standard
+    * precision guard, and it keeps component diameters (= CC rounds)
+    * small.
+    *
     * Scale: pairs are the banded equi-join (never media×media); CC is
     * O(log d) checkpointed rounds on the thin edge list; the label join
     * back is broadcast-able (labels ≤ |media in pairs|).
     */
+  private val PH_CLUSTER_HAM = 8
+
   private val phashClusters = Q(
     "mm_phash_clusters",
     (s, dir) => {
       val pairs = perceptualPairs(perceptualHashes(s, dir),
-          bands = PH_DEMO_BANDS, hamMax = PH_DEMO_HAM)
+          bands = PH_DEMO_BANDS, hamMax = PH_CLUSTER_HAM)
         .select(col("a_id").as("u"), col("b_id").as("v"))
       val labels = graft.dedup.Dedup.connectedComponents(pairs)
       Tables(s, dir, "documents")
@@ -681,7 +693,7 @@ object Multimodal {
     cand AS (SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id
-      WHERE bit_count(xor(x.phash, y.phash)) <= $PH_DEMO_HAM),
+      WHERE bit_count(xor(x.phash, y.phash)) <= $PH_CLUSTER_HAM),
     e AS (SELECT a_id AS u, b_id AS v FROM cand
       UNION SELECT b_id, a_id FROM cand),
     reach(u, v) AS (
