@@ -781,9 +781,12 @@ object Quantize {
         val r = sm.join(broadcast(w), "j")
           .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
         val mu = r.agg(max(abs(col("r"))).cast(dec).as("mx"))
+        // u feeds du AND o, but is a join+agg of already-materialized
+        // frames (sm + the checkpointed w) — evaluating it twice costs
+        // less than a localCheckpoint action per round (the CC-loop
+        // measurement); only w materializes per round
         val u = r.crossJoin(broadcast(mu))
           .select(col("i"), expr("r * 1000000 DIV mx").cast(dec).as("u"))
-          .transform(graft.Checkpoint.of) // feeds du AND o (d rows)
         val du = u.join(broadcast(vt), "i")
           .agg(sum(col("u") * col("v1")).cast(dec).as("uv1"))
         val o = u.join(broadcast(vt), "i")
