@@ -1327,8 +1327,142 @@ object TextOps {
         AS is_low_entropy
     FROM agg ORDER BY doc_id"""))
 
+  // -------------------------------------------------------- text_sentences
+  /** SENTENCE-level readability stats — the words-per-sentence half of
+    * the Gopher rules ([[quality]] covers the token-level half): split
+    * on terminal punctuation, count words per non-empty sentence, emit
+    * per-doc sentence count / exact milli mean words-per-sentence /
+    * longest sentence, and the readability flag (mean ∈ [3, 90] words —
+    * Gopher's bounds; fragments sit below, run-on machine text above).
+    *
+    * Shape: explode sentences map-side (no interpreted per-doc HOF over
+    * the sentence array — the repo kernel rule), per-sentence word
+    * count through the codegen [[tokens]] kernel, ONE map-side-combined
+    * doc aggregate. Mean is `total·1000 DIV n` — integer floor,
+    * identical both engines.
+    */
+  private val sentences = Q(
+    "text_sentences",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+          explode(split(col("text"), "[.!?]")).as("sent"))
+        .filter(trim(col("sent")) =!= "")
+        .select(col("doc_id"),
+          size(tokens(col("sent"))).cast("long").as("wc"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sentences"),
+          sum("wc").as("n_words"),
+          max("wc").as("max_words"))
+        .withColumn("mean_wps_milli", expr("n_words * 1000 DIV n_sentences"))
+        .withColumn("is_readable",
+          col("mean_wps_milli").between(3000L, 90000L))
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          col("max_words"), col("mean_wps_milli"), col("is_readable"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sent AS (
+      SELECT doc_id,
+        len(list_filter(string_split(u.s, ' '), t -> t <> ''))::BIGINT
+          AS wc
+      FROM documents,
+        UNNEST(regexp_split_to_array(text, '[.!?]')) u(s)
+      WHERE trim(u.s) <> ''),
+    agg AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_sentences,
+        SUM(wc)::BIGINT AS n_words, MAX(wc)::BIGINT AS max_words
+      FROM sent GROUP BY doc_id)
+    SELECT doc_id, n_sentences, n_words, max_words,
+      (n_words * 1000 // n_sentences)::BIGINT AS mean_wps_milli,
+      (n_words * 1000 // n_sentences) BETWEEN 3000 AND 90000
+        AS is_readable
+    FROM agg ORDER BY doc_id"""))
+
+  // ----------------------------------------------------- text_collocations
+  /** PMI COLLOCATION mining — the corpus-statistics pass behind phrase
+    * vocabularies (word2phrase, tokenizer merge seeding, multi-word
+    * entity lexicons): rank adjacent word pairs by pointwise mutual
+    * information `PMI = log2(p(ab) / (p(a)·p(b)))`, computed as the
+    * linear combination `ilog2(c_ab) + 2·ilog2(N) − ilog2(B) −
+    * ilog2(c_a) − ilog2(c_b)` in the fixed-point 2⁻²⁰ log2 — no product
+    * ever materializes (`c_ab·N²` would overflow at corpus scale; the
+    * sum-of-logs form never exceeds ~66·2²⁰ per term), no transcendental
+    * ln. Pairs below [[COLLOC_MIN]] occurrences are dropped first (the
+    * standard PMI low-count guard — hapax pairs otherwise own the top of
+    * the ranking), then global top-[[COLLOC_K]] by (pmi, pair).
+    *
+    * Scale: unigram and bigram counts are two map-side-combined gram
+    * aggregates (the tfidf shape); the unigram table joins back on the
+    * bigram's two words (vocab-keyed equi-joins); top-k is TakeOrdered —
+    * no windows, nothing corpus²-shaped.
+    */
+  private val COLLOC_MIN = 5L
+  private val COLLOC_K = 20
+
+  private val collocations = Q(
+    "text_collocations",
+    (s, dir) => {
+      import Sampling.ilog2m20
+      val d = Tables(s, dir, "documents")
+      val uni = d.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .transform(graft.Checkpoint.of) // totals + two join legs read it
+      val bigramArr = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 2,
+          distinct = false))
+      val biAll = d.select(explode(bigramArr).as("ab"))
+        .groupBy("ab").agg(count(lit(1)).as("c_ab"))
+        .transform(graft.Checkpoint.of) // total + filtered legs read it
+      val bi = biAll.filter(col("c_ab") >= COLLOC_MIN)
+      val totals = uni.agg(sum("c").as("n_uni"))
+        .crossJoin(biAll.agg(sum("c_ab").as("n_bi")))
+      bi.withColumn("w1", split(col("ab"), " ").getItem(0))
+        .withColumn("w2", split(col("ab"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi_m20",
+          expr(s"${ilog2m20("c_ab")} + 2 * ${ilog2m20("n_uni")}" +
+            s" - ${ilog2m20("n_bi")} - ${ilog2m20("c_a")}" +
+            s" - ${ilog2m20("c_b")}"))
+        .select(col("ab"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi_m20"))
+        .orderBy(col("pmi_m20").desc, col("ab"))
+        .limit(COLLOC_K)
+        .orderBy(col("pmi_m20").desc, col("ab"))
+    },
+    Some({
+      import Sampling.dIlog2m20
+      s"""WITH toks AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') w
+      FROM documents),
+    uni AS MATERIALIZED (
+      SELECT u.t AS w, COUNT(*)::BIGINT AS c
+      FROM toks, UNNEST(w) u(t) GROUP BY u.t),
+    big AS MATERIALIZED (
+      SELECT u.g AS ab, COUNT(*)::BIGINT AS c_ab
+      FROM toks, UNNEST([w[i] || ' ' || w[i+1]
+        for i in range(1, greatest(len(w), 1))]) u(g)
+      GROUP BY u.g),
+    tot AS (SELECT (SELECT SUM(c)::BIGINT FROM uni) AS n_uni,
+      (SELECT SUM(c_ab)::BIGINT FROM big) AS n_bi),
+    sc AS (
+      SELECT b.ab, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+        ${dIlog2m20("b.c_ab")} + 2 * ${dIlog2m20("t.n_uni")}
+          - ${dIlog2m20("t.n_bi")} - ${dIlog2m20("ua.c")}
+          - ${dIlog2m20("ub.c")} AS pmi_m20
+      FROM big b
+      JOIN uni ua ON ua.w = string_split(b.ab, ' ')[1]
+      JOIN uni ub ON ub.w = string_split(b.ab, ' ')[2]
+      CROSS JOIN tot t
+      WHERE b.c_ab >= $COLLOC_MIN)
+    SELECT ab, c_ab, c_a, c_b, pmi_m20
+    FROM sc ORDER BY pmi_m20 DESC, ab LIMIT $COLLOC_K"""
+    }))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
     piiScrub, pplBucket, lineDedup, htmlStrip, bm25, hybrid, badwords,
-    keywords, entropy)
+    keywords, entropy, sentences, collocations)
 }
