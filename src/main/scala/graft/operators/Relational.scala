@@ -1031,8 +1031,69 @@ object Relational {
       MAX(n)::BIGINT AS n_gaps
     FROM r GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q38
+  /** Order-to-ship DELAY distribution per priority — the TPC-H-shaped
+    * SLA report (did URGENT orders actually ship faster?): join the
+    * fact table to orders on the order key, delay = integer epoch-DAY
+    * floor difference (`unix_micros DIV 86.4e9` both engines — no
+    * date-boundary semantics to disagree on), p50/p90/p99 by the
+    * exact_quantiles integer-rank rule.
+    *
+    * Scale: the one big stage is the orderkey shuffle join of two fact
+    * tables (both sides pruned to 2–3 columns at the scan); the rank
+    * windows then shuffle thin (priority, delay) pairs — at 100 TB
+    * bucketing both tables by orderkey (writeBucketed) makes the join
+    * zero-exchange, the same recipe the as-of suite demonstrates.
+    */
+  private val q38 = Q(
+    "q38_shipping_delay",
+    (s, dir) => {
+      val wRank = Window.partitionBy("o_orderpriority").orderBy("delay_days")
+      val wAll = Window.partitionBy("o_orderpriority")
+      def pick(num: Int, den: Int) = max(when(
+        col("rn") * den >= col("n") * num &&
+          (col("rn") - 1) * den < col("n") * num, col("delay_days")))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("od"))
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("sd"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), (col("sd") - col("od"))
+          .as("delay_days"))
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("o_orderpriority")
+        .agg(pick(1, 2).as("p50_days"), pick(9, 10).as("p90_days"),
+          pick(99, 100).as("p99_days"), max(col("n")).as("n_lines"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH d AS (
+      SELECT o_orderpriority,
+        epoch_ms(l_shipdate) // 86400000
+          - epoch_ms(o_orderdate) // 86400000 AS delay_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    r AS (
+      SELECT o_orderpriority, delay_days,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY delay_days) AS rn,
+        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM d)
+    SELECT o_orderpriority,
+      MAX(CASE WHEN rn * 2 >= n * 1 AND (rn - 1) * 2 < n * 1
+        THEN delay_days END)::BIGINT AS p50_days,
+      MAX(CASE WHEN rn * 10 >= n * 9 AND (rn - 1) * 10 < n * 9
+        THEN delay_days END)::BIGINT AS p90_days,
+      MAX(CASE WHEN rn * 100 >= n * 99 AND (rn - 1) * 100 < n * 99
+        THEN delay_days END)::BIGINT AS p99_days,
+      MAX(n)::BIGINT AS n_lines
+    FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }
