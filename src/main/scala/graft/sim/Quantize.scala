@@ -830,7 +830,78 @@ object Quantize {
       FROM vt JOIN w$PCA_ROUNDS ON vt.i = w$PCA_ROUNDS.j ORDER BY i"""
     })
 
+  // --------------------------------------------------- emb_quantize_recall
+  /** INT8 PRECISION-impact audit — the [[matryoshka]] evaluation's twin
+    * for the other compression axis (it varies dimensions; this varies
+    * precision): per query, overlap@10 between the exact full-precision
+    * cosine top-10 and the ranking against the int8-DEQUANTIZED corpus
+    * (`code·scale` — queries stay full precision, corpus compressed:
+    * the asymmetric setup every int8 ANN deployment runs). The table
+    * that decides whether 4× storage cut costs any recall.
+    *
+    * Determinism: codes and scale are the [[quantize]]-gated arithmetic
+    * (exact ints; one IEEE divide), dequantization is one IEEE multiply
+    * per component → bit-identical arrays both engines; cosines only
+    * ORDER (the matryoshka argument). The dequantized corpus is
+    * CHECKPOINTED so the interpreted `transform` lambda runs once per
+    * vector, never once per (query, vector) pair (the emb_quantize
+    * scale_raw lesson). One BroadcastNLJ pass carries both rankings on
+    * a shared query_id exchange.
+    */
+  private val quantizeRecall = Q(
+    "emb_quantize_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.CosineSim.cosineSim
+      val e = emb(s, dir)
+        .withColumn("scale_raw", int8Scale(col("v")))
+        .transform(graft.Checkpoint.of) // scale as attribute (see above)
+        .withColumn("codes", int8Codes(col("v"), col("scale_raw")))
+        .withColumn("dq", transform(col("codes"),
+          c => c.cast("double") * col("scale_raw")))
+        .select(col("vec_id"), col("v"), col("dq"))
+        .transform(graft.Checkpoint.of)
+      val q = e.filter(col("vec_id") < MAT_NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      def rk(corpus: Column): Column =
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(cosineSim(col("qv"), corpus).desc, col("vec_id")))
+      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("r_full", rk(col("v")))
+        .withColumn("r_int8", rk(col("dq")))
+        .groupBy("query_id")
+        .agg(sum(when(col("r_full") <= MAT_K && col("r_int8") <= MAT_K, 1L)
+          .otherwise(0L)).as("overlap_int8"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    sc AS (
+      SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale_raw
+      FROM e),
+    dq AS MATERIALIZED (
+      SELECT vec_id, v,
+        list_transform(v, x -> CASE WHEN scale_raw = 0 THEN 0.0
+          ELSE CAST(CAST(round(x / scale_raw) AS BIGINT) AS DOUBLE)
+            * scale_raw END) AS dqv
+      FROM sc),
+    q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < $MAT_NQ),
+    ranked AS (
+      SELECT query_id, d.vec_id,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv, d.v) DESC, d.vec_id)
+          AS r_full,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_cosine_similarity(qv, d.dqv) DESC, d.vec_id)
+          AS r_int8
+      FROM q, dq d WHERE query_id <> d.vec_id)
+    SELECT query_id,
+      SUM(CASE WHEN r_full <= $MAT_K AND r_int8 <= $MAT_K
+        THEN 1 ELSE 0 END)::BIGINT AS overlap_int8
+    FROM ranked GROUP BY query_id ORDER BY query_id"""))
+
   val all: Seq[Q] =
     Seq(quantize, stats, standardize, project, covariance, pcaPower,
-      pcaProject, outliers, drift, matryoshka, pca2)
+      pcaProject, outliers, drift, matryoshka, pca2, quantizeRecall)
 }
