@@ -1092,8 +1092,73 @@ object Relational {
       MAX(n)::BIGINT AS n_lines
     FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- q39
+  /** Per-user FEATURE-STORE row — the materialized user-feature table
+    * every downstream model joins against (churn, ranking, abuse):
+    * event volume, active-day count, type diversity as both a distinct
+    * count and a Shannon ENTROPY over the user's event-type
+    * distribution (the behavioral-diversity feature; one dominant type
+    * ⇒ 0, uniform over k types ⇒ log2 k — in the repo's fixed-point
+    * 2⁻²⁰ integer log2, no transcendental ln), and exact floor-micro
+    * value totals.
+    *
+    * Scale: ONE pass aggregates (user, type) counts map-side-combined;
+    * the per-user roll-up re-aggregates those thin keys; the
+    * day/value directs are a second map-side-combined user aggregate;
+    * the user-key join of the two is co-partitioned (same key). No
+    * windows, nothing corpus²-shaped.
+    */
+  private val q39 = Q(
+    "q39_user_features",
+    (s, dir) => {
+      val ilog2 = graft.text.Sampling.ilog2m20 _
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ms DIV 86400000").as("day"),
+          floor(col("value") * 1000000d).cast("long").as("vm"))
+      val byType = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val diversity = byType.groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum("c").as("n_events"),
+          sum(expr(s"c * ${ilog2("c")}")).as("clc"))
+        .withColumn("type_entropy_m20",
+          expr(s"${ilog2("n_events")} - clc DIV n_events"))
+      val direct = ev.groupBy("user_id")
+        .agg(countDistinct(col("day")).as("n_days"),
+          sum("vm").as("total_vm"))
+      diversity.join(direct, "user_id")
+        .select(col("user_id"), col("n_events"), col("n_days"),
+          col("n_types"), col("type_entropy_m20"), col("total_vm"))
+        .orderBy("user_id")
+    },
+    Some({
+      val d = graft.text.Sampling.dIlog2m20 _
+      s"""WITH ev AS (
+      SELECT user_id, event_type,
+        epoch_ms(ts) // 86400000 AS day,
+        FLOOR(value * 1000000)::BIGINT AS vm
+      FROM events),
+    bt AS (
+      SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+      FROM ev GROUP BY user_id, event_type),
+    div AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n_types,
+        SUM(c)::BIGINT AS n_events,
+        SUM(c * ${d("c")})::BIGINT AS clc
+      FROM bt GROUP BY user_id),
+    direct AS (
+      SELECT user_id, COUNT(DISTINCT day)::BIGINT AS n_days,
+        SUM(vm)::BIGINT AS total_vm
+      FROM ev GROUP BY user_id)
+    SELECT user_id, n_events, n_days, n_types,
+      (${d("n_events")} - clc // n_events)::BIGINT AS type_entropy_m20,
+      total_vm
+    FROM div JOIN direct USING (user_id) ORDER BY user_id"""
+    }))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
