@@ -1157,8 +1157,84 @@ object Relational {
     FROM div JOIN direct USING (user_id) ORDER BY user_id"""
     }))
 
+  // ---------------------------------------------------------------- q40
+  /** MARKET-SHARE report (the TPC-H Q8 shape): for the ASIA customer
+    * market, each supplier nation's share of yearly revenue — the
+    * two-level ratio aggregate (numerator and denominator are the SAME
+    * aggregate at two grouping depths) that every BI rollup runs.
+    * Exactness: per-row revenue is lossless DECIMAL(26,6), lifted to
+    * integer micro units before summing, so numerator/denominator are
+    * exact integers and the share is `nrev·10⁶ DIV mrev` — no float
+    * division, no ratio drift.
+    *
+    * Scale: the fact chain joins shuffle on orderkey/custkey with all
+    * dims broadcast; the share denominator RE-AGGREGATES the thin
+    * (year, nation) rows — never a second pass over the facts — and
+    * broadcasts back onto them.
+    */
+  private val q40 = Q(
+    "q40_market_share",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val natC = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey").as("cn_region"))
+      val natS = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val revMicro = ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(26, 6)) * lit(1000000))
+        .cast(DecimalType(38, 0))
+      val byNation = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("cn_region") === col("r_regionkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"), col("supp_nation"))
+        .agg(sum(revMicro).cast(DecimalType(38, 0)).as("nrev"))
+      val market = byNation.groupBy("o_year")
+        .agg(sum("nrev").cast(DecimalType(38, 0)).as("mrev"))
+      byNation.join(broadcast(market), "o_year")
+        .select(col("o_year"), col("supp_nation"),
+          col("nrev").cast("long").as("nrev_micro"),
+          expr("nrev * 1000000 DIV mrev").as("share_micro"))
+        .orderBy("o_year", "supp_nation")
+    },
+    Some("""WITH base AS (
+      SELECT year(o_orderdate)::BIGINT AS o_year, ns.n_name AS supp_nation,
+        ((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+          * 1000000)::HUGEINT AS rev_micro
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region ON nc.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'ASIA'),
+    bn AS (
+      SELECT o_year, supp_nation, SUM(rev_micro) AS nrev
+      FROM base GROUP BY o_year, supp_nation),
+    mk AS (SELECT o_year, SUM(nrev) AS mrev FROM bn GROUP BY o_year)
+    SELECT bn.o_year AS o_year, supp_nation,
+      nrev::BIGINT AS nrev_micro,
+      (nrev * 1000000 // mrev)::BIGINT AS share_micro
+    FROM bn JOIN mk ON bn.o_year = mk.o_year
+    ORDER BY o_year, supp_nation"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
