@@ -1461,8 +1461,49 @@ object TextOps {
     FROM sc ORDER BY pmi_m20 DESC, ab LIMIT $COLLOC_K"""
     }))
 
+  // ---------------------------------------------------- text_len_histogram
+  /** Power-of-two SEQUENCE-LENGTH histogram — the distribution that
+    * configures [[Packing.packSequences]]'s max_len and the trainer's
+    * context budget (what fraction of documents/tokens land in
+    * [2^b, 2^(b+1))): bucket = ⌊log2 n_tokens⌋ via the exact
+    * `length(bin(n)) − 1` identity (no float log), per bucket the doc
+    * count, token mass, and exact-integer corpus shares in millionths.
+    * One map-side token count (codegen kernel) + one ≤64-key aggregate;
+    * the share denominators re-aggregate those keys and broadcast back.
+    */
+  private val lenHistogram = Q(
+    "text_len_histogram",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bucket", expr("length(bin(n)) - 1").cast("long"))
+      val h = d.groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      val tot = h.agg(sum("n_docs").as("td"), sum("n_tokens").as("tt"))
+      h.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          expr("n_docs * 1000000 DIV td").as("doc_share_micro"),
+          expr("n_tokens * 1000000 DIV tt").as("token_share_micro"))
+        .orderBy("bucket")
+    },
+    Some("""WITH n AS (
+      SELECT len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT
+        AS n
+      FROM documents),
+    h AS (
+      SELECT (length(bin(n)) - 1)::BIGINT AS bucket,
+        COUNT(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS n_tokens
+      FROM n WHERE n > 0 GROUP BY 1),
+    tot AS (SELECT SUM(n_docs)::BIGINT AS td, SUM(n_tokens)::BIGINT AS tt
+      FROM h)
+    SELECT bucket, n_docs, n_tokens,
+      (n_docs * 1000000 // td)::BIGINT AS doc_share_micro,
+      (n_tokens * 1000000 // tt)::BIGINT AS token_share_micro
+    FROM h, tot ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
     piiScrub, pplBucket, lineDedup, htmlStrip, bm25, hybrid, badwords,
-    keywords, entropy, sentences, collocations)
+    keywords, entropy, sentences, collocations, lenHistogram)
 }

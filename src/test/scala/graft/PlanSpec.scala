@@ -102,7 +102,8 @@ class PlanSpec extends SparkSpec {
     "emb_pca2",            // broadcast 1-row normalizer/projection scalars
     "sketch_kmv_intersect", // sketch-sized (≤k-row) inequality pair grids
     "text_collocations",   // broadcast 1-row (n_uni, n_bi) total scalars
-    "emb_quantize_recall") // broadcast query set vs corpus (bruteforce shape)
+    "emb_quantize_recall", // broadcast query set vs corpus (bruteforce shape)
+    "text_len_histogram")  // broadcast 1-row (td, tt) total scalars
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
