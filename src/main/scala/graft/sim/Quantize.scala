@@ -668,18 +668,22 @@ object Quantize {
     * Output = per-query overlap@10 per budget — the table that picks the
     * operating point on the recall/4×-8× cost-cut curve.
     *
-    * One BroadcastNestedLoopJoin pass (tiny query set × one corpus scan —
-    * the knn_bruteforce shape) carries ALL four rankings: the four
-    * `row_number` windows share the `query_id` hash partitioning, so
-    * Spark plans ONE exchange and per-partition re-sorts, never four
-    * shuffles; prefix cosines run on `slice()`d arrays through the same
-    * codegen [[graft.functions.CosineSim]] kernel whose sequential fold
-    * matches DuckDB's `list_cosine_similarity` bit-for-bit (cosines only
-    * ORDER here — never emitted — so no rounding contract is involved,
-    * just identical comparisons). Scale: linear in corpus size, corpus
-    * never shuffled; the windows shuffle |queries|·|corpus| thin rows —
-    * at 100 TB the same evaluation runs on a sampled query set exactly
-    * like every recall audit in this module.
+    * Each budget's ranking is its OWN top-K list — a broadcast-queries
+    * corpus pass whose `row_number <= K` filter lets Spark plan
+    * WindowGroupLimit (the knn_bruteforce shape): every partition keeps
+    * only K rows per query BEFORE the query_id exchange, so the
+    * per-query work is O(n·k) partial top-k, never a corpus-sized sort
+    * on |queries| reducers. The K-row lists then join on
+    * (query_id, vec_id) — AQE broadcasts the NQ·K-row sides — and a
+    * per-query count of matches is the overlap. Prefix cosines run on
+    * `slice()`d arrays through the same codegen
+    * [[graft.functions.CosineSim]] kernel whose sequential fold matches
+    * DuckDB's `list_cosine_similarity` bit-for-bit (cosines only ORDER
+    * here — never emitted — so no rounding contract is involved, just
+    * identical comparisons). Scale: four linear corpus scans (one per
+    * budget), corpus never shuffled, shuffle payload = NQ·K thin rows
+    * per list; at 100 TB the same evaluation runs on a sampled query
+    * set exactly like every recall audit in this module.
     */
   private val MAT_K = 10
   private val MAT_NQ = 10
@@ -693,26 +697,30 @@ object Quantize {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val q = e.filter(col("vec_id") < MAT_NQ)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      def rk(d: Int): Column = {
+      // one top-K list per budget; the rank filter is what buys
+      // WindowGroupLimit (PlanSpec asserts it)
+      def top(d: Int): DataFrame = {
         val cos =
           if (d == 64) cosineSim(col("qv"), col("v"))
           else cosineSim(slice(col("qv"), 1, d), slice(col("v"), 1, d))
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(cos.desc, col("vec_id")))
+        e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+          .withColumn("rk", row_number()
+            .over(Window.partitionBy(col("query_id"))
+              .orderBy(cos.desc, col("vec_id"))))
+          .filter(col("rk") <= MAT_K)
+          .select(col("query_id"), col("vec_id"))
       }
-      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
-        .withColumn("r64", rk(64))
-        .withColumn("r32", rk(32))
-        .withColumn("r16", rk(16))
-        .withColumn("r8", rk(8))
+      def mark(d: Int, name: String): DataFrame =
+        top(d).withColumn(name, lit(1L))
+      top(64)
+        .join(mark(32, "m32"), Seq("query_id", "vec_id"), "left")
+        .join(mark(16, "m16"), Seq("query_id", "vec_id"), "left")
+        .join(mark(8, "m8"), Seq("query_id", "vec_id"), "left")
         .groupBy("query_id")
         .agg(
-          sum(when(col("r64") <= MAT_K && col("r32") <= MAT_K, 1L)
-            .otherwise(0L)).as("overlap_d32"),
-          sum(when(col("r64") <= MAT_K && col("r16") <= MAT_K, 1L)
-            .otherwise(0L)).as("overlap_d16"),
-          sum(when(col("r64") <= MAT_K && col("r8") <= MAT_K, 1L)
-            .otherwise(0L)).as("overlap_d8"))
+          sum(coalesce(col("m32"), lit(0L))).as("overlap_d32"),
+          sum(coalesce(col("m16"), lit(0L))).as("overlap_d16"),
+          sum(coalesce(col("m8"), lit(0L))).as("overlap_d8"))
         .orderBy("query_id")
     },
     Some(s"""WITH e AS (
@@ -845,8 +853,11 @@ object Quantize {
     * ORDER (the matryoshka argument). The dequantized corpus is
     * CHECKPOINTED so the interpreted `transform` lambda runs once per
     * vector, never once per (query, vector) pair (the emb_quantize
-    * scale_raw lesson). One BroadcastNLJ pass carries both rankings on
-    * a shared query_id exchange.
+    * scale_raw lesson). Each ranking is its own rank-filtered top-K
+    * list (WindowGroupLimit bounds every partition at O(n·k) — the
+    * [[matryoshka]] shape, PlanSpec-asserted); the two NQ·K-row lists
+    * join on (query_id, vec_id) and the per-query match count is the
+    * overlap.
     */
   private val quantizeRecall = Q(
     "emb_quantize_recall",
@@ -863,15 +874,18 @@ object Quantize {
         .transform(graft.Checkpoint.of)
       val q = e.filter(col("vec_id") < MAT_NQ)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      def rk(corpus: Column): Column =
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(cosineSim(col("qv"), corpus).desc, col("vec_id")))
-      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
-        .withColumn("r_full", rk(col("v")))
-        .withColumn("r_int8", rk(col("dq")))
+      def top(corpus: Column): DataFrame =
+        e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+          .withColumn("rk", row_number()
+            .over(Window.partitionBy(col("query_id"))
+              .orderBy(cosineSim(col("qv"), corpus).desc, col("vec_id"))))
+          .filter(col("rk") <= MAT_K)
+          .select(col("query_id"), col("vec_id"))
+      top(col("v"))
+        .join(top(col("dq")).withColumn("m", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
         .groupBy("query_id")
-        .agg(sum(when(col("r_full") <= MAT_K && col("r_int8") <= MAT_K, 1L)
-          .otherwise(0L)).as("overlap_int8"))
+        .agg(sum(coalesce(col("m"), lit(0L))).as("overlap_int8"))
         .orderBy("query_id")
     },
     Some(s"""WITH e AS (

@@ -124,6 +124,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("recall-audit rankings are partial top-K (WindowGroupLimit), " +
+      "never a corpus-sized per-query sort") {
+    for (name <- Seq("emb_matryoshka", "emb_quantize_recall")) {
+      val d = df(name)
+      d.collect() // finalize the AQE plan
+      val plan = d.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name must pre-reduce each ranking to K rows per partition")
+    }
+  }
+
   test("q34/q35 window pipelines run on ONE hash exchange") {
     // both stack multiple windows + an aggregate on the same keys: the
     // plan must exchange once and re-sort in place, never re-shuffle
