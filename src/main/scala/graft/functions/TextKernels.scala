@@ -52,6 +52,25 @@ object TextKernels {
   def tokens(s: UTF8String): ArrayData =
     new GenericArrayData(tokenize(s).asInstanceOf[Array[Any]])
 
+  /** Unicode normalization (NFC; NFKC when `compat`). ASCII never needs
+    * normalizing under either form, so a pure-ASCII byte scan returns
+    * the input untouched — no String materialization on the common
+    * path; non-ASCII input takes `isNormalized` (a cheap quick-check
+    * pass for most text) before paying for `normalize`.
+    */
+  def unicodeNorm(s: UTF8String, compat: Boolean): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length && (b(i) & 0x80) == 0) i += 1
+    if (i == b.length) return s
+    val form =
+      if (compat) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
   def matchCount(s: UTF8String,
       set: java.util.HashSet[UTF8String]): Int = {
     val toks = tokenize(s)
@@ -459,6 +478,37 @@ case class PiiScrub(child: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextKernels.piiScrub($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `nfc_normalize(text)` / `nfkc_normalize(text)` → string: Unicode
+  * normalization (canonical NFC, or compatibility NFKC when
+  * `compat = true`) in one codegen'd call — the ftfy/CCNet cleanup step
+  * every crawled corpus runs BEFORE tokenize/fingerprint, so that
+  * visually-identical spellings ("é" vs "e"+U+0301; NFKC also folds
+  * ligatures/fullwidth forms) share one byte sequence and one hash.
+  * Pure-ASCII rows (the overwhelming majority of a deduplicated English
+  * corpus) short-circuit on a byte scan without the String round-trip;
+  * already-normalized non-ASCII rows return the input buffer unchanged.
+  * NFC output matches DuckDB's `nfc_normalize` (both implement UAX #15;
+  * composition of the stable Latin range is version-independent), which
+  * is what lets the text_normalize query hash-gate the normalized TEXT
+  * itself, not a proxy count.
+  */
+case class UnicodeNormalize(child: Expression, compat: Boolean = false)
+    extends UnaryExpression with TextKernelExpression {
+  override def prettyName: String =
+    if (compat) "nfkc_normalize" else "nfc_normalize"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.unicodeNorm(input.asInstanceOf[UTF8String], compat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.unicodeNorm($a, $compat);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

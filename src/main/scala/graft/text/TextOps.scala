@@ -35,6 +35,16 @@ object TextOps {
       graft.functions.TokenMatchCount(
         org.apache.spark.sql.graft.Shim.expression(text), words))
 
+  /** Unicode normalization (NFC; NFKC when `compat`) via the codegen'd
+    * [[graft.functions.UnicodeNormalize]] kernel — the cleanup stage
+    * that feeds [[tokens]] / [[normalizedMd5]] on crawled input. NFC
+    * mirrors DuckDB `nfc_normalize`.
+    */
+  def unicodeNormalize(text: Column, compat: Boolean = false): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.graft.Shim.expression(text), compat))
+
   /** Normalized-content md5 (lower, trim, collapse runs of spaces) —
     * the shared fingerprint of text_fingerprint / dedup_exact /
     * pipeline_prepare; mirrors DuckDB
@@ -1002,6 +1012,74 @@ object TextOps {
       trim(regexp_replace(h3, ' +', ' ', 'g')) AS clean_text
     FROM un ORDER BY doc_id"""))
 
+  // ------------------------------------------------------ text_normalize
+  /** Unicode normalization stage (the ftfy/CCNet cleanup every crawled
+    * corpus runs BEFORE tokenize/fingerprint/dedup — dedup_exact's md5
+    * and the Tokens kernel assume its output): NFC composition +
+    * zero-width/control stripping + case-fold + whitespace collapse.
+    * The corpus is clean ASCII, so the query derives a DIRTY spelling of
+    * each document identically in both engines (the text_html_strip
+    * recipe) with the adversarial forms crawled text actually has: a
+    * BOM, a decomposed accent (`E`+U+0301), zero-width space/joiner
+    * splices, a control byte inside a word, a second combining mark
+    * (`A`+U+030A), and upper-cased body text.
+    *
+    * Stage order (mirrored in the oracle): strip zero-width → strip
+    * controls → NFC (the codegen [[graft.functions.UnicodeNormalize]]
+    * kernel vs DuckDB `nfc_normalize` — the normalized TEXT itself is
+    * under the hash gate) → lower (Unicode simple case-fold, É→é
+    * identical in both engines) → collapse/trim spaces. Zero-width
+    * strip runs FIRST so a joiner can't block composition; control
+    * strip removes (not spaces) so a split word heals, like ftfy.
+    *
+    * Map-only: per-doc regex chains + one kernel call, zero shuffle
+    * before the output sort; at 100 TB this is a pure scan stage that
+    * pipelines into whatever consumes it.
+    */
+  private val ZW_RE = "[\u200b\u200c\u200d\ufeff]"
+  private val CTL_RE = "[\u0001-\u0008\u000b\u000c\u000e-\u001f\u007f]"
+
+  private val normalize = Q(
+    "text_normalize",
+    (s, dir) => {
+      val dirty = concat(
+        lit("\ufeffCAFE\u0301 \u200bdu \u200cMONDE "),
+        upper(col("text")),
+        lit(" BEL\u0007L \u200dA\u030a"))
+      val noZw = regexp_replace(dirty, ZW_RE, "")
+      val noCtl = regexp_replace(noZw, CTL_RE, "")
+      val norm = lower(unicodeNormalize(noCtl))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(dirty, lit(ZW_RE), lit(0)))
+            .cast("long").as("n_zero_width"),
+          size(regexp_extract_all(dirty, lit(CTL_RE), lit(0)))
+            .cast("long").as("n_controls"),
+          trim(regexp_replace(norm, " +", " ")).as("norm_text"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+      SELECT doc_id,
+        chr(65279) || 'CAFE' || chr(769) || ' ' || chr(8203) || 'du ' ||
+        chr(8204) || 'MONDE ' || upper(text) ||
+        ' BEL' || chr(7) || 'L ' || chr(8205) || 'A' || chr(778) AS dirty,
+        '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']'
+          AS zw_re,
+        '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14) ||
+          '-' || chr(31) || chr(127) || ']' AS ctl_re
+      FROM documents),
+    st AS (SELECT doc_id, dirty, zw_re, ctl_re,
+        regexp_replace(regexp_replace(dirty, zw_re, '', 'g'),
+          ctl_re, '', 'g') AS stripped
+      FROM w)
+    SELECT doc_id,
+      len(regexp_extract_all(dirty, zw_re))::BIGINT AS n_zero_width,
+      len(regexp_extract_all(dirty, ctl_re))::BIGINT AS n_controls,
+      trim(regexp_replace(lower(nfc_normalize(stripped)), ' +', ' ', 'g'))
+        AS norm_text
+    FROM st ORDER BY doc_id"""))
+
   // ------------------------------------------------------- text_rank_bm25
   private val BM25_TERMS = Seq("table", "query", "window", "merge")
   private val BM25_K = 50
@@ -1504,6 +1582,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
-    piiScrub, pplBucket, lineDedup, htmlStrip, bm25, hybrid, badwords,
-    keywords, entropy, sentences, collocations, lenHistogram)
+    piiScrub, pplBucket, lineDedup, htmlStrip, normalize, bm25, hybrid,
+    badwords, keywords, entropy, sentences, collocations, lenHistogram)
 }

@@ -46,6 +46,35 @@ class KernelSpec extends SparkSpec {
     assert(kernel.toSeq == composed.toSeq)
   }
 
+  test("UnicodeNormalize kernel: NFC composes, NFKC also folds " +
+      "compatibility forms, ASCII passes through, idempotent") {
+    import graft.functions.UnicodeNormalize
+    def run(s: String, compat: Boolean): String =
+      Seq(s).toDF("t").select(Shim.column(
+        UnicodeNormalize(Shim.expression(col("t")), compat)).as("n"))
+        .collect().head.getString(0)
+    // canonical composition: decomposed accents compose under both forms
+    assert(run("CAFE\u0301", compat = false) == "CAF\u00c9")
+    assert(run("A\u030a", compat = false) == "\u00c5")
+    assert(run("CAFE\u0301", compat = true) == "CAF\u00c9")
+    // compatibility folds are NFKC-only: NFC must leave them alone
+    assert(run("\ufb01le", compat = false) == "\ufb01le",
+      "NFC keeps the fi ligature")
+    assert(run("\ufb01le", compat = true) == "file",
+      "NFKC folds the fi ligature")
+    assert(run("\uff21\uff22", compat = false) == "\uff21\uff22")
+    assert(run("\uff21\uff22", compat = true) == "AB", "NFKC fullwidth")
+    // ASCII fast path and idempotence
+    val ascii = "plain ascii text 123"
+    assert(run(ascii, compat = false) == ascii)
+    assert(run(ascii, compat = true) == ascii)
+    assert(run(run("CAFE\u0301 \ufb01", compat = true), compat = true) ==
+      run("CAFE\u0301 \ufb01", compat = true))
+    // empty and already-normalized non-ASCII pass through unchanged
+    assert(run("", compat = false) == "")
+    assert(run("caf\u00e9", compat = false) == "caf\u00e9")
+  }
+
   test("WordShingles kernel == transform+array_join+array_distinct") {
     for (k <- Seq(1, 2, 3, 5)) {
       val df = nasty.toDF("text")
