@@ -88,5 +88,101 @@ object Packing {
         THEN (start_offset + n_tokens - 1) // $CTX END)::BIGINT AS seq_last
     FROM o ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(pack)
+  // ------------------------------------------------ pack_sequences_bestfit
+  /** Bins per deterministic doc_id shard. */
+  val BF_SHARD = 100
+  /** Bin capacity for the doc-preserving packer — above the corpus max
+    * doc length, so every document lands WHOLE in one bin (the
+    * fewer-truncations regime; real pipelines pick ctx ≥ 2048 for the
+    * same reason).
+    */
+  val BF_CTX = 128
+
+  /** First-fit-DECREASING doc-preserving packing over a
+    * `(doc_id, n_tokens)` frame — the bin-packing alternative to
+    * [[packed]]'s concat-and-split: documents are never cut at sequence
+    * boundaries; each goes whole into the first bin (capacity `ctx`)
+    * that still fits it, processed in (n_tokens desc, doc_id) order.
+    * FFD guarantees ≤ 11/9·OPT + 1 bins — near-optimal occupancy with
+    * zero cross-document attention contamination.
+    *
+    * Distribution contract: packing runs INDEPENDENTLY per
+    * deterministic doc_id shard (`doc_id DIV shard` — bounded, dense),
+    * the per-shard best-fit shape production packers use (Ding et al.
+    * 2024): one groupBy(shard) exchange collects each shard's
+    * ≤shard-row item list, `array_sort` fixes the (n desc, doc_id)
+    * walk order, and the [[graft.functions.FirstFitBins]] kernel runs
+    * the sequential greedy per shard — thousands of shards pack in
+    * parallel, no global sequential state, and a 100× corpus is 100×
+    * shards at the same per-shard cost. The DuckDB oracle states the
+    * IDENTICAL greedy as a recursive CTE over per-shard bin-state
+    * lists (one iteration per item; CASE on list values is avoided —
+    * DuckDB 1.0 re-materializes both CASE branches per iteration,
+    * doubling the list — by always appending a virtual fresh bin
+    * before the first-fit scan), so assignments, bin ids AND offsets
+    * hash-gate.
+    */
+  def firstFitPacked(d: org.apache.spark.sql.DataFrame, ctx: Int = BF_CTX,
+      shard: Int = BF_SHARD): org.apache.spark.sql.DataFrame = {
+    val items = d
+      .withColumn("shard", expr(s"doc_id DIV $shard"))
+      .groupBy("shard")
+      .agg(array_sort(collect_list(struct(
+        (-col("n_tokens")).as("negn"), col("doc_id").as("doc_id"))))
+        .as("items"))
+    items
+      .select(col("shard"), explode(org.apache.spark.sql.graft.Shim.column(
+        graft.functions.FirstFitBins(
+          org.apache.spark.sql.graft.Shim.expression(col("items")), ctx)))
+        .as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("p.n").as("n_tokens"),
+        col("shard"), col("p.bin").as("bin"), col("p.off").as("bin_off"))
+  }
+
+  private val packBestfit = Q(
+    "pack_sequences_bestfit",
+    (s, dir) =>
+      firstFitPacked(Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
+        .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE d AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), t -> t <> ''))::BIGINT AS n,
+        doc_id // $BF_SHARD AS shard
+      FROM documents),
+    its AS (
+      SELECT shard,
+        list(struct_pack(doc_id := doc_id, n := n)
+          ORDER BY n DESC, doc_id) AS its
+      FROM d GROUP BY shard),
+    rec AS (
+      SELECT shard, its, 1 AS i, []::BIGINT[] AS rems,
+        []::BIGINT[] AS fills,
+        []::STRUCT(doc_id BIGINT, n BIGINT, bin BIGINT, off BIGINT)[]
+          AS placed
+      FROM its
+      UNION ALL
+      SELECT shard, its, i + 1,
+        r2[1:j-1] || [r2[j] - n] || r2[j+1:nb],
+        f2[1:j-1] || [f2[j] + n] || f2[j+1:nb],
+        placed || [struct_pack(doc_id := doc_id, n := n,
+          bin := j::BIGINT, off := f2[j])]
+      FROM (
+        SELECT shard, its, i, rems, fills, placed, doc_id, n, r2, f2, nb,
+          list_position(list_transform(r2, x -> x >= n), true) AS j
+        FROM (
+          SELECT shard, its, i, rems, fills, placed,
+            its[i].doc_id AS doc_id, its[i].n AS n,
+            rems || [greatest($BF_CTX, its[i].n)] AS r2,
+            fills || [0::BIGINT] AS f2,
+            len(rems) AS nb
+          FROM rec WHERE i <= len(its)) a) b)
+    SELECT p.doc_id AS doc_id, p.n AS n_tokens, shard, p.bin AS bin,
+      p.off AS bin_off
+    FROM (SELECT shard, unnest(placed) AS p
+      FROM rec WHERE i = len(its) + 1)
+    ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(pack, packBestfit)
 }
