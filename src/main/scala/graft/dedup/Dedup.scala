@@ -524,30 +524,37 @@ object Dedup {
   private[graft] def nBlocksFor(parallelism: Int): Int =
     math.max(1, math.round(math.sqrt(2.0 * parallelism)).toInt)
 
+  /** The grid theta-join core over ANY `(vec_id, v: array<double>)`
+    * frame — shared by [[embedding]] and the multimodal embedding tier
+    * (mm_embed_neardup). Returns (a_id, b_id, cosine rounded to 6) for
+    * every unordered pair whose rounded cosine ≥ `tau`, unordered.
+    */
+  private[graft] def blockedCosinePairs(vecs: DataFrame,
+      tau: Double): DataFrame = {
+    val nb = nBlocksFor(vecs.sparkSession.sparkContext.defaultParallelism)
+    val e = vecs.withColumn("blk", pmod(col("vec_id"), lit(nb)).cast("int"))
+    // role A covers block pairs (blk, j≥blk); role B covers (i≤blk, blk):
+    // every unordered block pair joins exactly once, on (ba, bb)
+    val a = e.withColumn("bb", explode(sequence(col("blk"),
+        lit(nb - 1))))
+      .select(col("vec_id").as("x_id"), col("v").as("va"),
+        col("blk").as("ba"), col("bb"))
+    val b = e.withColumn("ba", explode(sequence(lit(0), col("blk"))))
+      .select(col("vec_id").as("y_id"), col("v").as("vb"),
+        col("ba"), col("blk").as("bb"))
+    val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("x_id") < col("y_id"))
+      .withColumn("cosine", round(cos, 6))
+      .filter(col("cosine") >= tau)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("cosine"))
+  }
+
   private val embedding = Q(
     "dedup_embedding",
-    (s, dir) => {
-      val nb = nBlocksFor(s.sparkContext.defaultParallelism)
-      val e = embVecs(s, dir)
-        .withColumn("blk", pmod(col("vec_id"), lit(nb)).cast("int"))
-      // role A covers block pairs (blk, j≥blk); role B covers (i≤blk, blk):
-      // every unordered block pair joins exactly once, on (ba, bb)
-      val a = e.withColumn("bb", explode(sequence(col("blk"),
-          lit(nb - 1))))
-        .select(col("vec_id").as("x_id"), col("v").as("va"),
-          col("blk").as("ba"), col("bb"))
-      val b = e.withColumn("ba", explode(sequence(lit(0), col("blk"))))
-        .select(col("vec_id").as("y_id"), col("v").as("vb"),
-          col("ba"), col("blk").as("bb"))
-      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
-      a.join(b, Seq("ba", "bb"))
-        .filter(col("ba") =!= col("bb") || col("x_id") < col("y_id"))
-        .withColumn("cosine", round(cos, 6))
-        .filter(col("cosine") >= COS_TAU)
-        .select(least(col("x_id"), col("y_id")).as("a_id"),
-          greatest(col("x_id"), col("y_id")).as("b_id"), col("cosine"))
-        .orderBy("a_id", "b_id")
-    },
+    (s, dir) =>
+      blockedCosinePairs(embVecs(s, dir), COS_TAU).orderBy("a_id", "b_id"),
     Some(sqlExactCosinePairs))
 
   // -------------------------------------------------- dedup_embedding_lsh

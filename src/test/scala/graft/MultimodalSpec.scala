@@ -110,6 +110,29 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(0L) ^ hs(2L)) > 3)
   }
 
+  test("gramVectors + blockedCosinePairs pair near-identical payloads " +
+      "and ignore unrelated ones; sub-4-byte payloads emit nothing") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8)
+      .getBytes("UTF-8")
+    val near = base.clone(); near(10) = 'X'.toByte // one byte differs
+    val far = ("zq jx vw kp 0123456789 !@#$%^&*() completely other " * 8)
+      .getBytes("UTF-8")
+    val media = Seq(
+      MediaRecord(0L, base, MediaMeta("img", 0, 0, 0L)),
+      MediaRecord(1L, near, MediaMeta("img", 0, 0, 0L)),
+      MediaRecord(2L, far, MediaMeta("img", 0, 0, 0L)),
+      MediaRecord(3L, Array[Byte](1, 2), MediaMeta("img", 0, 0, 0L)))
+      .toDS()
+    val vecs = Multimodal.gramVectors(media)
+    assert(vecs.count() == 3, "payloads under 4 bytes emit no vector")
+    val pairs = graft.dedup.Dedup
+      .blockedCosinePairs(vecs, Multimodal.MM_COS_TAU)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"expected exactly the near-identical pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= Multimodal.MM_COS_TAU)
+  }
+
   test("mm_caption_filter keeps every aligned pair (caption is a prefix " +
     "of its own payload)") {
     val out = SparkEntry.queries("mm_caption_filter")(spark, sfDir)
