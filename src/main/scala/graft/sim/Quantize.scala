@@ -750,28 +750,32 @@ object Quantize {
     FROM ranked GROUP BY query_id ORDER BY query_id"""))
 
   // ------------------------------------------------------------ emb_pca2
-  /** Two-component PCA BASIS via deflated (orthogonalized) power
-    * iteration — extends [[pcaPower]]'s top component to the 2-d basis a
+  /** Two-component PCA BASIS via SIMULTANEOUS orthogonal iteration —
+    * extends [[pcaPower]]'s top component to the 2-d basis a
     * visualization / stratification pass wants, still closing every
     * round over the integers so the unrolled-CTE oracle hash-gates the
-    * whole two-trainer chain:
+    * whole co-trained chain. Both iterates advance in ONE state frame
+    * per round (the textbook 2-column subspace iteration with per-round
+    * integer Gram–Schmidt): one sm-join+agg computes `ra = S·v₁` and
+    * `rb = S·v₂` together, each max-norm-renormalizes FIRST
+    * (`u = r·10⁶ DIV max|r|` — entries ≤ 10⁶, so every later product
+    * stays ≤ ~6.4·10¹⁹, far inside DECIMAL(38), and every integral
+    * quotient inside a 64-bit lane), then v₂'s iterate deflates against
+    * THIS round's v₁ iterate in integers:
+    * `o = ub − (⟨ua,ub⟩·ua) DIV ⟨ua,ua⟩` (truncation toward zero in
+    * BOTH engines — the pcaPower normalize argument) with a
+    * `greatest(·,1)` zero-guard renormalize. v₂ starts at alternating
+    * ±10⁶ — a start parallel to v₁'s all-ones would deflate to the
+    * zero vector in round one and stay there.
     *
-    *   - v₁ = the [[powerIterateFrom]] iterate (3 rounds, max-norm 10⁶);
-    *   - v₂: each round computes `r = S·w`, NORMALIZES FIRST
-    *     (`u = r·10⁶ DIV max|r|` — entries ≤ 10⁶, so every later
-    *     product stays ≤ ~6.4·10¹⁹, far inside DECIMAL(38), and every
-    *     integral quotient inside a 64-bit lane, headroom pcaPower's
-    *     raw-`r` deflation would NOT have), then projects out v₁ in
-    *     integers: `o = u − (⟨u,v₁⟩·v₁) DIV ⟨v₁,v₁⟩` (truncation toward
-    *     zero in BOTH engines — the pcaPower normalize argument), and
-    *     renormalizes with a `greatest(·,1)` zero-guard.
-    *
-    * The projection quotient truncates, so v₂ is orthogonal to v₁ up to
-    * one unit in the last fixed-point place per component — a
-    * deterministic artifact, not drift; both engines compute the
-    * identical integers. Scale: identical to pcaPower — corpus appears
-    * only in the one scatter pass; both trainers run on the broadcast
-    * d²-row matrix.
+    * The projection quotient truncates, so v₂ is orthogonal to the
+    * final v₁ up to one unit in the last fixed-point place per
+    * component — a deterministic artifact, not drift; both engines
+    * compute the identical integers. Scale: identical to pcaPower —
+    * corpus appears only in the one scatter pass; the trainer runs on
+    * the broadcast d²-row matrix, ONE materialized d-row state frame
+    * per round (half the action count of the former
+    * deflate-after-converge two-trainer chain).
     */
   private val pca2 = Q(
     "emb_pca2",
@@ -779,63 +783,69 @@ object Quantize {
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
       val sm = scatterMirror(emb(s, dir))
-      // consumed by v1v1, three per-round projections, and the output
-      val v1 = powerIterateFrom(sm).transform(graft.Checkpoint.of)
-      val vt = v1.select(col("j").as("i"), col("v").as("v1"))
-      val v1sq = v1.agg(sum(col("v") * col("v")).cast(dec).as("v1v1"))
-      var w = sm.select(col("i").as("j")).distinct()
-        .select(col("j"), lit(1000000L).cast(dec).as("v"))
+      var st = sm.select(col("i").as("j")).distinct()
+        .select(col("j"), lit(1000000L).cast(dec).as("va"),
+          when(pmod(col("j"), lit(2)) === 0, lit(1000000L))
+            .otherwise(lit(-1000000L)).cast(dec).as("vb"))
       for (_ <- 1 to PCA_ROUNDS) {
-        val r = sm.join(broadcast(w), "j")
-          .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
-        val mu = r.agg(max(abs(col("r"))).cast(dec).as("mx"))
-        // u feeds du AND o, but is a join+agg of already-materialized
-        // frames (sm + the checkpointed w) — evaluating it twice costs
-        // less than a localCheckpoint action per round (the CC-loop
-        // measurement); only w materializes per round
-        val u = r.crossJoin(broadcast(mu))
-          .select(col("i"), expr("r * 1000000 DIV mx").cast(dec).as("u"))
-        val du = u.join(broadcast(vt), "i")
-          .agg(sum(col("u") * col("v1")).cast(dec).as("uv1"))
-        val o = u.join(broadcast(vt), "i")
-          .crossJoin(broadcast(du)).crossJoin(broadcast(v1sq))
+        val r = sm.join(broadcast(st), "j")
+          .groupBy("i")
+          .agg(sum(col("sv") * col("va")).cast(dec).as("ra"),
+            sum(col("sv") * col("vb")).cast(dec).as("rb"))
+        val mx = r.agg(max(abs(col("ra"))).cast(dec).as("mxa"),
+          max(abs(col("rb"))).cast(dec).as("mxb"))
+        // u feeds the Gram-Schmidt scalars AND the new state, but is a
+        // join+agg of already-materialized frames (sm + checkpointed
+        // st) — evaluating it per consumer costs less than an extra
+        // localCheckpoint action per round (the CC-loop measurement);
+        // only st materializes per round
+        val u = r.crossJoin(broadcast(mx))
           .select(col("i"),
-            (col("u") - expr("uv1 * v1 DIV v1v1")).cast(dec).as("o"))
+            expr("ra * 1000000 DIV mxa").cast(dec).as("ua"),
+            expr("rb * 1000000 DIV mxb").cast(dec).as("ub"))
+        val c = u.agg(sum(col("ua") * col("ub")).cast(dec).as("uab"),
+          sum(col("ua") * col("ua")).cast(dec).as("uaa"))
+        val o = u.crossJoin(broadcast(c))
+          .select(col("i"), col("ua"),
+            (col("ub") - expr("uab * ua DIV uaa")).cast(dec).as("o"))
         val mo = o.agg(greatest(max(abs(col("o"))), lit(1L).cast(dec))
-          .cast(dec).as("mx"))
-        w = o.crossJoin(broadcast(mo))
-          .select(col("i").as("j"),
-            expr("o * 1000000 DIV mx").cast(dec).as("v"))
+          .cast(dec).as("mxo"))
+        st = o.crossJoin(broadcast(mo))
+          .select(col("i").as("j"), col("ua").as("va"),
+            expr("o * 1000000 DIV mxo").cast(dec).as("vb"))
           .transform(graft.Checkpoint.of) // bounds per-round lineage fan-out
       }
-      v1.select(col("j").as("i"), col("v").cast("long").as("v1_micro"))
-        .join(w.select(col("j").as("i"), col("v").cast("long")
-          .as("v2_micro")), "i")
+      st.select(col("j").as("i"), col("va").cast("long").as("v1_micro"),
+          col("vb").cast("long").as("v2_micro"))
         .orderBy("i")
     },
     Some {
       val rounds = (1 to PCA_ROUNDS).map { k =>
-        val prev = if (k == 1) "w0" else s"w${k - 1}"
-        s"""rw$k AS MATERIALIZED (SELECT sm.i, SUM(sv * $prev.v) AS r
+        val prev = s"st${k - 1}"
+        s"""rp$k AS MATERIALIZED (SELECT sm.i,
+          SUM(sv * va) AS ra, SUM(sv * vb) AS rb
         FROM sm JOIN $prev ON sm.j = $prev.j GROUP BY sm.i),
-      mu$k AS (SELECT MAX(ABS(r)) AS mx FROM rw$k),
-      u$k AS MATERIALIZED (SELECT i, (r * 1000000::HUGEINT) // mx AS u FROM rw$k, mu$k),
-      du$k AS (SELECT SUM(u * vt.v1) AS uv1
-        FROM u$k JOIN vt ON u$k.i = vt.i),
-      o$k AS MATERIALIZED (SELECT u$k.i, u - (du$k.uv1 * vt.v1) // c1.v1v1 AS o
-        FROM u$k JOIN vt ON u$k.i = vt.i, du$k, c1),
-      mo$k AS (SELECT GREATEST(MAX(ABS(o)), 1::HUGEINT) AS mx FROM o$k),
-      w$k AS (SELECT i AS j, (o * 1000000::HUGEINT) // mx AS v
-        FROM o$k, mo$k)"""
+      mp$k AS (SELECT MAX(ABS(ra)) AS mxa, MAX(ABS(rb)) AS mxb FROM rp$k),
+      up$k AS MATERIALIZED (SELECT i,
+          (ra * 1000000::HUGEINT) // mxa AS ua,
+          (rb * 1000000::HUGEINT) // mxb AS ub
+        FROM rp$k, mp$k),
+      cp$k AS (SELECT SUM(ua * ub) AS uab, SUM(ua * ua) AS uaa FROM up$k),
+      op$k AS MATERIALIZED (SELECT i, ua,
+          ub - (cp$k.uab * ua) // cp$k.uaa AS o
+        FROM up$k, cp$k),
+      mop$k AS (SELECT GREATEST(MAX(ABS(o)), 1::HUGEINT) AS mxo FROM op$k),
+      st$k AS (SELECT i AS j, ua AS va,
+          (o * 1000000::HUGEINT) // mxo AS vb
+        FROM op$k, mop$k)"""
       }.mkString(",\n      ")
       s"""$pcaCte,
-      vt AS MATERIALIZED (SELECT j AS i, v AS v1 FROM v$PCA_ROUNDS),
-      c1 AS (SELECT SUM(v1 * v1) AS v1v1 FROM vt),
-      w0 AS (SELECT DISTINCT i AS j, 1000000::HUGEINT AS v FROM sm),
+      st0 AS (SELECT DISTINCT i AS j, 1000000::HUGEINT AS va,
+        CASE WHEN i % 2 = 0 THEN 1000000::HUGEINT
+          ELSE -1000000::HUGEINT END AS vb FROM sm),
       $rounds
-      SELECT vt.i, vt.v1::BIGINT AS v1_micro, w$PCA_ROUNDS.v::BIGINT
-        AS v2_micro
-      FROM vt JOIN w$PCA_ROUNDS ON vt.i = w$PCA_ROUNDS.j ORDER BY i"""
+      SELECT j AS i, va::BIGINT AS v1_micro, vb::BIGINT AS v2_micro
+      FROM st$PCA_ROUNDS ORDER BY i"""
     })
 
   // --------------------------------------------------- emb_quantize_recall
