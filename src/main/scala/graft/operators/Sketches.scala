@@ -19,8 +19,14 @@ import graft.{Q, Tables}
   */
 object Sketches {
 
-  /** Distinct users per event type via HLL++ (rsd 1%) next to the window
-    * an exact count would need; rows-only + spec-bounded.
+  /** Distinct users per event type via HLL++ (rsd 1%), with the gated
+    * exact count and the relative error IN-ROW (`err_vs_exact`) so the
+    * sketch's no_oracle status is self-documenting: the row itself
+    * shows how far the sketch sits from the DuckDB-gated truth, and
+    * SketchSpec asserts the bound on this column. The exact ride-along
+    * is the AUDIT configuration — at 100 TB you drop `exact_users`/
+    * `err_vs_exact` (they are the full distinct shuffle the sketch
+    * exists to avoid); the sketch aggregate is unchanged either way.
     */
   private val approxDistinct = Q(
     "approx_distinct_users",
@@ -29,12 +35,19 @@ object Sketches {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), rsd = 0.01)
           .as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
+        .withColumn("err_vs_exact",
+          round(abs(col("approx_users") - col("exact_users"))
+            .cast("double") / col("exact_users"), 6))
         .orderBy("event_type"),
     None)
 
   /** Price quantiles per order priority via the approximate-percentile
-    * sketch (accuracy 10000 ≈ 0.01% rank error).
+    * sketch (accuracy 10000 ≈ 0.01% rank error), with the gated exact
+    * percentiles joined IN-ROW and per-percentile relative errors
+    * (`err_p50`/`err_p95`) — the [[approxDistinct]] self-documenting
+    * audit shape; SketchSpec asserts the bounds on these columns.
     */
   private val approxQuantiles = Q(
     "approx_quantiles",
@@ -47,6 +60,14 @@ object Sketches {
           percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
             .as("p95"),
           count(lit(1)).as("n"))
+        .join(exactQuantilesOf(s, dir)
+          .select(col("o_orderpriority"), col("p50").as("e50"),
+            col("p95").as("e95")), "o_orderpriority")
+        .withColumn("err_p50",
+          round(abs(col("p50") - col("e50")) / col("e50"), 6))
+        .withColumn("err_p95",
+          round(abs(col("p95") - col("e95")) / col("e95"), 6))
+        .select("o_orderpriority", "p50", "p95", "n", "err_p50", "err_p95")
         .orderBy("o_orderpriority"),
     None)
 
@@ -77,25 +98,27 @@ object Sketches {
     * p=0.95). Ties in o_totalprice are immaterial: the k-th order
     * statistic is tie-order-independent.
     */
+  private def exactQuantilesOf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val wRank = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice")
+    val wAll = Window.partitionBy("o_orderpriority")
+    def pick(num: Int, den: Int) = max(when(
+      col("rn") * den >= col("n") * num &&
+        (col("rn") - 1) * den < col("n") * num,
+      col("o_totalprice")))
+    Tables(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("o_orderpriority")
+      .agg(pick(1, 2).as("p50"), pick(19, 20).as("p95"),
+        max(col("n")).as("n"))
+  }
+
   private val exactQuantiles = Q(
     "exact_quantiles",
-    (s, dir) => {
-      val wRank = Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice")
-      val wAll = Window.partitionBy("o_orderpriority")
-      def pick(num: Int, den: Int) = max(when(
-        col("rn") * den >= col("n") * num &&
-          (col("rn") - 1) * den < col("n") * num,
-        col("o_totalprice")))
-      Tables(s, dir, "orders")
-        .select(col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(wRank).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .groupBy("o_orderpriority")
-        .agg(pick(1, 2).as("p50"), pick(19, 20).as("p95"),
-          max(col("n")).as("n"))
-        .orderBy("o_orderpriority")
-    },
+    (s, dir) => exactQuantilesOf(s, dir).orderBy("o_orderpriority"),
     Some("""WITH r AS (
       SELECT o_orderpriority, o_totalprice,
         row_number() OVER (PARTITION BY o_orderpriority

@@ -10,22 +10,39 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% of the gated exact twin") {
-    val approx = SparkEntry.queries("approx_distinct_users")(spark, sfDir)
-      .select("event_type", "approx_users")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct within 5% of the gated exact twin; the " +
+      "in-row err_vs_exact matches and stays bounded") {
+    val rows = SparkEntry.queries("approx_distinct_users")(spark, sfDir)
+      .select("event_type", "approx_users", "exact_users", "err_vs_exact")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .toMap
     val exact = SparkEntry.queries("exact_distinct_users")(spark, sfDir)
       .select("event_type", "exact_users")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     for ((k, e) <- exact) {
-      val a = approx(k)
+      val (a, inRowExact, err) = rows(k)
+      assert(inRowExact == e, s"$k: in-row exact anchor drifted")
       assert(math.abs(a - e) <= math.max(1L, (e * 0.05).toLong),
         s"$k: approx=$a exact=$e")
+      assert(err <= 0.05, s"$k: err_vs_exact=$err")
+      assert(math.abs(err - math.abs(a - e).toDouble / e) < 1e-6,
+        s"$k: err column inconsistent with its own row")
     }
   }
 
-  test("percentile_approx brackets the gated exact percentiles") {
+  test("percentile_approx brackets the gated exact percentiles; in-row " +
+      "err_p50/err_p95 bounded") {
+    val errs = SparkEntry.queries("approx_quantiles")(spark, sfDir)
+      .select("o_orderpriority", "err_p50", "err_p95")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(errs.nonEmpty)
+    for ((prio, e50, e95) <- errs) {
+      assert(e50 <= 0.05 && e95 <= 0.05,
+        s"$prio: err_p50=$e50 err_p95=$e95")
+    }
     val approx = SparkEntry.queries("approx_quantiles")(spark, sfDir)
       .select("o_orderpriority", "p50", "p95")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
