@@ -643,9 +643,11 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .groupBy(col("u").as("id")).agg(min("label").as("nmin"))
       // NOT checkpointed: prop is a join+agg of two already-materialized
-      // thin frames; evaluating it once per side of the compression
-      // self-join below costs less than a localCheckpoint action per
-      // round (measured: one checkpoint+probe round ≈ 0.5 s vs 0.3 s at
+      // thin frames; it has THREE plan consumers below (the compression
+      // join's 'a' side plus lut1 and lut2), so the labels-join-nbrMin
+      // lineage evaluates three times per round — still cheaper than a
+      // localCheckpoint action per round (measured ON THIS three-consumer
+      // loop shape: one checkpoint+probe round ≈ 0.5 s vs 0.3 s at
       // sf0.1, and the loop runs O(log d) rounds). `old` rides along so
       // convergence is a scan of the ROUND's own checkpoint, not a
       // second join.

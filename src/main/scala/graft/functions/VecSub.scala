@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * float/double arrays, returning `array<double>`. The residual step of
   * IVFPQ encoding (x − centroid) runs once per corpus row — an
   * interpreted `zip_with` there would be the CodegenFallback
-  * re-evaluation trap CLAUDE.md documents, so it gets the kernel
+  * re-evaluation trap SURVEY.md §6 documents, so it gets the kernel
   * treatment like the other hot-path array ops. Pure elementwise IEEE
   * subtraction: no fold, so no ordering subtlety — bit-identical to
   * DuckDB's indexed `list_transform(v, (x,i) -> x - c[i])` mirror by

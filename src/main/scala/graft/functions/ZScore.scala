@@ -49,7 +49,7 @@ object ZScore {
   * consumed by array_min + array_max + filter): higher-order functions
   * are CodegenFallback and CollapseProject inlines the z expression into
   * each consumer, so every row paid THREE interpreted O(d) transforms —
-  * the re-evaluation trap CLAUDE.md documents. The fold order and each
+  * the re-evaluation trap SURVEY.md §6 documents. The fold order and each
   * z's IEEE op chain are identical to that form, so the summary is
   * bit-identical (KernelSpec pins it).
   */

@@ -181,7 +181,7 @@ object Multimodal {
     * or decoder-backed fingerprint plugs into this signature). For plain
     * MD5 the oracle-gated `mm_dedup` query below uses the codegen'd
     * builtin `md5` instead: an interpreted row-at-a-time digest in the
-    * hot path is the HOF class CLAUDE.md bans, and MultimodalSpec
+    * hot path is the interpreted HOF class SURVEY.md §6 bans, and MultimodalSpec
     * asserts this API and the builtin agree byte-for-byte.
     */
   def contentFingerprints(ds: Dataset[MediaRecord]): DataFrame = {

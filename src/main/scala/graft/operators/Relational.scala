@@ -933,9 +933,10 @@ object Relational {
     * have no predecessor and are excluded, mirroring `lag IS NOT NULL`.
     *
     * Scale: one hash exchange on user_id + per-partition sort for the
-    * lag, then a map-side-combined aggregate on ≤|types|² keys; the
-    * outgoing totals re-aggregate those same tiny keys (no second pass
-    * over the data) and broadcast-join back.
+    * lag, then a map-side-combined aggregate on ≤|types|² keys,
+    * CHECKPOINTED so both consumers (outgoing totals + final join)
+    * read the materialized tiny frame — no second pass over the data
+    * regardless of how AQE plans the broadcast.
     */
   private val q36 = Q(
     "q36_markov_transitions",
@@ -949,6 +950,10 @@ object Relational {
         .filter(col("prev_type").isNotNull)
         .groupBy("prev_type", "event_type")
         .agg(count(lit(1)).as("n"))
+        // two consumers (totals + final join): the barrier keeps the
+        // event scan + lag window single-pass even when AQE's broadcast
+        // conversion defeats ReusedExchange (the q40/dedup_substring trap)
+        .transform(graft.Checkpoint.of)
       val totals = pairs.groupBy("prev_type")
         .agg(sum("n").as("total_out"))
       pairs.join(broadcast(totals), "prev_type")
@@ -1168,9 +1173,11 @@ object Relational {
     * division, no ratio drift.
     *
     * Scale: the fact chain joins shuffle on orderkey/custkey with all
-    * dims broadcast; the share denominator RE-AGGREGATES the thin
-    * (year, nation) rows — never a second pass over the facts — and
-    * broadcasts back onto them.
+    * dims broadcast; the (year, nation) aggregate is CHECKPOINTED so
+    * its two consumers (the market denominator and the final join)
+    * read the materialized thin rows — never a second pass over the
+    * facts, by barrier rather than by hoping ReusedExchange survives
+    * AQE's broadcast conversion.
     */
   private val q40 = Q(
     "q40_market_share",
@@ -1194,6 +1201,10 @@ object Relational {
       val revMicro = ((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast(DecimalType(26, 6)) * lit(1000000))
         .cast(DecimalType(38, 0))
+      // checkpointed: byNation feeds the market denominator AND the
+      // final join — without the barrier the whole 6-join fact chain
+      // can evaluate twice when AQE's broadcast conversion defeats
+      // ReusedExchange (the dedup_substring 2-consumer trap)
       val byNation = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
@@ -1203,6 +1214,7 @@ object Relational {
         .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
         .groupBy(col("o_year"), col("supp_nation"))
         .agg(sum(revMicro).cast(DecimalType(38, 0)).as("nrev"))
+        .transform(graft.Checkpoint.of)
       val market = byNation.groupBy("o_year")
         .agg(sum("nrev").cast(DecimalType(38, 0)).as("mrev"))
       byNation.join(broadcast(market), "o_year")

@@ -1114,9 +1114,13 @@ object Knn {
     Some(s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     sg AS (
-      SELECT vec_id, SUM(CASE WHEN v[i.range + 1] <= 0 THEN 0
-          WHEN i.range = 63 THEN -9223372036854775807 - 1
-          ELSE (1::BIGINT << i.range) END)::BIGINT AS sig
+      -- null-safe: components past len(v) are NULL, which must
+      -- contribute 0 like the kernel (it reads min(len, 64) components),
+      -- so the positive test gates the bit and everything else falls to 0
+      SELECT vec_id, SUM(CASE WHEN v[i.range + 1] > 0 THEN
+          (CASE WHEN i.range = 63 THEN -9223372036854775807 - 1
+            ELSE (1::BIGINT << i.range) END)
+          ELSE 0 END)::BIGINT AS sig
         FROM e, range(64) i GROUP BY vec_id),
     es AS (SELECT e.vec_id, v, sig FROM e JOIN sg USING (vec_id)),
     q AS (SELECT vec_id query_id, v qv, sig qsig FROM es

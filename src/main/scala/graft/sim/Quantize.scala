@@ -600,7 +600,7 @@ object Quantize {
     * recipe), then each mean is ONE IEEE cast-and-divide and the drift
     * is ONE IEEE subtraction of bit-identical doubles — shipped RAW
     * (integer `DIV` would need floor/truncate agreement on negative
-    * sums; see CLAUDE.md). Scale: one corpus pass, map-side posexplode,
+    * sums; see SURVEY.md §6). Scale: one corpus pass, map-side posexplode,
     * the only exchange the d-key combined aggregate; the documents join
     * is broadcast-able (thin id→source).
     */

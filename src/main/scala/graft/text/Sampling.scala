@@ -431,17 +431,19 @@ object Sampling {
     * unchanged below the old overflow line; PropertySpec sweeps the full
     * positive-long range. */
   private[graft] def ilog2m20(x: String): String = {
-    val e = s"(length(bin($x)) - 1)"
+    // ($x) everywhere: a compound argument like "a - b" must not
+    // re-associate through * / DIV precedence
+    val e = s"(length(bin(($x))) - 1)"
     s"($e * 1048576 + (CASE WHEN $e > 20" +
-      s" THEN $x DIV shiftleft(CAST(1 AS BIGINT), $e - 20)" +
-      s" ELSE $x * shiftleft(CAST(1 AS BIGINT), 20 - $e) END)" +
+      s" THEN ($x) DIV shiftleft(CAST(1 AS BIGINT), $e - 20)" +
+      s" ELSE ($x) * shiftleft(CAST(1 AS BIGINT), 20 - $e) END)" +
       s" - 1048576)"
   }
   private[graft] def dIlog2m20(x: String): String = {
-    val e = s"(length(bin($x)) - 1)"
+    val e = s"(length(bin(($x))) - 1)"
     s"($e * 1048576 + (CASE WHEN $e > 20" +
-      s" THEN $x // (1::BIGINT << ($e - 20))" +
-      s" ELSE $x * (1::BIGINT << (20 - $e)) END)" +
+      s" THEN ($x) // (1::BIGINT << ($e - 20))" +
+      s" ELSE ($x) * (1::BIGINT << (20 - $e)) END)" +
       s" - 1048576)"
   }
 
