@@ -1245,8 +1245,76 @@ object Relational {
     FROM bn JOIN mk ON bn.o_year = mk.o_year
     ORDER BY o_year, supp_nation"""))
 
+  // ---------------------------------------------------------------- q41
+  /** Suppliers who kept orders waiting — the TPC-H Q21 shape (the
+    * hardest of the classic 22: double self-correlation on the fact
+    * table), adapted to this schema's dates: a supplier "kept order O
+    * waiting" iff it shipped a line of O more than 90 epoch-days after
+    * the order date (the q38 SLA rule, integer epoch-day floor both
+    * engines), O involves AT LEAST one other supplier (the EXISTS),
+    * and NO other supplier of O was late (the NOT EXISTS) — sole
+    * blame. Output: per supplier, the count of such orders, top-100.
+    *
+    * Spark-first restatement: the EXISTS / NOT EXISTS correlations
+    * collapse into TWO thin aggregates instead of two more fact-table
+    * joins — per (order, supplier) a late flag (map-side-combined off
+    * the one orderkey shuffle join), then per order `n_supps` and
+    * `n_late`; supplier S qualifies iff its own flag is set, n_supps ≥
+    * 2 and n_late = 1 (S is then necessarily the late one). The
+    * per-(order, supplier) frame feeds both aggregates — CHECKPOINTED
+    * (the q40 two-consumer barrier). Top-100 plans as
+    * TakeOrderedAndProject with the suppkey tie-break; at 100 TB both
+    * fact tables bucket by orderkey and the join is zero-exchange
+    * (the q38 note).
+    */
+  private val q41 = Q(
+    "q41_waiting_suppliers",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("od"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("sd"))
+      val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("sd") - col("od") > 90, 1L).otherwise(0L))
+          .as("late"))
+        .transform(graft.Checkpoint.of)
+      val perOrd = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supps"), sum("late").as("n_late"))
+      perSupp.filter(col("late") === 1L)
+        .join(perOrd, "l_orderkey")
+        .filter(col("n_supps") >= 2 && col("n_late") === 1L)
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(100)
+    },
+    Some("""WITH d AS (
+      SELECT l_orderkey, l_suppkey,
+        (CASE WHEN epoch_ms(l_shipdate) // 86400000
+          - epoch_ms(o_orderdate) // 86400000 > 90
+          THEN 1 ELSE 0 END)::BIGINT AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ps AS MATERIALIZED (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS late
+      FROM d GROUP BY l_orderkey, l_suppkey),
+    po AS (
+      SELECT l_orderkey, COUNT(*)::BIGINT AS n_supps,
+        SUM(late)::BIGINT AS n_late
+      FROM ps GROUP BY l_orderkey)
+    SELECT l_suppkey AS s_suppkey, COUNT(*)::BIGINT AS numwait
+    FROM ps JOIN po USING (l_orderkey)
+    WHERE ps.late = 1 AND n_supps >= 2 AND n_late = 1
+    GROUP BY l_suppkey
+    ORDER BY numwait DESC, s_suppkey LIMIT 100"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+      q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+      q41)
 }

@@ -1189,7 +1189,51 @@ object Knn {
       FROM q, e WHERE e.label <> qlabel)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
+  // -------------------------------------------------------------- knn_mips
+  /** MAXIMUM-INNER-PRODUCT search — the other exact retrieval mode next
+    * to [[bruteforce]]'s cosine: rank by the RAW dot product, where the
+    * vector NORM carries signal (recommendation scoring, learned
+    * retrieval models whose relevance = ⟨q, d⟩, popularity-weighted
+    * item embeddings). Cosine and MIPS rankings genuinely differ on
+    * unnormalized vectors, which is why ANN libraries ship them as
+    * separate index metrics (FAISS METRIC_INNER_PRODUCT).
+    *
+    * Same broadcast-queries-vs-one-corpus-pass shape as [[bruteforce]]
+    * with the same rank-filter → WindowGroupLimit O(n·k) bound; the
+    * scoring kernel is the codegen'd [[graft.functions.DotProduct]] —
+    * sequential fold, bit-identical to DuckDB's `list_inner_product`
+    * (the cosine kernel's subexpression), so the emitted rounded score
+    * hash-gates, not just the ranking.
+    */
+  private val mips = Q(
+    "knn_mips",
+    (s, dir) => {
+      import graft.functions.CosineSim.dotProduct
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val dot = dotProduct(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(dot.desc, col("vec_id"))
+      e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), round(dot, 6).as("dot"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < $NQ)
+    SELECT query_id, neighbor_id, rank, dot FROM (
+      SELECT query_id, e.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY list_inner_product(qv, e.v) DESC, e.vec_id) AS rank,
+        round(list_inner_product(qv, e.v), 6) AS dot
+      FROM q, e WHERE query_id <> e.vec_id)
+    WHERE rank <= $K ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, kmeansTrain, kmeansAssign,
-    recallQ, hamming, hardNegatives)
+    recallQ, hamming, hardNegatives, mips)
 }

@@ -777,76 +777,136 @@ object Quantize {
     * per round (half the action count of the former
     * deflate-after-converge two-trainer chain).
     */
+  /** The trained 2-d basis as a `(j, va, vb)` DECIMAL(38,0) frame —
+    * shared by [[pca2]] (exports it) and [[pca2Project]] (applies it
+    * corpus-wide).
+    */
+  private def pca2Basis(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val sm = scatterMirror(emb(s, dir))
+    var st = sm.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(1000000L).cast(dec).as("va"),
+        when(pmod(col("j"), lit(2)) === 0, lit(1000000L))
+          .otherwise(lit(-1000000L)).cast(dec).as("vb"))
+    for (_ <- 1 to PCA_ROUNDS) {
+      val r = sm.join(broadcast(st), "j")
+        .groupBy("i")
+        .agg(sum(col("sv") * col("va")).cast(dec).as("ra"),
+          sum(col("sv") * col("vb")).cast(dec).as("rb"))
+      val mx = r.agg(max(abs(col("ra"))).cast(dec).as("mxa"),
+        max(abs(col("rb"))).cast(dec).as("mxb"))
+      // u feeds the Gram-Schmidt scalars AND the new state, but is a
+      // join+agg of already-materialized frames (sm + checkpointed
+      // st) — evaluating it per consumer costs less than an extra
+      // localCheckpoint action per round (the CC-loop measurement);
+      // only st materializes per round
+      val u = r.crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr("ra * 1000000 DIV mxa").cast(dec).as("ua"),
+          expr("rb * 1000000 DIV mxb").cast(dec).as("ub"))
+      val c = u.agg(sum(col("ua") * col("ub")).cast(dec).as("uab"),
+        sum(col("ua") * col("ua")).cast(dec).as("uaa"))
+      val o = u.crossJoin(broadcast(c))
+        .select(col("i"), col("ua"),
+          (col("ub") - expr("uab * ua DIV uaa")).cast(dec).as("o"))
+      val mo = o.agg(greatest(max(abs(col("o"))), lit(1L).cast(dec))
+        .cast(dec).as("mxo"))
+      st = o.crossJoin(broadcast(mo))
+        .select(col("i").as("j"), col("ua").as("va"),
+          expr("o * 1000000 DIV mxo").cast(dec).as("vb"))
+        .transform(graft.Checkpoint.of) // bounds per-round lineage fan-out
+    }
+    st
+  }
+
+  /** The identical trained basis as DuckDB CTEs ending at
+    * `st$PCA_ROUNDS(j, va, vb)` — prefix of the pca2 and
+    * pca2Project mirrors (extends [[pcaCte]]).
+    */
+  private def pca2Cte: String = {
+    val rounds = (1 to PCA_ROUNDS).map { k =>
+      val prev = s"st${k - 1}"
+      s"""rp$k AS MATERIALIZED (SELECT sm.i,
+        SUM(sv * va) AS ra, SUM(sv * vb) AS rb
+      FROM sm JOIN $prev ON sm.j = $prev.j GROUP BY sm.i),
+    mp$k AS (SELECT MAX(ABS(ra)) AS mxa, MAX(ABS(rb)) AS mxb FROM rp$k),
+    up$k AS MATERIALIZED (SELECT i,
+        (ra * 1000000::HUGEINT) // mxa AS ua,
+        (rb * 1000000::HUGEINT) // mxb AS ub
+      FROM rp$k, mp$k),
+    cp$k AS (SELECT SUM(ua * ub) AS uab, SUM(ua * ua) AS uaa FROM up$k),
+    op$k AS MATERIALIZED (SELECT i, ua,
+        ub - (cp$k.uab * ua) // cp$k.uaa AS o
+      FROM up$k, cp$k),
+    mop$k AS (SELECT GREATEST(MAX(ABS(o)), 1::HUGEINT) AS mxo FROM op$k),
+    st$k AS (SELECT i AS j, ua AS va,
+        (o * 1000000::HUGEINT) // mxo AS vb
+      FROM op$k, mop$k)"""
+    }.mkString(",\n    ")
+    s"""$pcaCte,
+    st0 AS (SELECT DISTINCT i AS j, 1000000::HUGEINT AS va,
+      CASE WHEN i % 2 = 0 THEN 1000000::HUGEINT
+        ELSE -1000000::HUGEINT END AS vb FROM sm),
+    $rounds"""
+  }
+
   private val pca2 = Q(
     "emb_pca2",
+    (s, dir) =>
+      pca2Basis(s, dir)
+        .select(col("j").as("i"), col("va").cast("long").as("v1_micro"),
+          col("vb").cast("long").as("v2_micro"))
+        .orderBy("i"),
+    Some(s"""$pca2Cte
+    SELECT j AS i, va::BIGINT AS v1_micro, vb::BIGINT AS v2_micro
+    FROM st$PCA_ROUNDS ORDER BY i"""))
+
+  // ------------------------------------------------------ emb_pca2_project
+  /** Corpus-wide 2-D PROJECTION onto the trained [[pca2]] basis — the
+    * apply half of the pca2 train/apply pair (what a visualization /
+    * stratification pass actually consumes: one (y1, y2) coordinate per
+    * vector). Per vector, `y_scaled = Σ mₖ·vₖ` per basis column with
+    * both factors exact integers (micro-unit component × micro-unit
+    * basis entry ⇒ exact BIGINT sums, order-independent in any
+    * partitioning — the [[pcaProject]] argument, twice), and each
+    * coordinate is ONE IEEE cast-and-divide by 10¹².
+    *
+    * Scale: training runs on the d²-row scatter matrix ([[pca2Basis]]
+    * — corpus size appears only in the one scatter pass); application
+    * is the [[project]] shape — posexplode map-side, the trained d-row
+    * basis broadcast, one map-side-combined vec_id aggregate.
+    */
+  private val pca2Project = Q(
+    "emb_pca2_project",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
-      val sm = scatterMirror(emb(s, dir))
-      var st = sm.select(col("i").as("j")).distinct()
-        .select(col("j"), lit(1000000L).cast(dec).as("va"),
-          when(pmod(col("j"), lit(2)) === 0, lit(1000000L))
-            .otherwise(lit(-1000000L)).cast(dec).as("vb"))
-      for (_ <- 1 to PCA_ROUNDS) {
-        val r = sm.join(broadcast(st), "j")
-          .groupBy("i")
-          .agg(sum(col("sv") * col("va")).cast(dec).as("ra"),
-            sum(col("sv") * col("vb")).cast(dec).as("rb"))
-        val mx = r.agg(max(abs(col("ra"))).cast(dec).as("mxa"),
-          max(abs(col("rb"))).cast(dec).as("mxb"))
-        // u feeds the Gram-Schmidt scalars AND the new state, but is a
-        // join+agg of already-materialized frames (sm + checkpointed
-        // st) — evaluating it per consumer costs less than an extra
-        // localCheckpoint action per round (the CC-loop measurement);
-        // only st materializes per round
-        val u = r.crossJoin(broadcast(mx))
-          .select(col("i"),
-            expr("ra * 1000000 DIV mxa").cast(dec).as("ua"),
-            expr("rb * 1000000 DIV mxb").cast(dec).as("ub"))
-        val c = u.agg(sum(col("ua") * col("ub")).cast(dec).as("uab"),
-          sum(col("ua") * col("ua")).cast(dec).as("uaa"))
-        val o = u.crossJoin(broadcast(c))
-          .select(col("i"), col("ua"),
-            (col("ub") - expr("uab * ua DIV uaa")).cast(dec).as("o"))
-        val mo = o.agg(greatest(max(abs(col("o"))), lit(1L).cast(dec))
-          .cast(dec).as("mxo"))
-        st = o.crossJoin(broadcast(mo))
-          .select(col("i").as("j"), col("ua").as("va"),
-            expr("o * 1000000 DIV mxo").cast(dec).as("vb"))
-          .transform(graft.Checkpoint.of) // bounds per-round lineage fan-out
-      }
-      st.select(col("j").as("i"), col("va").cast("long").as("v1_micro"),
-          col("vb").cast("long").as("v2_micro"))
-        .orderBy("i")
+      val basis = pca2Basis(s, dir)
+        .select(col("j").as("i"), col("va").cast("long").as("w1"),
+          col("vb").cast("long").as("w2"))
+      val comp = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("d0", "x")))
+        .select(col("vec_id"), (col("d0") + 1).cast("long").as("i"),
+          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+            .cast(DecimalType(38, 0)).cast("long").as("m"))
+      comp.join(broadcast(basis), "i")
+        .groupBy("vec_id")
+        .agg(sum(col("m") * col("w1")).as("y1_scaled"),
+          sum(col("m") * col("w2")).as("y2_scaled"))
+        .select(col("vec_id"),
+          (col("y1_scaled").cast("double") / lit(1.0e12)).as("y1"),
+          (col("y2_scaled").cast("double") / lit(1.0e12)).as("y2"))
+        .orderBy("vec_id")
     },
-    Some {
-      val rounds = (1 to PCA_ROUNDS).map { k =>
-        val prev = s"st${k - 1}"
-        s"""rp$k AS MATERIALIZED (SELECT sm.i,
-          SUM(sv * va) AS ra, SUM(sv * vb) AS rb
-        FROM sm JOIN $prev ON sm.j = $prev.j GROUP BY sm.i),
-      mp$k AS (SELECT MAX(ABS(ra)) AS mxa, MAX(ABS(rb)) AS mxb FROM rp$k),
-      up$k AS MATERIALIZED (SELECT i,
-          (ra * 1000000::HUGEINT) // mxa AS ua,
-          (rb * 1000000::HUGEINT) // mxb AS ub
-        FROM rp$k, mp$k),
-      cp$k AS (SELECT SUM(ua * ub) AS uab, SUM(ua * ua) AS uaa FROM up$k),
-      op$k AS MATERIALIZED (SELECT i, ua,
-          ub - (cp$k.uab * ua) // cp$k.uaa AS o
-        FROM up$k, cp$k),
-      mop$k AS (SELECT GREATEST(MAX(ABS(o)), 1::HUGEINT) AS mxo FROM op$k),
-      st$k AS (SELECT i AS j, ua AS va,
-          (o * 1000000::HUGEINT) // mxo AS vb
-        FROM op$k, mop$k)"""
-      }.mkString(",\n      ")
-      s"""$pcaCte,
-      st0 AS (SELECT DISTINCT i AS j, 1000000::HUGEINT AS va,
-        CASE WHEN i % 2 = 0 THEN 1000000::HUGEINT
-          ELSE -1000000::HUGEINT END AS vb FROM sm),
-      $rounds
-      SELECT j AS i, va::BIGINT AS v1_micro, vb::BIGINT AS v2_micro
-      FROM st$PCA_ROUNDS ORDER BY i"""
-    })
+    Some(s"""$pca2Cte,
+    basis AS (SELECT j AS i, va::BIGINT AS w1, vb::BIGINT AS w2
+      FROM st$PCA_ROUNDS)
+    SELECT vec_id,
+      CAST(SUM(m * w1) AS DOUBLE) / 1000000000000.0 AS y1,
+      CAST(SUM(m * w2) AS DOUBLE) / 1000000000000.0 AS y2
+    FROM comp JOIN basis USING (i)
+    GROUP BY vec_id ORDER BY vec_id"""))
 
   // --------------------------------------------------- emb_quantize_recall
   /** INT8 PRECISION-impact audit — the [[matryoshka]] evaluation's twin
@@ -927,5 +987,6 @@ object Quantize {
 
   val all: Seq[Q] =
     Seq(quantize, stats, standardize, project, covariance, pcaPower,
-      pcaProject, outliers, drift, matryoshka, pca2, quantizeRecall)
+      pcaProject, outliers, drift, matryoshka, pca2, pca2Project,
+      quantizeRecall)
 }

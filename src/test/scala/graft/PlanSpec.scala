@@ -93,6 +93,7 @@ class PlanSpec extends SparkSpec {
     "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
     "decontam_embedding",  // broadcast benchmark vectors vs corpus scan
     "knn_hamming",         // broadcast query sigs vs corpus (bruteforce shape)
+    "knn_mips",            // broadcast query set vs corpus (bruteforce shape)
     "knn_hard_negatives",  // broadcast anchors vs corpus, label-≠ predicate
     "sample_dsir",         // broadcast 1-row (np, nq) model-total scalars
     "corpus_overlap",      // |sources|-row grid (a < b) pair table
