@@ -550,6 +550,93 @@ object Sampling {
     SELECT source, rk, doc_id, hb FROM ranked
     WHERE rk <= $RESERVOIR_K ORDER BY source, rk"""))
 
+  // --------------------------------------------------------- sample_kcenter
+  /** Greedy k-CENTER (farthest-point) diversity selection over the
+    * embedding space — the coreset/data-pruning pick (Sener & Savarese
+    * 2018's active-learning coreset; the diversity half of modern
+    * selection pipelines next to [[dsir]]'s distribution matching):
+    * seed with the min vec_id, then k−1 rounds of "add the point
+    * farthest from the chosen set" (max-min squared L2, vec_id
+    * tie-break). The selected rows ARE the 2-approximation of the
+    * k-center cover — the k maximally-spread exemplars.
+    *
+    * Exactness: vectors become micro-int `array<long>` once
+    * (checkpointed — the interpreted transform never re-evaluates per
+    * round), every distance is the exact integer
+    * Σ(mᵢ−mᶜᵢ)² via the codegen [[graft.functions.SqDistLong]] kernel
+    * (order-independent integer sums — no float anywhere), so argmax
+    * rows and their `d2` match DuckDB's list-comprehension restatement
+    * bit-for-bit through all rounds of the unrolled-CTE oracle.
+    *
+    * Scale: each round is ONE corpus pass against the broadcast ≤k-row
+    * chosen frame (min-over-chosen + anti-join + TakeOrdered argmax —
+    * nothing corpus²), and only the thin chosen frame checkpoints per
+    * round; k corpus passes total, exactly the sequential structure
+    * the greedy demands.
+    */
+  private val KC_K = 8
+
+  private val kcenter = Q(
+    "sample_kcenter",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def sqDist(a: Column, b: Column): Column =
+        org.apache.spark.sql.graft.Shim.column(graft.functions.SqDistLong(
+          org.apache.spark.sql.graft.Shim.expression(a),
+          org.apache.spark.sql.graft.Shim.expression(b)))
+      val mv = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => (round(x, 6).cast(DecimalType(38, 6)) * lit(1000000))
+              .cast(DecimalType(38, 0)).cast("long")).as("m"))
+        .transform(graft.Checkpoint.of)
+      var chosen = mv.orderBy("vec_id").limit(1)
+        .select(lit(0L).as("sel"), col("vec_id"), col("m"),
+          lit(0L).as("d2"))
+        .transform(graft.Checkpoint.of)
+      for (k <- 1 until KC_K) {
+        val next = mv
+          .join(chosen.select(col("vec_id").as("cid")), col("vec_id") ===
+            col("cid"), "left_anti")
+          .crossJoin(broadcast(chosen.select(col("m").as("cm"))))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(sqDist(col("m"), col("cm"))).as("d2"))
+          .orderBy(col("d2").desc, col("vec_id"))
+          .limit(1)
+          .select(lit(k.toLong).as("sel"), col("vec_id"), col("m"),
+            col("d2"))
+        chosen = chosen.unionByName(next).transform(graft.Checkpoint.of)
+      }
+      chosen.select(col("sel"), col("vec_id"), col("d2")).orderBy("sel")
+    },
+    Some {
+      val rounds = (1 until KC_K).map { k =>
+        val prev = s"kc${k - 1}"
+        s"""kd$k AS (SELECT mv.vec_id,
+          MIN(list_sum([(mv.m[i] - c.m[i]) * (mv.m[i] - c.m[i])
+            for i in range(1, len(mv.m) + 1)]))::BIGINT AS d2
+        FROM mv, $prev c
+        WHERE mv.vec_id NOT IN (SELECT vec_id FROM $prev)
+        GROUP BY mv.vec_id),
+      kp$k AS (SELECT $k::BIGINT AS sel, kd$k.vec_id, mv.m, d2
+        FROM kd$k JOIN mv ON kd$k.vec_id = mv.vec_id
+        ORDER BY d2 DESC, kd$k.vec_id LIMIT 1),
+      kc$k AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+        SELECT * FROM kp$k)"""
+      }.mkString(",\n      ")
+      s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      mv AS MATERIALIZED (
+        SELECT vec_id, [(round(v[i], 6)::DECIMAL(38,6) * 1000000)::BIGINT
+          for i in range(1, len(v) + 1)] AS m
+        FROM e),
+      kc0 AS MATERIALIZED (
+        SELECT 0::BIGINT AS sel, vec_id, m, 0::BIGINT AS d2 FROM mv
+        WHERE vec_id = (SELECT MIN(vec_id) FROM mv)),
+      $rounds
+      SELECT sel, vec_id, d2 FROM kc${KC_K - 1} ORDER BY sel"""
+    })
+
   val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted,
-    temperature, budget, dsir, reservoir)
+    temperature, budget, dsir, reservoir, kcenter)
 }

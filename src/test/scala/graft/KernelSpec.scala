@@ -75,6 +75,24 @@ class KernelSpec extends SparkSpec {
     assert(run("caf\u00e9", compat = false) == "caf\u00e9")
   }
 
+  test("SqDistLong kernel == aggregate(zip_with) composition, exact on " +
+      "negatives and zero-length") {
+    import graft.functions.SqDistLong
+    val df = Seq(
+      (Seq(1000000L, -2000000L, 0L), Seq(-1000000L, 2000000L, 7L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1000000000L, 0L), Seq(0L, -3L)))
+      .toDF("a", "b")
+    val kernel = df.select(Shim.column(SqDistLong(
+      Shim.expression(col("a")), Shim.expression(col("b")))).as("d"))
+      .collect().map(_.getLong(0))
+    val composed = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), _ + _).as("d"))
+      .collect().map(_.getLong(0))
+    assert(kernel.toSeq == composed.toSeq)
+  }
+
   test("WordShingles kernel == transform+array_join+array_distinct") {
     for (k <- Seq(1, 2, 3, 5)) {
       val df = nasty.toDF("text")

@@ -96,6 +96,7 @@ class PlanSpec extends SparkSpec {
     "knn_mips",            // broadcast query set vs corpus (bruteforce shape)
     "knn_hard_negatives",  // broadcast anchors vs corpus, label-≠ predicate
     "sample_dsir",         // broadcast 1-row (np, nq) model-total scalars
+    "sample_kcenter",      // broadcast <=k-row chosen frame vs corpus
     "corpus_overlap",      // |sources|-row grid (a < b) pair table
     "text_classify_centroid", // broadcast L-row class table (scoring grid)
     "text_classify_nb",    // L×range(B) model grid + broadcast 1-row total
