@@ -1312,9 +1312,68 @@ object Relational {
     GROUP BY l_suppkey
     ORDER BY numwait DESC, s_suppkey LIMIT 100"""))
 
+  // ---------------------------------------------------------------- q42
+  /** Global-sales-opportunity report — the TPC-H Q22 shape (scalar
+    * subquery threshold + NOT EXISTS anti-join), grouped by nation
+    * instead of phone prefix: per nation, the count and total balance
+    * of customers whose account balance is above the average POSITIVE
+    * balance and who have placed NO order since 2000-01-01 (the
+    * wealthy-but-lapsed segment; every customer in this data has SOME
+    * order, so the classic "no orders ever" predicate is restated as
+    * recency-lapse — which is also what a real retention report asks).
+    * The date predicate pushes to the orders parquet scan.
+    *
+    * Exactness without a float average: balances lift to exact micro
+    * ints (`round(x,6)·10⁶`), the threshold scalar is the exact PAIR
+    * (Σ positive, n positive), and "above average" is the integer
+    * cross-multiplication `bal·n_pos > sum_pos` — no division, no
+    * float accumulation, identical integer comparison in both engines;
+    * the total is an exact micro sum. Shapes: one thin customer scan +
+    * one 1-row broadcast scalar (the q18 pattern), LEFT ANTI against
+    * the distinct order custkeys (semi-join infrastructure, never a
+    * fact-table row explosion), one ≤|nations|-key aggregate.
+    */
+  private val q42 = Q(
+    "q42_inactive_rich",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val balMicro = (round(col("c_acctbal"), 6).cast(DecimalType(38, 6))
+        * lit(1000000)).cast(DecimalType(38, 0)).cast("long")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long")
+          .as("nationkey"), balMicro.as("bal_micro"))
+      val thresh = c.filter(col("bal_micro") > 0)
+        .agg(sum("bal_micro").as("sum_pos"),
+          count(lit(1)).as("n_pos"))
+      val ordered = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(thresh))
+        .filter(col("bal_micro") * col("n_pos") > col("sum_pos"))
+        .join(ordered, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum("bal_micro").as("totbal_micro"))
+        .orderBy("nationkey")
+    },
+    Some("""WITH c AS (
+      SELECT c_custkey, c_nationkey::BIGINT AS nationkey,
+        (round(c_acctbal, 6)::DECIMAL(38,6) * 1000000)::BIGINT AS bal_micro
+      FROM customer),
+    th AS (SELECT SUM(bal_micro)::BIGINT AS sum_pos,
+        COUNT(*)::BIGINT AS n_pos
+      FROM c WHERE bal_micro > 0)
+    SELECT nationkey, COUNT(*)::BIGINT AS numcust,
+      SUM(bal_micro)::BIGINT AS totbal_micro
+    FROM c, th
+    WHERE bal_micro * n_pos > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY nationkey ORDER BY nationkey"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41)
+      q41, q42)
 }

@@ -75,6 +75,7 @@ class PlanSpec extends SparkSpec {
     "kmeans_train",     // same broadcast codebook argmax (Lloyd iterations)
     "kmeans_assign",    // same broadcast codebook argmax
     "q18_corr_scalar",  // broadcast 1-row aggregate threshold
+    "q42_inactive_rich", // broadcast 1-row (sum_pos, n_pos) scalar
     "sample_stratified", // broadcast 1-row min-source-count aggregate
     "text_tfidf",       // broadcast 1-row corpus-count aggregate
     "dedup_ngram_jaccard", // broadcast 1-row viral-shingle count (dfCap)
