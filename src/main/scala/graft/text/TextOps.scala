@@ -229,6 +229,70 @@ object TextOps {
     SELECT DISTINCT doc_id, fp FROM m WHERE i >= least(3, ng - 1)
     ORDER BY doc_id, fp"""))
 
+  // ----------------------------------------------------------- text_stem
+  /** Suffix-stripping stemmer (Porter step-1 lite: plural `sses/ies/s`
+    * rules, then `ing/ed` with minimum-stem-length guards) — the
+    * vocabulary-normalization stage a retrieval/TF-IDF index runs so
+    * "query/queries/queried" share one posting. Output = the corpus
+    * top-30 stems with total occurrences and the number of distinct
+    * surface forms each stem absorbed (the vocabulary-compression
+    * report that justifies the stage).
+    *
+    * Both engines state the IDENTICAL first-match CASE chain over the
+    * exploded token stream (codegen'd builtins — endsWith/substring,
+    * no HOF, no kernel needed); counts are integers, the top-30 is
+    * (n_total desc, stem) — fully tie-broken. Scale: one tokenize
+    * scan; the stem aggregate is the only exchange (two-phase for the
+    * distinct-forms count), top-30 plans as TakeOrderedAndProject.
+    */
+  private val STEM_K = 30
+
+  /** First-match suffix rules; shared by the query and any index
+    * pipeline that wants stemmed terms.
+    */
+  def stem(t: Column): Column = {
+    val s1 = when(t.endsWith("sses"), t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("ies"), t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("ss"), t)
+      .when(t.endsWith("s") && length(t) > 1,
+        t.substr(lit(1), length(t) - 1))
+      .otherwise(t)
+    when(s1.endsWith("ing") && length(s1) >= 6,
+        s1.substr(lit(1), length(s1) - 3))
+      .when(s1.endsWith("ed") && length(s1) >= 5,
+        s1.substr(lit(1), length(s1) - 2))
+      .otherwise(s1)
+  }
+
+  private val stemQ = Q(
+    "text_stem",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("t"))
+        .select(stem(col("t")).as("stem"), col("t"))
+        .groupBy("stem")
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("t")).as("n_forms"))
+        .orderBy(col("n_total").desc, col("stem"))
+        .limit(STEM_K),
+    Some(s"""WITH tok AS (
+      SELECT unnest(list_filter(string_split(text,' '), t -> t <> '')) AS t
+      FROM documents),
+    s1 AS (SELECT t, CASE
+        WHEN t LIKE '%sses' THEN substr(t, 1, length(t) - 2)
+        WHEN t LIKE '%ies' THEN substr(t, 1, length(t) - 2)
+        WHEN t LIKE '%ss' THEN t
+        WHEN t LIKE '%s' AND length(t) > 1 THEN substr(t, 1, length(t) - 1)
+        ELSE t END AS s FROM tok),
+    st AS (SELECT t, CASE
+        WHEN s LIKE '%ing' AND length(s) >= 6 THEN substr(s, 1, length(s) - 3)
+        WHEN s LIKE '%ed' AND length(s) >= 5 THEN substr(s, 1, length(s) - 2)
+        ELSE s END AS stem FROM s1)
+    SELECT stem, COUNT(*)::BIGINT AS n_total,
+      COUNT(DISTINCT t)::BIGINT AS n_forms
+    FROM st GROUP BY stem
+    ORDER BY n_total DESC, stem LIMIT $STEM_K"""))
+
   // ----------------------------------------------------- text_repetition
   /** Gopher-style repetition signals (Rae et al., "Scaling Language
     * Models", §A1.1 repetition filters): vocabulary richness (distinct /
@@ -1582,6 +1646,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
-    piiScrub, pplBucket, lineDedup, htmlStrip, normalize, bm25, hybrid,
-    badwords, keywords, entropy, sentences, collocations, lenHistogram)
+    piiScrub, pplBucket, lineDedup, htmlStrip, normalize, stemQ, bm25,
+    hybrid, badwords, keywords, entropy, sentences, collocations,
+    lenHistogram)
 }
