@@ -1371,9 +1371,56 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY nationkey ORDER BY nationkey"""))
 
+  // ---------------------------------------------------------------- q43
+  /** Forward-fill gap imputation (LOCF — last observation carried
+    * forward): the feature-store imputation pass that turns a sparse
+    * reading stream into a dense per-event feature. Only `purchase`
+    * events carry a reading here (derived deterministically so both
+    * engines see the identical sparse column); every event then gets
+    * the user's latest prior reading via `last(..., ignoreNulls)` over
+    * the (ts, event_id)-ordered per-user window — `IGNORE NULLS` is
+    * the one window modifier the rest of the suite doesn't exercise.
+    * `is_imputed` marks carried values (QA column every imputation
+    * stage logs).
+    *
+    * Exactness: readings are COPIED doubles (no arithmetic — identical
+    * bits both engines); ordering is (ts_ms, event_id) integer-total.
+    * Scale: one user_id hash exchange + per-partition sort, the
+    * running frame is O(1) state per row — the q20 sessionize posture.
+    */
+  private val q43 = Q(
+    "q43_gapfill",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val reading = when(col("event_type") === "purchase", col("value"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          reading.as("reading"))
+        .withColumn("filled", last(col("reading"), ignoreNulls = true)
+          .over(w))
+        .withColumn("is_imputed",
+          col("reading").isNull && col("filled").isNotNull)
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        CASE WHEN event_type = 'purchase' THEN value END AS reading
+      FROM events)
+    SELECT event_id, user_id, ts_ms, reading,
+      last_value(reading IGNORE NULLS) OVER (PARTITION BY user_id
+        ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      reading IS NULL AND last_value(reading IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+        AS is_imputed
+    FROM e ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42)
+      q41, q42, q43)
 }
