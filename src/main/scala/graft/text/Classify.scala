@@ -35,9 +35,12 @@ import graft.{Q, Tables}
   */
 object Classify {
 
-  private val classify = Q(
-    "text_classify_centroid",
-    (s, dir) => {
+  /** The centroid classifier's (lang, pred_lang, n_docs) confusion
+    * frame — shared by text_classify_centroid (exports it) and
+    * text_classify_prf (summarizes it).
+    */
+  private def centroidConfusion(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
       val d = docs.select(col("doc_id"), col("lang"))
@@ -74,9 +77,12 @@ object Classify {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "pred_lang")
-    },
-    Some("""WITH tok AS (
+  }
+
+  /** The identical confusion table as DuckDB CTEs ending at
+    * `conf(lang, pred_lang, n_docs)`.
+    */
+  private val confusionCte = """WITH tok AS (
       SELECT doc_id, u.t AS tok, COUNT(*)::BIGINT AS cnt
       FROM documents,
         UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)
@@ -110,10 +116,77 @@ object Classify {
       SELECT doc_id, lang, pred_lang,
         row_number() OVER (PARTITION BY doc_id
           ORDER BY dist2, pred_lang) AS rn
-      FROM scored)
-    SELECT lang, pred_lang, COUNT(*)::BIGINT AS n_docs
-    FROM pred WHERE rn = 1
-    GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""))
+      FROM scored),
+    conf AS MATERIALIZED (
+      SELECT lang, pred_lang, COUNT(*)::BIGINT AS n_docs
+      FROM pred WHERE rn = 1
+      GROUP BY lang, pred_lang)"""
+
+  private val classify = Q(
+    "text_classify_centroid",
+    (s, dir) => centroidConfusion(s, dir).orderBy("lang", "pred_lang"),
+    Some(s"""$confusionCte
+    SELECT lang, pred_lang, n_docs FROM conf
+    ORDER BY lang, pred_lang"""))
+
+  // ---------------------------------------------------- text_classify_prf
+  /** Per-class PRECISION / RECALL / F1 from the centroid classifier's
+    * confusion table — the evaluation card every deployed filter ships
+    * with (dedup_recall's twin for classification). All three metrics
+    * are exact integer MILLIONTHS: `p = tp·10⁶ DIV n_pred`,
+    * `r = tp·10⁶ DIV n_true`, `f1 = 2·p·r DIV (p + r)` (the harmonic
+    * mean stays integral in micro units; never-predicted classes score
+    * 0, zero-guarded) — no float division anywhere, so both engines
+    * hold identical integers. The confusion frame (≤|langs|² rows,
+    * whole-classifier lineage) is CHECKPOINTED — three consumers.
+    */
+  private val prf = Q(
+    "text_classify_prf",
+    (s, dir) => {
+      val conf = centroidConfusion(s, dir).transform(graft.Checkpoint.of)
+      val actual = conf.groupBy("lang").agg(sum("n_docs").as("n_true"))
+      val predicted = conf.groupBy(col("pred_lang").as("lang"))
+        .agg(sum("n_docs").as("n_pred"))
+      val tp = conf.filter(col("lang") === col("pred_lang"))
+        .select(col("lang"), col("n_docs").as("n_tp"))
+      actual
+        .join(predicted, Seq("lang"), "left")
+        .join(tp, Seq("lang"), "left")
+        .select(col("lang"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+        .withColumn("p_micro", when(col("n_pred") > 0,
+          expr("n_tp * 1000000 DIV n_pred")).otherwise(0L))
+        .withColumn("r_micro", expr("n_tp * 1000000 DIV n_true"))
+        .withColumn("f1_micro", when(col("p_micro") + col("r_micro") > 0,
+          expr("2 * p_micro * r_micro DIV (p_micro + r_micro)"))
+          .otherwise(0L))
+        .orderBy("lang")
+    },
+    Some(s"""$confusionCte,
+    actual AS (SELECT lang, SUM(n_docs)::BIGINT AS n_true
+      FROM conf GROUP BY lang),
+    predicted AS (SELECT pred_lang AS lang, SUM(n_docs)::BIGINT AS n_pred
+      FROM conf GROUP BY pred_lang),
+    tp AS (SELECT lang, n_docs AS n_tp FROM conf WHERE lang = pred_lang),
+    m AS (
+      SELECT a.lang, a.n_true,
+        COALESCE(p.n_pred, 0)::BIGINT AS n_pred,
+        COALESCE(t.n_tp, 0)::BIGINT AS n_tp
+      FROM actual a
+      LEFT JOIN predicted p USING (lang)
+      LEFT JOIN tp t USING (lang)),
+    pr AS (
+      SELECT lang, n_true, n_pred, n_tp,
+        (CASE WHEN n_pred > 0 THEN n_tp * 1000000 // n_pred
+          ELSE 0 END)::BIGINT AS p_micro,
+        (n_tp * 1000000 // n_true)::BIGINT AS r_micro
+      FROM m)
+    SELECT lang, n_true, n_pred, n_tp, p_micro, r_micro,
+      (CASE WHEN p_micro + r_micro > 0
+        THEN 2 * p_micro * r_micro // (p_micro + r_micro)
+        ELSE 0 END)::BIGINT AS f1_micro
+    FROM pr ORDER BY lang"""))
 
   // ------------------------------------------------------ text_classify_nb
   /** Trained MULTINOMIAL NAIVE BAYES over hashed token features, with a
@@ -253,5 +326,5 @@ object Classify {
     GROUP BY source, label ORDER BY source, pred_source"""
     }))
 
-  val all: Seq[Q] = Seq(classify, nb)
+  val all: Seq[Q] = Seq(classify, prf, nb)
 }
