@@ -1371,6 +1371,60 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY nationkey ORDER BY nationkey"""))
 
+  // ---------------------------------------------------------------- q44
+  /** Small-quantity-order revenue — the TPC-H Q17 shape (correlated
+    * aggregate threshold PER GROUP, where q18/q42 use one global
+    * scalar): total revenue from lineitems whose quantity is below 20%
+    * of their part's average quantity, reported per brand. The
+    * division-free restatement `5·qty·n_p < sum_p` (qty < avg/5 ⇔
+    * 5·qty < sum/n, all positive integers — quantities are whole
+    * numbers in this data) keeps the threshold exact in both engines;
+    * revenue sums in exact DECIMAL micro units with ONE cast at the
+    * end.
+    *
+    * Scale: the per-part aggregate is map-side-combined off the same
+    * partkey exchange the join needs (thin (part, sum, n) rows
+    * broadcast back is wrong at 10⁸ parts — it stays a partkey
+    * shuffle join, co-partitioned with the fact scan); part dim
+    * broadcasts for the brand label.
+    */
+  private val q44 = Q(
+    "q44_small_qty_revenue",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(1000000))
+            .cast(DecimalType(38, 0)).as("price_micro"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_li"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(perPart, "l_partkey")
+        .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          sum("price_micro").cast(DecimalType(38, 0)).cast("long")
+            .as("rev_micro"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH li AS (
+      SELECT l_partkey, l_quantity::BIGINT AS qty,
+        (l_extendedprice::DECIMAL(18,2) * 1000000)::HUGEINT AS price_micro
+      FROM lineitem),
+    pp AS (
+      SELECT l_partkey, SUM(qty)::BIGINT AS sum_qty,
+        COUNT(*)::BIGINT AS n_li
+      FROM li GROUP BY l_partkey)
+    SELECT p_brand, COUNT(*)::BIGINT AS n_small,
+      SUM(price_micro)::BIGINT AS rev_micro
+    FROM li
+    JOIN pp USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    WHERE qty * 5 * n_li < sum_qty
+    GROUP BY p_brand ORDER BY p_brand"""))
+
   // ---------------------------------------------------------------- q43
   /** Forward-fill gap imputation (LOCF — last observation carried
     * forward): the feature-store imputation pass that turns a sparse
@@ -1422,5 +1476,5 @@ object Relational {
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43)
+      q41, q42, q43, q44)
 }
