@@ -58,6 +58,23 @@ final case class Scd2Row(userId: Long, eventType: String, eventId: Long,
   */
 final case class Scd2State(eventId: Long, tsMs: Long, flushed: Boolean)
 
+/** An event carrying an optional sparse reading for
+  * [[Streaming.gapfill]].
+  */
+final case class GapEv(eventId: Long, userId: Long, tsMs: Long,
+    reading: Option[Double])
+
+/** A densified row emitted by [[Streaming.gapfill]] (columns mirror
+  * batch q43_gapfill).
+  */
+final case class GapRow(eventId: Long, userId: Long, tsMs: Long,
+    reading: Option[Double], filled: Option[Double], isImputed: Boolean)
+
+/** Latest-reading state per user for [[Streaming.gapfill]]: the
+  * (ts, id)-max observed reading — O(1) per user.
+  */
+final case class GapState(tsMs: Long, eventId: Long, reading: Double)
+
 /** An anomalous event flagged by [[Streaming.anomalyFlags]] (columns
   * mirror batch q35_anomaly_zscore).
   */
@@ -475,6 +492,56 @@ object Streaming {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming FORWARD-FILL gap imputation — the online mirror of batch
+    * q43_gapfill (LOCF): every event is emitted with the user's latest
+    * reading at or before it; a reading event fills with itself. State
+    * per user is ONE (ts, id, reading) triple — O(1), no buffer, no
+    * timeout needed — and only ever advances in (ts, id) order, so a
+    * late reading slice can never rewind an already-carried value.
+    *
+    * Contract: in-order streams match batch q43 bit-for-bit (asserted
+    * on the real events table in StreamingSpec — readings are COPIED
+    * doubles, no arithmetic). A late non-reading event older than the
+    * carried state is emitted UNFILLED rather than filled from its
+    * future (the state is guarded by the (ts, id) order test) — the
+    * documented online approximation, conservative in the direction
+    * imputation QA wants.
+    */
+  def gapfill(events: Dataset[GapEv],
+      watermarkDelay: String = "2 hours"): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[GapEv]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[GapState, GapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[GapEv], state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.eventId))
+          var cur = state.getOption.orNull
+          def notAfter(ts: Long, id: Long, e: GapEv): Boolean =
+            ts < e.tsMs || (ts == e.tsMs && id <= e.eventId)
+          val out = sorted.map { e =>
+            e.reading match {
+              case Some(r) =>
+                if (cur == null || notAfter(cur.tsMs, cur.eventId, e))
+                  cur = GapState(e.tsMs, e.eventId, r)
+                GapRow(e.eventId, userId, e.tsMs, e.reading, Some(r),
+                  isImputed = false)
+              case None =>
+                if (cur != null && notAfter(cur.tsMs, cur.eventId, e))
+                  GapRow(e.eventId, userId, e.tsMs, None,
+                    Some(cur.reading), isImputed = true)
+                else GapRow(e.eventId, userId, e.tsMs, None, None,
+                  isImputed = false)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
       }
   }
 

@@ -690,6 +690,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapfill over the real events table equals batch q43 across a " +
+      "micro-batch boundary") {
+    import graft.streaming.{GapEv, GapRow}
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts_ms", "event_type", "value")
+      .orderBy("ts_ms", "event_id")
+      .collect()
+      .map(r => GapEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.getString(3) == "purchase") Some(r.getDouble(4)) else None))
+    val mem = MemoryStream[GapEv]
+    val q = Streaming.gapfill(mem.toDS())
+      .writeStream.format("memory")
+      .queryName("gapfill_real").outputMode("append").start()
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("gapfill_real").as[GapRow].collect()
+        .map(r => (r.eventId, r.userId, r.tsMs, r.reading, r.filled,
+          r.isImputed))
+        .sortBy(_._1).toSeq
+      val expected = SparkEntry.queries("q43_gapfill")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+        .sortBy(_._1).toSeq
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("gapfill: a late reading never rewinds the carried value; a late " +
+      "non-reading older than the state emits unfilled") {
+    import graft.streaming.{GapEv, GapRow}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GapEv]
+    val q = Streaming.gapfill(mem.toDS())
+      .writeStream.format("memory")
+      .queryName("gapfill_late").outputMode("append").start()
+    try {
+      val base = 1700000000000L
+      mem.addData(
+        GapEv(10L, 1L, base + 2000, Some(5.0)),
+        GapEv(11L, 1L, base + 3000, None))
+      q.processAllAvailable()
+      // late reading OLDER than the carried one, late event older still
+      mem.addData(
+        GapEv(8L, 1L, base + 1000, Some(3.0)),
+        GapEv(7L, 1L, base + 500, None))
+      q.processAllAvailable()
+      val got = spark.table("gapfill_late").as[GapRow].collect()
+        .map(r => r.eventId -> ((r.filled, r.isImputed))).toMap
+      assert(got(11L) == ((Some(5.0), true)), "in-order fill")
+      assert(got(8L) == ((Some(3.0), false)),
+        "a reading event fills with itself even when late")
+      assert(got(7L) == ((None, false)),
+        "older-than-state event must not be filled from its future")
+      // state must still carry the NEWEST reading
+      mem.addData(GapEv(12L, 1L, base + 4000, None))
+      q.processAllAvailable()
+      val after = spark.table("gapfill_late").as[GapRow].collect()
+        .map(r => r.eventId -> r.filled).toMap
+      assert(after(12L) == Some(5.0), "late older reading didn't rewind")
+    } finally q.stop()
+  }
+
   test("scd2Intervals over the real events table equals batch q33") {
     import graft.streaming.{ScdEv, Scd2Row}
     implicit val sqlCtx = spark.sqlContext
