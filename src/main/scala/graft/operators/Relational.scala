@@ -1371,6 +1371,87 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY nationkey ORDER BY nationkey"""))
 
+  // ---------------------------------------------------------------- q45
+  /** Symmetric reconciliation via FULL OUTER join — the operator the
+    * suite's left/semi/anti coverage still lacked: two independently
+    * derived per-user aggregates (click volume vs purchase volume)
+    * merged so users present on EITHER side survive, with
+    * null-coalesced counts and a divergence flag. The audit-report
+    * shape every pipeline runs when two systems should agree (counts
+    * from ingest vs counts from serving).
+    *
+    * Scale: two map-side-combined aggregates off one scan lineage,
+    * FULL OUTER on the thin user keys (co-partitioned — both sides
+    * hash on user_id), integer arithmetic only.
+    */
+  private val q45 = Q(
+    "q45_full_outer_reconcile",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purchases, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .withColumn("clicks_only",
+          col("n_clicks") > 0 && col("n_purchases") === 0)
+        .withColumn("purchases_only",
+          col("n_purchases") > 0 && col("n_clicks") === 0)
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    p AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      COALESCE(n_clicks, 0)::BIGINT AS n_clicks,
+      COALESCE(n_purchases, 0)::BIGINT AS n_purchases,
+      COALESCE(n_clicks, 0) > 0 AND COALESCE(n_purchases, 0) = 0
+        AS clicks_only,
+      COALESCE(n_purchases, 0) > 0 AND COALESCE(n_clicks, 0) = 0
+        AS purchases_only
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q46
+  /** UNPIVOT (melt) — the inverse of q16's pivot, the wide→long reshape
+    * every feature table goes through before a union'd metrics store:
+    * the per-user wide row of per-type event counts melts back into
+    * (user_id, event_type, n) rows, dropping structural zeros (unpivot
+    * with null-exclusion after a zero→null mapping, the standard
+    * sparse-melt). Native `Dataset.unpivot` (Spark 3.4+) — ONE Expand
+    * node, not |types| unioned scans.
+    *
+    * Round-trip property: melting q16's pivot reproduces the plain
+    * groupBy counts — which is exactly what the oracle states directly,
+    * so the gate proves pivot→unpivot is lossless.
+    */
+  private val q46 = Q(
+    "q46_unpivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.unpivot(
+          Array(col("user_id")),
+          types.map(t => col(s"`$t`").as(t)).toArray,
+          "event_type", "n_raw")
+        .filter(col("n_raw").isNotNull && col("n_raw") > 0)
+        .select(col("user_id"), col("event_type"),
+          col("n_raw").cast("long").as("n"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type"""))
+
   // ---------------------------------------------------------------- q44
   /** Small-quantity-order revenue — the TPC-H Q17 shape (correlated
     * aggregate threshold PER GROUP, where q18/q42 use one global
@@ -1476,5 +1557,5 @@ object Relational {
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44)
+      q41, q42, q43, q44, q45, q46)
 }
