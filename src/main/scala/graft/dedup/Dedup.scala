@@ -487,7 +487,7 @@ object Dedup {
       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM e a, e b
     WHERE a.vec_id < b.vec_id
-      AND round(list_cosine_similarity(a.v, b.v), 6) >= $COS_TAU
+      AND list_cosine_similarity(a.v, b.v) >= ($COS_TAU - 5e-7)
     ORDER BY a_id, b_id"""
 
   private def embVecs(s: SparkSession, dir: String): DataFrame =
@@ -545,10 +545,16 @@ object Dedup {
     val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
     a.join(b, Seq("ba", "bb"))
       .filter(col("ba") =!= col("bb") || col("x_id") < col("y_id"))
-      .withColumn("cosine", round(cos, 6))
-      .filter(col("cosine") >= tau)
+      // filter on the RAW cosine at the half-up boundary (τ − 5·10⁻⁷,
+      // one IEEE subtraction both engines fold identically): Spark's
+      // round(double) goes through BigDecimal and at ~300 ns/pair it
+      // DOMINATED the all-pairs scan (measured 4 s of 6 s on the
+      // mm_embed_neardup grid); survivors — hundreds, not millions —
+      // round for output only
+      .filter(cos >= lit(tau - 5e-7))
       .select(least(col("x_id"), col("y_id")).as("a_id"),
-        greatest(col("x_id"), col("y_id")).as("b_id"), col("cosine"))
+        greatest(col("x_id"), col("y_id")).as("b_id"),
+        round(cos, 6).as("cosine"))
   }
 
   private val embedding = Q(
@@ -598,9 +604,10 @@ object Dedup {
       cand
         .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
-        .withColumn("cosine", round(cos, 6))
-        .filter(col("cosine") >= COS_TAU)
-        .select("a_id", "b_id", "cosine")
+        // same raw-boundary rule as blockedCosinePairs — the verify
+        // stage must keep the IDENTICAL pair set as the exact oracle
+        .filter(cos >= lit(COS_TAU - 5e-7))
+        .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
         .orderBy("a_id", "b_id")
     },
     Some(sqlExactCosinePairs))

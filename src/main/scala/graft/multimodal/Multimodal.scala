@@ -724,9 +724,14 @@ object Multimodal {
     * this corpus; the planted near-dup pairs sit ≥ 0.98).
     *
     * Scale: feature extraction is map-only typed mapPartitions; the
-    * pair stage inherits dedup_embedding's posture — at 100 TB swap
-    * the exact grid for the LSH-bucketed variant exactly as
-    * dedup_embedding_lsh does for text embeddings.
+    * pair stage inherits dedup_embedding's posture. At 100 TB swap the
+    * exact grid for the LSH-bucketed tier — but CENTER the vectors
+    * first (subtract the corpus-mean histogram, one broadcast row):
+    * raw count histograms share a common direction, so random-pair
+    * cosines sit ≈0.9 where sign-LSH cannot prune; centered, they
+    * spread around 0 and the dedup_embedding_lsh machinery applies
+    * unchanged. (A real CLIP encoder's vectors are already spread —
+    * the centering step is specific to count-histogram stubs.)
     */
   private[graft] val MM_COS_TAU = 0.97
   private[graft] val GRAM_D = 64
@@ -764,7 +769,12 @@ object Multimodal {
     "mm_embed_neardup",
     (s, dir) =>
       graft.dedup.Dedup.blockedCosinePairs(
-        gramVectors(mediaFromDocuments(s, dir)), MM_COS_TAU)
+        // checkpointed: the typed decode+encode lineage feeds BOTH grid
+        // self-join sides — without the barrier it runs once per side
+        // (and the gram histogram is the expensive stage, unlike
+        // dedup_embedding's plain column scan)
+        graft.Checkpoint.of(gramVectors(mediaFromDocuments(s, dir))),
+        MM_COS_TAU)
         .orderBy("a_id", "b_id"),
     Some(s"""WITH chars AS (
       SELECT doc_id, unnest(range(length(text) - 3)) AS i, text
@@ -790,7 +800,7 @@ object Multimodal {
       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM vecs a, vecs b
     WHERE a.doc_id < b.doc_id
-      AND round(list_cosine_similarity(a.v, b.v), 6) >= $MM_COS_TAU
+      AND list_cosine_similarity(a.v, b.v) >= ($MM_COS_TAU - 5e-7)
     ORDER BY a_id, b_id"""))
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,

@@ -47,7 +47,10 @@ object SemDedup {
         .join(assigned.select(col("cent_id"), col("vec_id").as("b_id"),
           col("v").as("vb")), "cent_id")
         .filter(col("a_id") < col("b_id"))
-        .filter(round(cos, 6) >= TAU)
+        // raw-cosine half-up boundary, not round-per-pair — the
+        // blockedCosinePairs rationale (round's BigDecimal dominates
+        // an all-pairs scan); one IEEE subtraction both engines fold
+        .filter(cos >= lit(TAU - 5e-7))
         .select(col("b_id").as("vec_id"))
         .distinct()
         .withColumn("is_dup", lit(true))
@@ -76,7 +79,7 @@ object SemDedup {
       SELECT DISTINCT b.vec_id AS vec_id
       FROM assigned a JOIN assigned b
         ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $TAU)
+      WHERE list_cosine_similarity(a.v, b.v) >= ($TAU - 5e-7))
     SELECT s2.vec_id AS vec_id, s2.cent_id AS cent_id,
       (dropd.vec_id IS NOT NULL) AS is_dup
     FROM assigned s2 LEFT JOIN dropd ON s2.vec_id = dropd.vec_id
