@@ -724,14 +724,19 @@ object Multimodal {
     * this corpus; the planted near-dup pairs sit ≥ 0.98).
     *
     * Scale: feature extraction is map-only typed mapPartitions; the
-    * pair stage inherits dedup_embedding's posture. At 100 TB swap the
-    * exact grid for the LSH-bucketed tier — but CENTER the vectors
-    * first (subtract the corpus-mean histogram, one broadcast row):
-    * raw count histograms share a common direction, so random-pair
-    * cosines sit ≈0.9 where sign-LSH cannot prune; centered, they
-    * spread around 0 and the dedup_embedding_lsh machinery applies
-    * unchanged. (A real CLIP encoder's vectors are already spread —
-    * the centering step is specific to count-histogram stubs.)
+    * pair stage inherits dedup_embedding's posture. An LSH tier for
+    * THIS stub feature was built, measured, and deliberately NOT
+    * shipped: even after centering (raw count histograms share a
+    * common direction, so raw cosines sit ≈0.9 where sign-LSH cannot
+    * separate), the τ-boundary true pairs' centered similarity
+    * reaches DOWN to 0.64 while the background tail reaches UP to
+    * 0.92 (sf0.1, measured) — overlapping ranges, so no sign-LSH bank
+    * has full recall AND pruning here (64×4 bits recalled everything
+    * by making every pair a candidate, 2× slower than the grid;
+    * 64×16 bits pruned 100× but dropped 11/331 boundary pairs). A
+    * real CLIP encoder's near-dup geometry (tight clusters, spread
+    * background) is what dedup_embedding_lsh's machinery needs, and
+    * it composes here unchanged when the stub is replaced.
     */
   private[graft] val MM_COS_TAU = 0.97
   private[graft] val GRAM_D = 64
