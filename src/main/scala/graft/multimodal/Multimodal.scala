@@ -808,7 +808,58 @@ object Multimodal {
       AND list_cosine_similarity(a.v, b.v) >= ($MM_COS_TAU - 5e-7)
     ORDER BY a_id, b_id"""))
 
+  // ----------------------------------------------------- mm_frame_dedup
+  /** Cross-video FRAME-level exact dedup — the shot/segment dedup a
+    * video pipeline runs below [[videoNearDup]]'s sequence tier:
+    * repeated intros, stingers and black frames recur across MANY
+    * videos byte-identically, and training pipelines drop them per
+    * frame, not per video. Every video explodes into fixed-size frames
+    * (the [[frameSample]] stub path, stride 1), each frame content-
+    * hashes, the global keeper is the minimum frame_id per hash, and
+    * the report is per video: frame count, duplicated-frame count
+    * (identical content exists with a smaller frame id — anywhere, own
+    * video included), and the exact-millionths duplication share.
+    *
+    * Scale: the frame explode is map-side typed flatMap; ONE exchange
+    * on the 32-char hash key serves the keeper aggregate and the
+    * co-partitioned join back; the per-video roll-up is thin. Exact:
+    * md5 on identical bytes, integer counts, `n·10⁶ DIV total` share.
+    */
+  private val frameDedup = Q(
+    "mm_frame_dedup",
+    (s, dir) => {
+      val f = frameSample(mediaFromDocuments(s, dir),
+          frameBytes = 16, everyN = 1).toDF()
+        .select(col("mediaId").as("frame_id"),
+          md5(col("payload")).as("h"))
+      val keep = f.groupBy("h").agg(min("frame_id").as("keeper"))
+      f.join(keep, "h")
+        .select(expr(s"frame_id DIV $FRAME_STRIDE").as("media_id"),
+          when(col("frame_id") =!= col("keeper"), 1L).otherwise(0L)
+            .as("dup"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), sum("dup").as("n_dup_frames"))
+        .withColumn("dup_micro",
+          expr("n_dup_frames * 1000000 DIV n_frames"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH idxs AS (
+      SELECT doc_id, unnest(range((length(text) + 15) // 16)) AS idx, text
+      FROM documents),
+    f AS (
+      SELECT doc_id, (doc_id * $FRAME_STRIDE + idx)::BIGINT AS frame_id,
+        md5(substr(text, (idx * 16 + 1)::INT, 16)) AS h
+      FROM idxs),
+    k AS (SELECT h, MIN(frame_id) AS keeper FROM f GROUP BY h)
+    SELECT doc_id AS media_id, COUNT(*)::BIGINT AS n_frames,
+      SUM(CASE WHEN frame_id <> keeper THEN 1 ELSE 0 END)::BIGINT
+        AS n_dup_frames,
+      (SUM(CASE WHEN frame_id <> keeper THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*))::BIGINT AS dup_micro
+    FROM f JOIN k USING (h)
+    GROUP BY doc_id ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
-    phashClusters, embedNeardup)
+    phashClusters, embedNeardup, frameDedup)
 }
