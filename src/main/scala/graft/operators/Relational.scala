@@ -1553,9 +1553,104 @@ object Relational {
         AS is_imputed
     FROM e ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q47
+  /** Bilateral trade volume — the TPC-H Q7 shape (a DISJUNCTIVE join
+    * predicate over a symmetric nation pair): yearly shipped revenue
+    * between NATION_3 and NATION_7, in both directions. The classic
+    * trap is evaluating the OR as a post-join filter over the full
+    * fact×fact join; the Spark-first plan pre-filters BOTH nation dims
+    * to the two names, so the two broadcast hash joins drop ~23/25 of
+    * each fact stream at the scan side, and the residual OR (really
+    * `supp_nation <> cust_nation`) runs on the already-thin stream.
+    *
+    * Exactness: revenue via Exact.dsum6 (lossless DECIMAL(26,6));
+    * grouping keys are strings + integer year.
+    * Scale: lineitem⋈supplier and orders⋈customer are each
+    * dim-broadcast (no exchange); the one shuffle is the orderkey
+    * join of the two pre-thinned streams — bucketed twins make it
+    * zero-exchange (the q38 note).
+    */
+  private val q47 = Q(
+    "q47_nation_volume",
+    (s, dir) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val natS = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val natC = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      year(l_shipdate)::BIGINT AS l_year,
+      ${sqlSum6("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+        OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  // ---------------------------------------------------------------- q48
+  /** Customer order-count distribution — the TPC-H Q13 shape (the only
+    * classic query whose answer depends on rows that DON'T join): how
+    * many customers placed exactly k qualifying orders, INCLUDING
+    * k = 0. The zero bucket forces an outer join — an inner join or a
+    * plain GROUP BY on orders can never see order-less customers.
+    * Qualifying = priority ≠ '4-NOT SPECIFIED' (this schema's stand-in
+    * for Q13's comment NOT LIKE filter).
+    *
+    * Spark-first: aggregate orders per custkey FIRST (map-side combine
+    * off the one custkey exchange — never outer-join raw facts), left
+    * join customer on the co-partitioned custkey, coalesce the miss to
+    * 0, then the tiny k-histogram aggregate (partial agg, ~dozens of
+    * groups). Scale: two custkey exchanges total, both map-combined;
+    * nothing broadcast-sized is assumed about customer.
+    */
+  private val q48 = Q(
+    "q48_order_count_distribution",
+    (s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      t(s, dir, "customer").select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""WITH pc AS (
+      SELECT o_custkey, COUNT(*)::BIGINT AS n
+      FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY o_custkey)
+    SELECT COALESCE(n, 0)::BIGINT AS c_count, COUNT(*)::BIGINT AS custdist
+    FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46)
+      q41, q42, q43, q44, q45, q46, q47, q48)
 }
