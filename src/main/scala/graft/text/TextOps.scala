@@ -1469,6 +1469,98 @@ object TextOps {
         AS is_low_entropy
     FROM agg ORDER BY doc_id"""))
 
+  // ---------------------------------------------------- text_source_drift
+  /** Per-source token-DISTRIBUTION drift vs the reference source — the
+    * Jensen–Shannon divergence monitor a mixture pipeline runs per
+    * ingest batch ("has src7's crawl shifted away from the corpus I
+    * tuned the weights on?"), complementing [[emb_drift]]'s embedding
+    * -space check with a symbol-space one. Tokens hash into
+    * [[DRIFT_B]] buckets (the [[Sampling.dsir]] hashed-feature model,
+    * 60-bit md5 prefix mod B), each source's bucket distribution is
+    * compared to `src0`'s:
+    * `JSD(P,Q) = ½Σ p·log2(2p̅/(p̅+q̅)) + ½Σ q·log2(2q̅/(p̅+q̅))`
+    * over floor shares `p = c·2²⁰ DIV N` with add-one smoothing ONLY
+    * inside the log (raw multiplier keeps absent-bucket terms exactly
+    * 0); logs are the fixed-point [[Sampling.ilog2m20]] — all-integer,
+    * identical both engines, and `src0` vs itself is EXACTLY 0 (every
+    * log ratio cancels), a built-in self-check row. `greatest(·,0)`
+    * before the final floor division keeps Spark's truncating `DIV`
+    * and DuckDB's flooring `//` on the same (non-negative) domain.
+    *
+    * Scale: one corpus pass → map-side-combined (source, bucket)
+    * counts, CHECKPOINTED (≤|sources|·B thin rows feed totals, the
+    * share table, and the bucket×source grid — without the barrier the
+    * scan+explode lineage runs 3×); everything after is broadcast-grid
+    * arithmetic on ≤5k rows. Shares overflow-safe to c < 2⁴³ tokens
+    * per (source, bucket) — the ilog2m20 shift-split note.
+    */
+  private val DRIFT_B = 256
+
+  private val sourceDrift = Q(
+    "text_source_drift",
+    (s, dir) => {
+      val il = Sampling.ilog2m20 _
+      val cnt = Tables(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            % DRIFT_B).as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("c"))
+        .transform(graft.Checkpoint.of)
+      val totals = cnt.groupBy("source").agg(sum("c").as("n_tokens"))
+      val shares = cnt.join(broadcast(totals), "source")
+        .select(col("source"), col("b"),
+          expr("c * 1048576 DIV n_tokens").as("sh"))
+      val ref = shares.filter(col("source") === "src0")
+        .select(col("b"), col("sh").as("pa"))
+      val grid = cnt.select("b").distinct()
+        .crossJoin(cnt.select("source").distinct())
+      grid
+        .join(shares, Seq("source", "b"), "left")
+        .join(broadcast(ref), Seq("b"), "left")
+        .select(col("source"),
+          coalesce(col("pa"), lit(0L)).as("pa"),
+          coalesce(col("sh"), lit(0L)).as("qa"))
+        .withColumn("contrib",
+          expr(s"pa * (${il("(pa + 1) * 2")} - ${il("pa + qa + 2")})" +
+            s" + qa * (${il("(qa + 1) * 2")} - ${il("pa + qa + 2")})"))
+        .groupBy("source").agg(sum("contrib").as("sc"))
+        .join(broadcast(totals), "source")
+        .select(col("source"), col("n_tokens"),
+          expr("greatest(sc, 0) DIV 2097152").as("jsd_m20"))
+        .orderBy("source")
+    },
+    Some(s"""WITH cnt AS MATERIALIZED (
+      SELECT source,
+        (('0x' || substr(md5(u.t), 1, 15))::BIGINT % $DRIFT_B) AS b,
+        COUNT(*)::BIGINT AS c
+      FROM documents,
+        UNNEST(list_filter(string_split(text,' '), t -> t <> '')) u(t)
+      GROUP BY 1, 2),
+    totals AS (SELECT source, SUM(c)::BIGINT AS n_tokens
+      FROM cnt GROUP BY source),
+    shares AS (
+      SELECT source, b, c * 1048576 // n_tokens AS sh
+      FROM cnt JOIN totals USING (source)),
+    ref AS (SELECT b, sh AS pa FROM shares WHERE source = 'src0'),
+    grid AS (
+      SELECT s.source, bb.b,
+        COALESCE(ref.pa, 0) AS pa, COALESCE(sh.sh, 0) AS qa
+      FROM (SELECT DISTINCT b FROM cnt) bb
+      CROSS JOIN (SELECT DISTINCT source FROM cnt) s
+      LEFT JOIN shares sh ON sh.source = s.source AND sh.b = bb.b
+      LEFT JOIN ref ON ref.b = bb.b),
+    agg AS (
+      SELECT source,
+        SUM(pa * (${Sampling.dIlog2m20("(pa + 1) * 2")}
+            - ${Sampling.dIlog2m20("pa + qa + 2")})
+          + qa * (${Sampling.dIlog2m20("(qa + 1) * 2")}
+            - ${Sampling.dIlog2m20("pa + qa + 2")}))::BIGINT AS sc
+      FROM grid GROUP BY source)
+    SELECT source, n_tokens,
+      (greatest(sc, 0) // 2097152)::BIGINT AS jsd_m20
+    FROM agg JOIN totals USING (source) ORDER BY source"""))
+
   // -------------------------------------------------------- text_sentences
   /** SENTENCE-level readability stats — the words-per-sentence half of
     * the Gopher rules ([[quality]] covers the token-level half): split
@@ -1648,5 +1740,5 @@ object TextOps {
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
     piiScrub, pplBucket, lineDedup, htmlStrip, normalize, stemQ, bm25,
     hybrid, badwords, keywords, entropy, sentences, collocations,
-    lenHistogram)
+    lenHistogram, sourceDrift)
 }
