@@ -309,6 +309,51 @@ object Streaming {
       } finally merged.unpersist()
   }
 
+  /** Streaming SOURCE-DRIFT monitor — the ingest-loop twin of batch
+    * `text_source_drift`: per micro-batch of (source, text) documents,
+    * fold the batch's hashed token-bucket counts
+    * ([[graft.text.TextOps.sourceBucketCounts]]) into the persisted
+    * cumulative counts and emit the corpus-to-date Jensen–Shannon
+    * drift of every source vs `ref` ([[graft.text.TextOps.sourceJsd]]
+    * — the IDENTICAL fixed-point arithmetic, so the emitted report is
+    * bit-equal to the batch query over the same cumulative corpus).
+    *
+    * State = the thin (source, bucket, cumulative count) model itself
+    * (≤ |sources|·buckets rows — NOT per-document state), under the
+    * [[BatchState]] replay/compaction contract. Counts are MONOTONE
+    * per key, so `max(c)` over the visible partitions is latest-wins —
+    * replay-safe (a replayed batch reads strictly older partitions and
+    * recomputes the same fold) and compaction-safe (stale versions
+    * folded into one partition lose to the newer maximum).
+    *
+    * @param out receives (source, n_tokens, jsd_m20) per micro-batch
+    */
+  def driftSink(stateDir: String, buckets: Int = 256,
+      ref: String = "src0", compactEvery: Int = 8)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val st = new BatchState(spark, stateDir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c",
+            org.apache.spark.sql.types.LongType))),
+        compactEvery, None)
+      val delta = graft.text.TextOps.sourceBucketCounts(batch, buckets)
+      val prior = st.visible(batchId).groupBy("source", "b")
+        .agg(max("c").as("c"))
+      val merged = prior.unionByName(delta)
+        .groupBy("source", "b").agg(sum("c").as("c"))
+        .localCheckpoint() // feeds the JSD report (3 consumers) + commit
+      try {
+        out(graft.text.TextOps.sourceJsd(merged, ref))
+        st.commit(merged, batchId)
+      } finally merged.unpersist()
+    }
+
   /** Streaming PERCEPTUAL near-dup suppression — the media twin of
     * [[minhashDedupSink]] for a stream of (media_id, phash) rows (the
     * [[graft.multimodal.Multimodal.perceptualHashes]] projection of an

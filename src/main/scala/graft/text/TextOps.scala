@@ -1496,40 +1496,57 @@ object TextOps {
     */
   private val DRIFT_B = 256
 
+  /** Hashed token-bucket counts per source — (source, b, c) from a
+    * (source, text) frame; the [[sourceDrift]] model stage, reused by
+    * [[graft.streaming.Streaming.driftSink]] whose state table is
+    * exactly these rows accumulated across micro-batches.
+    */
+  def sourceBucketCounts(docs: DataFrame, buckets: Int = DRIFT_B): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % buckets).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+
+  /** Fixed-point Jensen–Shannon divergence of every source's bucket
+    * distribution vs `ref`'s, from a (source, b, c) counts frame —
+    * see [[sourceDrift]] for the arithmetic. `cnt` is consumed by
+    * THREE sub-plans (totals, shares, the bucket×source grid): pass a
+    * materialized frame (Checkpoint.of / localCheckpoint) or the
+    * upstream lineage runs three times.
+    */
+  def sourceJsd(cnt: DataFrame, ref: String = "src0"): DataFrame = {
+    val il = Sampling.ilog2m20 _
+    val totals = cnt.groupBy("source").agg(sum("c").as("n_tokens"))
+    val shares = cnt.join(broadcast(totals), "source")
+      .select(col("source"), col("b"),
+        expr("c * 1048576 DIV n_tokens").as("sh"))
+    val refSh = shares.filter(col("source") === ref)
+      .select(col("b"), col("sh").as("pa"))
+    val grid = cnt.select("b").distinct()
+      .crossJoin(cnt.select("source").distinct())
+    grid
+      .join(shares, Seq("source", "b"), "left")
+      .join(broadcast(refSh), Seq("b"), "left")
+      .select(col("source"),
+        coalesce(col("pa"), lit(0L)).as("pa"),
+        coalesce(col("sh"), lit(0L)).as("qa"))
+      .withColumn("contrib",
+        expr(s"pa * (${il("(pa + 1) * 2")} - ${il("pa + qa + 2")})" +
+          s" + qa * (${il("(qa + 1) * 2")} - ${il("pa + qa + 2")})"))
+      .groupBy("source").agg(sum("contrib").as("sc"))
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("n_tokens"),
+        expr("greatest(sc, 0) DIV 2097152").as("jsd_m20"))
+      .orderBy("source")
+  }
+
   private val sourceDrift = Q(
     "text_source_drift",
-    (s, dir) => {
-      val il = Sampling.ilog2m20 _
-      val cnt = Tables(s, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .select(col("source"),
-          (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-            % DRIFT_B).as("b"))
-        .groupBy("source", "b").agg(count(lit(1)).as("c"))
-        .transform(graft.Checkpoint.of)
-      val totals = cnt.groupBy("source").agg(sum("c").as("n_tokens"))
-      val shares = cnt.join(broadcast(totals), "source")
-        .select(col("source"), col("b"),
-          expr("c * 1048576 DIV n_tokens").as("sh"))
-      val ref = shares.filter(col("source") === "src0")
-        .select(col("b"), col("sh").as("pa"))
-      val grid = cnt.select("b").distinct()
-        .crossJoin(cnt.select("source").distinct())
-      grid
-        .join(shares, Seq("source", "b"), "left")
-        .join(broadcast(ref), Seq("b"), "left")
-        .select(col("source"),
-          coalesce(col("pa"), lit(0L)).as("pa"),
-          coalesce(col("sh"), lit(0L)).as("qa"))
-        .withColumn("contrib",
-          expr(s"pa * (${il("(pa + 1) * 2")} - ${il("pa + qa + 2")})" +
-            s" + qa * (${il("(qa + 1) * 2")} - ${il("pa + qa + 2")})"))
-        .groupBy("source").agg(sum("contrib").as("sc"))
-        .join(broadcast(totals), "source")
-        .select(col("source"), col("n_tokens"),
-          expr("greatest(sc, 0) DIV 2097152").as("jsd_m20"))
-        .orderBy("source")
-    },
+    (s, dir) =>
+      sourceJsd(
+        sourceBucketCounts(Tables(s, dir, "documents"))
+          .transform(graft.Checkpoint.of)),
     Some(s"""WITH cnt AS MATERIALIZED (
       SELECT source,
         (('0x' || substr(md5(u.t), 1, 15))::BIGINT % $DRIFT_B) AS b,

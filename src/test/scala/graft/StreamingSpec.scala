@@ -516,6 +516,33 @@ class StreamingSpec extends SparkSpec {
     assert(last == merged)
   }
 
+  test("driftSink folds slices to the batch JSD report; replay is " +
+      "idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    var last = Seq.empty[(String, Long, Long)]
+    val sink = Streaming.driftSink(s"$tmp/state") { out =>
+      last = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    }
+    val docs = Tables(spark, sfDir, "documents")
+      .select("source", "text", "doc_id").localCheckpoint()
+    sink(docs.filter(col("doc_id") % 3 === 0).localCheckpoint(), 0L)
+    sink(docs.filter(col("doc_id") % 3 === 1).localCheckpoint(), 1L)
+    sink(docs.filter(col("doc_id") % 3 === 2).localCheckpoint(), 2L)
+    val merged = last
+    // the streamed cumulative report must equal the one-shot batch query
+    val expected = SparkEntry.queries("text_source_drift")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(merged == expected)
+    // replaying the last slice (crash between state write and checkpoint
+    // commit) must re-emit the identical report
+    sink(docs.filter(col("doc_id") % 3 === 2).localCheckpoint(), 2L)
+    assert(last == merged)
+  }
+
   test("minhashDedupSink compaction preserves flags and bounds state") {
     def run(every: Int): (Seq[Map[Long, Boolean]], String) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ndc").toString
