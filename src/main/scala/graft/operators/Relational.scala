@@ -1648,9 +1648,55 @@ object Relational {
     FROM customer LEFT JOIN pc ON c_custkey = o_custkey
     GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
 
+  // ---------------------------------------------------------------- q49
+  /** Daily-active vs CUMULATIVE-distinct user growth — the launch
+    * dashboard's "uniques to date" curve. The naive running distinct
+    * (per day, count users over all history ≤ day) is quadratic and
+    * unshardable; the scale-first restatement is the FIRST-OCCURRENCE
+    * trick: cumulative uniques at day d = Σ over days ≤ d of users
+    * whose MIN(day) is that day — one distinct (day, user) pass, one
+    * per-user min, and a running sum over the date-grain frame.
+    *
+    * Scale: the distinct (day, user) frame is CHECKPOINTED (it feeds
+    * both the daily-active count and the per-user first-day aggregate
+    * — one events scan, not two); the running-sum window is
+    * unpartitioned but runs on ≤|days| rows (date-grain), never the
+    * facts. All integer: epoch-day floor, counts, running sum.
+    */
+  private val q49 = Q(
+    "q49_cumulative_users",
+    (s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(expr("ts_ms DIV 86400000").as("day"), col("user_id"))
+        .distinct()
+        .transform(graft.Checkpoint.of)
+      val daily = act.groupBy("day").agg(count(lit(1)).as("n_active"))
+      val firstDay = act.groupBy("user_id").agg(min("day").as("day"))
+      val newbies = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(newbies, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .select("day", "n_active", "n_new", "cum_users")
+        .orderBy("day")
+    },
+    Some("""WITH act AS MATERIALIZED (
+      SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+      FROM events),
+    daily AS (SELECT day, COUNT(*)::BIGINT AS n_active
+      FROM act GROUP BY day),
+    fd AS (SELECT user_id, MIN(day) AS day FROM act GROUP BY user_id),
+    nw AS (SELECT day, COUNT(*)::BIGINT AS n_new FROM fd GROUP BY day)
+    SELECT day, n_active, COALESCE(n_new, 0)::BIGINT AS n_new,
+      SUM(COALESCE(n_new, 0)) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        AS cum_users
+    FROM daily LEFT JOIN nw USING (day) ORDER BY day"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
