@@ -637,6 +637,58 @@ object Sampling {
       SELECT sel, vec_id, d2 FROM kc${KC_K - 1} ORDER BY sel"""
     })
 
+  // ----------------------------------------------------- sample_interleave
+  /** Deterministic weighted source INTERLEAVE — the dataloader-facing
+    * end of the mixing chain ([[temperature]]/[[budget]] decide HOW
+    * MUCH of each source; this decides the ORDER the mixed stream is
+    * read in): source s's k-th document (doc_id order) gets the virtual
+    * deadline `k·2²⁰ DIV w_s` (w = doc count), and the global stream is
+    * the merge-sort of all sources by (deadline, source, k) — the
+    * classic weighted-fair-queueing / low-discrepancy schedule: a
+    * source with 2× the weight appears 2× as often, evenly spread, no
+    * RNG, reproducible across runs and cluster sizes. Emits the first
+    * [[INTERLEAVE_POS]] positions (the epoch prefix a dataloader
+    * actually materializes eagerly).
+    *
+    * Scale: position p can only contain a source's k ≤ p-th document,
+    * so per-source ranks are pre-filtered to k ≤ POS — WindowGroupLimit
+    * bounds every source partition at POS rows (the knn_bruteforce
+    * precedent); the global position window then runs on ≤ POS·|sources|
+    * rows, never the corpus. Deadline arithmetic is integer floor both
+    * engines; ties are (source, k)-total.
+    */
+  private val INTERLEAVE_POS = 200
+
+  private val interleave = Q(
+    "sample_interleave",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents").select("source", "doc_id")
+      val wdf = d.groupBy("source").agg(count(lit(1)).as("w"))
+      val rk = Window.partitionBy("source").orderBy("doc_id")
+      val wo = Window.orderBy(col("ikey"), col("source"), col("k"))
+      d.withColumn("k", row_number().over(rk).cast("long"))
+        .filter(col("k") <= INTERLEAVE_POS)
+        .join(broadcast(wdf), "source")
+        .withColumn("ikey", expr("k * 1048576 DIV w"))
+        .withColumn("position", row_number().over(wo).cast("long"))
+        .filter(col("position") <= INTERLEAVE_POS)
+        .select("position", "source", "doc_id", "ikey")
+        .orderBy("position")
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id FROM documents),
+    w AS (SELECT source, COUNT(*)::BIGINT AS w FROM d GROUP BY source),
+    r AS (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT
+          AS k
+      FROM d),
+    f AS (SELECT r.source, doc_id, k, (k * 1048576 // w)::BIGINT AS ikey
+      FROM r JOIN w USING (source) WHERE k <= $INTERLEAVE_POS),
+    g AS (SELECT *, row_number()
+        OVER (ORDER BY ikey, source, k)::BIGINT AS position FROM f)
+    SELECT position, source, doc_id, ikey FROM g
+    WHERE position <= $INTERLEAVE_POS ORDER BY position"""))
+
   val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted,
-    temperature, budget, dsir, reservoir, kcenter)
+    temperature, budget, dsir, reservoir, kcenter, interleave)
 }
