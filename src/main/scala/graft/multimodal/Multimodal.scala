@@ -521,8 +521,12 @@ object Multimodal {
     * hamming > hamMax, scenes = boundaries + 1. The callable form behind
     * `mm_scene_detect`; spec'd on constructed two-scene payloads.
     */
-  def sceneCounts(media: Dataset[MediaRecord], frameBytes: Int = 64,
-      hamMax: Int = SCENE_HAM): DataFrame = {
+  /** Per-frame boundary flags — (media_id, idx, fh, cut) with cut = 1
+    * at a scene boundary: the shared stage behind [[sceneCounts]] and
+    * [[keyframes]]. One lag window on the (media, idx) exchange.
+    */
+  private def frameCuts(media: Dataset[MediaRecord], frameBytes: Int,
+      hamMax: Int): DataFrame = {
     val fr = frameSample(media, frameBytes = frameBytes, everyN = 1).toDF()
       .select(expr(s"mediaId DIV $FRAME_STRIDE").as("media_id"),
         expr(s"mediaId % $FRAME_STRIDE").as("idx"),
@@ -537,9 +541,49 @@ object Multimodal {
         when(col("prev").isNotNull &&
           bit_count(col("fh").bitwiseXOR(col("prev"))) > hamMax, 1L)
           .otherwise(0L))
+      .select("media_id", "idx", "fh", "cut")
+  }
+
+  def sceneCounts(media: Dataset[MediaRecord], frameBytes: Int = 64,
+      hamMax: Int = SCENE_HAM): DataFrame =
+    frameCuts(media, frameBytes, hamMax)
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_frames"),
         (sum("cut") + 1L).as("n_scenes"))
+
+  /** Per-scene KEYFRAME selection — the frame a vision-LM pipeline
+    * keeps per shot: scenes are the running sum of [[frameCuts]]
+    * boundaries, the keyframe is the shot's MIDDLE frame
+    * (`(start+end) DIV 2` — the classic shot-boundary heuristic:
+    * maximally far from both transitions, where a real decoder sees
+    * stable content), emitted with its perceptual hash. Deterministic
+    * integer arithmetic end-to-end.
+    *
+    * Scale: the running-sum window rides the SAME (media, idx)
+    * exchange as the lag (one shuffle, re-sort in place); the frame
+    * table is CHECKPOINTED because it feeds both the scene aggregate
+    * and the keyframe hash join-back (the 2-consumer AQE trap); the
+    * join-back is co-partitioned on media_id.
+    */
+  def keyframes(media: Dataset[MediaRecord], frameBytes: Int = 64,
+      hamMax: Int = SCENE_HAM): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val fr = frameCuts(media, frameBytes, hamMax)
+      .withColumn("scene", sum("cut").over(w))
+      .transform(graft.Checkpoint.of)
+    val scenes = fr.groupBy("media_id", "scene")
+      .agg(min("idx").as("start_idx"), max("idx").as("end_idx"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("key_idx", expr("(start_idx + end_idx) DIV 2"))
+    scenes.join(fr.select(col("media_id").as("km_id"),
+        col("idx").as("k_idx"), col("fh").as("key_fh")),
+        col("k_idx") === col("key_idx") &&
+          col("km_id") === col("media_id"))
+      .select(col("media_id"), col("scene"), col("start_idx"),
+        col("end_idx"), col("n_frames"), col("key_idx"), col("key_fh"))
   }
 
   private val sceneDetect = Q(
@@ -576,6 +620,55 @@ object Multimodal {
           AND bit_count(xor(fh, prev)) > $SCENE_HAM
         THEN 1 ELSE 0 END) + 1)::BIGINT AS n_scenes
     FROM lagd GROUP BY media_id ORDER BY media_id"""))
+
+  private val keyframeQ = Q(
+    "mm_keyframe_select",
+    (s, dir) => keyframes(mediaFromDocuments(s, dir))
+      .orderBy("media_id", "scene"),
+    Some(s"""WITH idxs AS (
+      SELECT doc_id, unnest(range((length(text) + 63) // 64)) AS idx, text
+      FROM documents),
+    fr AS (SELECT doc_id AS media_id, idx,
+        substr(text, (idx * 64 + 1)::INT, 64) AS frame
+      FROM idxs),
+    chars AS (SELECT media_id, idx,
+        unnest(range(length(frame))) AS j, frame
+      FROM fr),
+    seg AS (SELECT media_id, idx,
+        (j * $PH_BITS) // length(frame) AS b,
+        ord(substr(frame, (j + 1)::INT, 1)) AS v
+      FROM chars),
+    bsum AS (SELECT media_id, idx, b, SUM(v) AS sb, COUNT(*) AS lb
+      FROM seg GROUP BY media_id, idx, b),
+    tot AS (SELECT media_id, idx, SUM(v) AS tv, COUNT(*) AS n
+      FROM seg GROUP BY media_id, idx),
+    fh AS MATERIALIZED (SELECT t.media_id, t.idx,
+        COALESCE(SUM(CASE WHEN sb * n > tv * lb
+          THEN (1::BIGINT << b) ELSE 0 END), 0)::BIGINT AS fh
+      FROM tot t JOIN bsum USING (media_id, idx)
+      GROUP BY t.media_id, t.idx),
+    lagd AS (SELECT media_id, idx, fh,
+        LAG(fh) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+      FROM fh),
+    cuts AS (SELECT media_id, idx, fh,
+        CASE WHEN prev IS NOT NULL
+          AND bit_count(xor(fh, prev)) > $SCENE_HAM
+        THEN 1 ELSE 0 END AS cut
+      FROM lagd),
+    sc AS MATERIALIZED (SELECT media_id, idx, fh,
+        SUM(cut) OVER (PARTITION BY media_id ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+      FROM cuts),
+    g AS (SELECT media_id, scene, MIN(idx) AS start_idx,
+        MAX(idx) AS end_idx, COUNT(*)::BIGINT AS n_frames
+      FROM sc GROUP BY media_id, scene)
+    SELECT g.media_id, g.scene::BIGINT AS scene,
+      start_idx::BIGINT AS start_idx, end_idx::BIGINT AS end_idx,
+      n_frames, ((start_idx + end_idx) // 2)::BIGINT AS key_idx,
+      k.fh AS key_fh
+    FROM g JOIN sc k ON k.media_id = g.media_id
+      AND k.idx = (start_idx + end_idx) // 2
+    ORDER BY g.media_id, scene"""))
 
   // --------------------------------------------------- cross-modal pairs
   /** CLIP-style (media, caption) curation filter — the step an aligned
@@ -861,5 +954,5 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
-    phashClusters, embedNeardup, frameDedup)
+    phashClusters, embedNeardup, frameDedup, keyframeQ)
 }
