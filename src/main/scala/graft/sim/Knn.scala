@@ -1189,6 +1189,73 @@ object Knn {
       FROM q, e WHERE e.label <> qlabel)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
+  // ------------------------------------------------------ emb_knn_classify
+  /** kNN LABEL PROPAGATION — the semi-supervised labeler next to the
+    * trained classifiers ([[graft.text.Classify]]'s Rocchio / NB learn
+    * a model; this votes directly from neighbors, the right tool when
+    * labels are scarce but geometry is trusted): each held-out query
+    * (vec_id < NQ, its own label masked) takes the majority label of
+    * its [[VOTE_K]] nearest LABELED vectors (vec_id ≥ NQ — a real
+    * train/test split, so queries never vote for each other), ties
+    * broken (count desc, label asc) — fully deterministic. Emits
+    * predicted vs actual + the correct flag, so the output doubles as
+    * the holdout accuracy table.
+    *
+    * Scale: the [[bruteforce]] posture — broadcast query block vs ONE
+    * corpus pass, `rank ≤ k` plans WindowGroupLimit (every partition
+    * pre-reduced to k rows); the vote re-aggregates ≤ NQ·k thin rows.
+    */
+  private val VOTE_K = 10
+
+  private val knnClassify = Q(
+    "emb_knn_classify",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").cast("long").as("actual"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id"))
+      val votes = e.filter(col("vec_id") >= NQ)
+        .join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= VOTE_K)
+        .groupBy(col("query_id"), col("actual"),
+          col("label").cast("long").as("predicted"))
+        .agg(count(lit(1)).as("n_votes"))
+      val pick = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("predicted"))
+      votes.withColumn("vr", row_number().over(pick))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), col("predicted"), col("actual"),
+          col("n_votes"), (col("predicted") === col("actual")).as("correct"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv, label::BIGINT AS actual FROM e
+      WHERE vec_id < $NQ),
+    nn AS (
+      SELECT query_id, actual, label::BIGINT AS predicted
+      FROM (
+        SELECT query_id, actual, e.label,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id)
+            AS rank
+        FROM q, e WHERE e.vec_id >= $NQ)
+      WHERE rank <= $VOTE_K),
+    votes AS (
+      SELECT query_id, actual, predicted, COUNT(*)::BIGINT AS n_votes
+      FROM nn GROUP BY query_id, actual, predicted)
+    SELECT query_id, predicted, actual, n_votes,
+      predicted = actual AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY n_votes DESC, predicted) AS vr FROM votes)
+    WHERE vr = 1 ORDER BY query_id"""))
+
   // -------------------------------------------------------------- knn_mips
   /** MAXIMUM-INNER-PRODUCT search — the other exact retrieval mode next
     * to [[bruteforce]]'s cosine: rank by the RAW dot product, where the
@@ -1235,5 +1302,5 @@ object Knn {
 
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, kmeansTrain, kmeansAssign,
-    recallQ, hamming, hardNegatives, mips)
+    recallQ, hamming, hardNegatives, mips, knnClassify)
 }
