@@ -1694,9 +1694,72 @@ object Relational {
         AS cum_users
     FROM daily LEFT JOIN nw USING (day) ORDER BY day"""))
 
+  // ---------------------------------------------------------------- q50
+  /** Year-over-year revenue GROWTH per supplier nation — the trend
+    * report layered on a yearly aggregate (lag over GROUPED rows, where
+    * q31's rolling window lags raw facts). Growth is signed, and signed
+    * integer division is an engine trap: Spark's `DIV` truncates toward
+    * zero, DuckDB's `//` floors — they disagree on every negative
+    * quotient. The SIGN-SPLIT form `CASE diff < 0 THEN −((−diff)·10⁶
+    * DIV prev) ELSE diff·10⁶ DIV prev` keeps both engines dividing
+    * non-negative integers (truncate ≡ floor) and restores the sign
+    * exactly. Revenue stays DECIMAL(38,0) micro units (a yearly
+    * nation's revenue ·10⁶ ·10⁶ overflows BIGINT at real scale).
+    *
+    * Scale: one fact pass with broadcast dims into a (nation, year)
+    * aggregate; the lag window runs on the ≤|nations|·|years| thin
+    * frame, never the facts.
+    */
+  private val q50 = Q(
+    "q50_yoy_growth",
+    (s, dir) => {
+      val revMicro = ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(26, 6)) * lit(1000000))
+        .cast(DecimalType(38, 0))
+      val yearly = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          revMicro.as("rm"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_year"))
+        .agg(sum("rm").cast(DecimalType(38, 0)).as("rev"))
+      val w = Window.partitionBy("n_name").orderBy("l_year")
+      yearly.withColumn("prev", lag(col("rev"), 1).over(w))
+        .withColumn("diff", col("rev") - col("prev"))
+        .select(col("n_name"), col("l_year"),
+          col("rev").cast("long").as("rev_micro"),
+          when(col("prev").isNull, lit(null))
+            .when(col("diff") < 0,
+              -expr("(-diff) * 1000000 DIV prev"))
+            .otherwise(expr("diff * 1000000 DIV prev"))
+            .cast("long").as("growth_micro"))
+        .orderBy("n_name", "l_year")
+    },
+    Some("""WITH yearly AS (
+      SELECT n_name, year(l_shipdate)::BIGINT AS l_year,
+        SUM(((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+          * 1000000)::HUGEINT) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    lagd AS (SELECT n_name, l_year, rev,
+        LAG(rev) OVER (PARTITION BY n_name ORDER BY l_year) AS prev
+      FROM yearly)
+    SELECT n_name, l_year, rev::BIGINT AS rev_micro,
+      (CASE WHEN prev IS NULL THEN NULL
+        WHEN rev - prev < 0 THEN -((prev - rev) * 1000000 // prev)
+        ELSE (rev - prev) * 1000000 // prev END)::BIGINT AS growth_micro
+    FROM lagd ORDER BY n_name, l_year"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }

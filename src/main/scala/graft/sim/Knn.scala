@@ -1256,6 +1256,76 @@ object Knn {
         ORDER BY n_votes DESC, predicted) AS vr FROM votes)
     WHERE vr = 1 ORDER BY query_id"""))
 
+  // ------------------------------------------------------------ knn_triplets
+  /** TRIPLET mining — the (anchor, hardest positive, hardest negative)
+    * table a contrastive/metric-learning run trains on
+    * ([[hardNegatives]] mines the negative half; a triplet loss also
+    * needs the hardest POSITIVE — the most DISsimilar same-label
+    * vector, the pair the embedding must pull together): per anchor,
+    * pos = argmin cosine over same-label, neg = argmax cosine over
+    * different-label, plus the raw margin `pos_cos − neg_cos` (the
+    * quantity the loss clamps; emitted UNROUNDED — both operands are
+    * already bit-identical rounded doubles, and re-rounding a value
+    * sitting ON the 6-dp grid is the round-trip trap CLAUDE'd in
+    * kmeans_train).
+    *
+    * One corpus pass vs broadcast anchors; BOTH extremes ride a single
+    * window partitioned by (anchor, is_pos) ordered by the sign-folded
+    * cosine (`is_pos ? cos : −cos` asc) — one exchange, rank=1 plans
+    * WindowGroupLimit, then a ≤2-rows-per-anchor pivot.
+    */
+  private val triplets = Q(
+    "knn_triplets",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").as("qlabel"))
+      val cos = cosineSim(col("qv"), col("v"))
+      val w = Window.partitionBy(col("query_id"), col("is_pos"))
+        .orderBy(when(col("is_pos"), col("c")).otherwise(-col("c")).asc,
+          col("vec_id"))
+      e.filter(col("vec_id") >= NQ)
+        .join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (col("label") === col("qlabel")).as("is_pos"), cos.as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .groupBy("query_id")
+        .agg(max(when(col("is_pos"), col("vec_id"))).as("pos_id"),
+          max(when(col("is_pos"), round(col("c"), 6))).as("pos_cosine"),
+          max(when(!col("is_pos"), col("vec_id"))).as("neg_id"),
+          max(when(!col("is_pos"), round(col("c"), 6))).as("neg_cosine"))
+        .withColumn("margin", col("pos_cosine") - col("neg_cosine"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv, label qlabel FROM e
+      WHERE vec_id < $NQ),
+    scored AS (
+      SELECT query_id, e.vec_id, e.label = qlabel AS is_pos,
+        list_cosine_similarity(qv, e.v) AS c
+      FROM q, e WHERE e.vec_id >= $NQ),
+    ranked AS (
+      SELECT query_id, vec_id, is_pos, c,
+        row_number() OVER (PARTITION BY query_id, is_pos
+          ORDER BY CASE WHEN is_pos THEN c ELSE -c END ASC, vec_id)
+          AS rank
+      FROM scored),
+    piv AS (
+      SELECT query_id,
+        MAX(CASE WHEN is_pos THEN vec_id END) AS pos_id,
+        MAX(CASE WHEN is_pos THEN round(c, 6) END) AS pos_cosine,
+        MAX(CASE WHEN NOT is_pos THEN vec_id END) AS neg_id,
+        MAX(CASE WHEN NOT is_pos THEN round(c, 6) END) AS neg_cosine
+      FROM ranked WHERE rank = 1 GROUP BY query_id)
+    SELECT query_id, pos_id, pos_cosine, neg_id, neg_cosine,
+      pos_cosine - neg_cosine AS margin
+    FROM piv ORDER BY query_id"""))
+
   // -------------------------------------------------------------- knn_mips
   /** MAXIMUM-INNER-PRODUCT search — the other exact retrieval mode next
     * to [[bruteforce]]'s cosine: rank by the RAW dot product, where the
@@ -1302,5 +1372,5 @@ object Knn {
 
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, kmeansTrain, kmeansAssign,
-    recallQ, hamming, hardNegatives, mips, knnClassify)
+    recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }

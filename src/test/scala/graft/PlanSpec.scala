@@ -108,7 +108,8 @@ class PlanSpec extends SparkSpec {
     "emb_quantize_recall", // broadcast query set vs corpus (bruteforce shape)
     "text_len_histogram",  // broadcast 1-row (td, tt) total scalars
     "text_source_drift",   // <=B-row bucket x |sources|-row grid
-    "emb_knn_classify")    // broadcast query set vs corpus (bruteforce shape)
+    "emb_knn_classify",    // broadcast query set vs corpus (bruteforce shape)
+    "knn_triplets")        // broadcast anchor set vs corpus (bruteforce shape)
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
