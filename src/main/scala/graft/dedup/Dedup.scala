@@ -682,7 +682,11 @@ object Dedup {
           least(col("a.label"), coalesce(col("plabel"), col("a.label"))))
         // second hop along the SAME round's mapping: two chain steps per
         // checkpoint, one extra join in the plan instead of an extra
-        // round (rounds are the cost — each is a full job)
+        // round (rounds are the cost — each is a full job). A THIRD
+        // hop was measured (r9, kNN giant component at sf0.1): round
+        // count stays 6 — past two hops the loop is bounded by graph
+        // distance through nbrMin, not by label-chain length, so more
+        // hops only add join cost.
         .join(lut2, col("l1") === col("qid"), "left")
         .select(col("a.id").as("id"),
           least(col("l1"), coalesce(col("qlabel"), col("l1"))).as("label"),
@@ -695,6 +699,8 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       converged = !changed
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i changed=$changed")
     }
     labels
   }
