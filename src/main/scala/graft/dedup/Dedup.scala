@@ -338,6 +338,66 @@ object Dedup {
         .orderBy("a_id", "b_id"),
     Some(sqlExactJaccardPairs))
 
+  // -------------------------------------------------------- dedup_lexsem
+  /** Two-gate fuzzy dedup — LEXICAL recall, SEMANTIC precision (the
+    * production composition modern corpora run: MinHash-LSH proposes
+    * cheaply at high recall, an embedding check rejects coincidental
+    * token overlap — boilerplate shells, templated pages — before
+    * anything is dropped): every jaccard-verified [[minhashPairs]]
+    * pair is scored with the documents' embedding cosine and flagged
+    * `semantic_ok` at the [[LEXSEM_TAU]] half-up boundary (raw-value
+    * compare, round-for-output-only — the blockedCosinePairs rule).
+    * The testdata's doc_id ↔ vec_id spaces are aligned 1:1; its
+    * embeddings are synthetic (not text-derived — lexical dups score
+    * cosine ≤ ~0.28 here), so τ sits inside that observed range to
+    * exercise the boundary BOTH ways in the gate; with a real text
+    * encoder the production τ is ~0.9+.
+    *
+    * Scale: the expensive half is the LSH pair generation, unchanged;
+    * the semantic gate adds two co-partitioned id joins against the
+    * thin embedding table ONLY for surviving pairs — per-pair cost,
+    * never per-corpus-square. (SemDedup prunes the embedding space
+    * wholesale; this gates an existing lexical candidate set — the two
+    * compose, they don't compete.)
+    */
+  private val LEXSEM_TAU = 0.1
+
+  private val lexsem = Q(
+    "dedup_lexsem",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+      minhashPairs(s, dir)
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(cos, 6).as("cosine"),
+          (cos >= lit(LEXSEM_TAU - 5e-7)).as("semantic_ok"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH $sqlShingleCte,
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+          AS jaccard
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= $TAU),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+    SELECT a_id, b_id, jaccard,
+      round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine,
+      list_cosine_similarity(ea.v, eb.v) >= ($LEXSEM_TAU - 5e-7)
+        AS semantic_ok
+    FROM pairs
+    JOIN e ea ON ea.vec_id = a_id
+    JOIN e eb ON eb.vec_id = b_id
+    ORDER BY a_id, b_id"""))
+
   // -------------------------------------------------------- dedup_winnow
   /** Near-dup candidates from shared winnowed fingerprints (the MOSS
     * plagiarism-detection recipe): docs sharing ≥1 window-min gram hash
@@ -1468,5 +1528,6 @@ object Dedup {
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
-      splitDedup, dedupRecall, gramNovelty, containment, keepBest, weights)
+      splitDedup, dedupRecall, gramNovelty, containment, keepBest, weights,
+      lexsem)
 }
