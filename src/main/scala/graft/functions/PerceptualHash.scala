@@ -61,6 +61,50 @@ object PerceptualHash {
   }
 }
 
+/** Static host for [[ByteSum]] — separately named from the case class
+  * (a companion of the same name emits no static forwarders, so
+  * codegen'd Java couldn't call it — the TextKernels/PackKernels rule).
+  */
+object BinKernels {
+  /** Sum of unsigned byte values — the stub "frame energy" feature. */
+  def byteSum(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += (bytes(i) & 0xFF); i += 1 }
+    s
+  }
+}
+
+/** `byte_sum(payload)` → long: unsigned byte-value sum of a BINARY
+  * payload — the 1-D "energy" of a frame under the stub decoder (a real
+  * audio pipeline sums |sample|²; the Spark shape — map-only codegen
+  * kernel per frame, windows on the media key — is identical). Integer
+  * accumulation, order-independent, bit-identical to the DuckDB
+  * per-char `ord` sum on this ASCII corpus.
+  */
+case class ByteSum(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "byte_sum"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary column, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BinKernels.byteSum(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BinKernels.byteSum($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class PerceptualHash(child: Expression, bins: Int)
     extends UnaryExpression {
   require(bins >= 1 && bins <= 60, s"bins must be in [1,60], got $bins")

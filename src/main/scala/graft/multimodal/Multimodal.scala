@@ -670,6 +670,97 @@ object Multimodal {
       AND k.idx = (start_idx + end_idx) // 2
     ORDER BY g.media_id, scene"""))
 
+  // --------------------------------------------------------- mm_audio_vad
+  /** Energy-threshold VOICE-ACTIVITY detection — the audio-modality
+    * curation gate (silence/noise trimming before ASR or audio-LM
+    * training): each fixed-size frame's ENERGY is the stub decoder's
+    * unsigned byte sum ([[graft.functions.ByteSum]] — a real pipeline
+    * sums |sample|²; the Spark shape is identical), a frame is VOICED
+    * iff its per-byte mean is strictly above the media's mean
+    * (`en·tot_len > tot_en·len` — cross-multiplied pure integers, no
+    * division), and contiguous voiced frames chain into segments via
+    * the gaps-and-islands rule (`idx − row_number` within the voiced
+    * class — the run id both engines derive identically). Per media:
+    * frame/voiced counts, LONGEST voiced run (the "usable clip length"
+    * signal), exact-millionths voiced share.
+    *
+    * Scale: map-only energy kernel per frame, then two thin hash
+    * exchanges — (media) for the totals window, (media, voiced) for
+    * the island numbering — and ONE aggregation chain (runs roll up to
+    * media in the same lineage; no self-join, no 2-consumer barrier
+    * needed). Longs throughout: en ≤ 255·frame, totals ≤ 255·bytes.
+    */
+  private val audioVad = Q(
+    "mm_audio_vad",
+    (s, dir) => {
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id")
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id", "voiced").orderBy("idx")
+      val fr = frameSample(mediaFromDocuments(s, dir),
+          frameBytes = 64, everyN = 1).toDF()
+        .select(expr(s"mediaId DIV $FRAME_STRIDE").as("media_id"),
+          expr(s"mediaId % $FRAME_STRIDE").as("idx"),
+          org.apache.spark.sql.graft.Shim.column(
+            graft.functions.ByteSum(
+              org.apache.spark.sql.graft.Shim.expression(col("payload"))))
+            .as("en"),
+          length(col("payload")).cast("long").as("len"))
+      fr.withColumn("tot_en", sum("en").over(wm))
+        .withColumn("tot_len", sum("len").over(wm))
+        .withColumn("voiced",
+          col("en") * col("tot_len") > col("tot_en") * col("len"))
+        .withColumn("grp",
+          when(col("voiced"),
+            col("idx") - row_number().over(wv).cast("long"))
+            .otherwise(lit(-1L)))
+        .groupBy("media_id", "voiced", "grp")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("media_id")
+        .agg(sum("run_len").as("n_frames"),
+          coalesce(sum(when(col("voiced"), col("run_len"))), lit(0L))
+            .as("n_voiced"),
+          coalesce(max(when(col("voiced"), col("run_len"))), lit(0L))
+            .as("longest_voiced_run"))
+        .withColumn("voiced_m6",
+          expr("n_voiced * 1000000 DIV n_frames"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH idxs AS (
+      SELECT doc_id, unnest(range((length(text) + 63) // 64)) AS idx, text
+      FROM documents),
+    fr AS (SELECT doc_id AS media_id, idx,
+        substr(text, (idx * 64 + 1)::INT, 64) AS frame
+      FROM idxs),
+    chars AS (SELECT media_id, idx,
+        unnest(range(length(frame))) AS j, frame
+      FROM fr),
+    en AS (SELECT media_id, idx,
+        SUM(ord(substr(frame, (j + 1)::INT, 1)))::BIGINT AS en,
+        COUNT(*)::BIGINT AS len
+      FROM chars GROUP BY media_id, idx),
+    tot AS (SELECT media_id, idx, en, len,
+        SUM(en) OVER (PARTITION BY media_id) AS tot_en,
+        SUM(len) OVER (PARTITION BY media_id) AS tot_len
+      FROM en),
+    v AS (SELECT media_id, idx, en * tot_len > tot_en * len AS voiced
+      FROM tot),
+    g AS (SELECT media_id, voiced,
+        CASE WHEN voiced THEN idx - row_number()
+          OVER (PARTITION BY media_id, voiced ORDER BY idx)
+        ELSE -1 END AS grp
+      FROM v),
+    runs AS (SELECT media_id, voiced, grp, COUNT(*)::BIGINT AS run_len
+      FROM g GROUP BY media_id, voiced, grp)
+    SELECT media_id, SUM(run_len)::BIGINT AS n_frames,
+      COALESCE(SUM(CASE WHEN voiced THEN run_len END), 0)::BIGINT
+        AS n_voiced,
+      COALESCE(MAX(CASE WHEN voiced THEN run_len END), 0)::BIGINT
+        AS longest_voiced_run,
+      (COALESCE(SUM(CASE WHEN voiced THEN run_len END), 0) * 1000000
+        // SUM(run_len))::BIGINT AS voiced_m6
+    FROM runs GROUP BY media_id ORDER BY media_id"""))
+
   // --------------------------------------------------- cross-modal pairs
   /** CLIP-style (media, caption) curation filter — the step an aligned
     * image-text corpus runs before training: score each candidate pair's
@@ -954,5 +1045,5 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
-    phashClusters, embedNeardup, frameDedup, keyframeQ)
+    phashClusters, embedNeardup, frameDedup, keyframeQ, audioVad)
 }

@@ -373,6 +373,28 @@ class KernelSpec extends SparkSpec {
     assert(viaSql === direct)
   }
 
+  test("ByteSum kernel == per-byte Scala reference; codegen path agrees " +
+      "on the real corpus") {
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](0),
+      Array[Byte](-1, 0, 127, -128),          // full signed-byte range
+      "plain words here".getBytes("UTF-8"),
+      Array.tabulate[Byte](4096)(i => (i % 251).toByte))
+    for (p <- payloads)
+      assert(graft.functions.BinKernels.byteSum(p) ===
+        p.map(b => (b & 0xFF).toLong).sum, s"len=${p.length}")
+    val df = Tables(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val viaSql = df.select(col("doc_id"), Shim.column(
+        graft.functions.ByteSum(
+          Shim.expression(col("payload")))).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = df.collect().map(r => r.getLong(0) ->
+      graft.functions.BinKernels.byteSum(r.getAs[Array[Byte]](1))).toMap
+    assert(viaSql === direct)
+  }
+
   test("SignBits kernel == aggregate(sequence) composition, incl. bit 63 " +
       "and zero/negative-zero edges") {
     // adversarial vectors: exact zeros (not a set bit), -0.0 (IEEE: not
