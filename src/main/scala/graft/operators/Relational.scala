@@ -1757,9 +1757,99 @@ object Relational {
         ELSE (rev - prev) * 1000000 // prev END)::BIGINT AS growth_micro
     FROM lagd ORDER BY n_name, l_year"""))
 
+  // ---------------------------------------------------------------- q51
+  /** Discounted revenue under a DISJUNCTION of (brand, size-range,
+    * quantity-range) branches — the TPC-H Q19 shape (the OR-of-ANDs
+    * join predicate that defeats naive pushdown): the classic mistake
+    * is evaluating the whole disjunction as a residual AFTER a full
+    * part⋈lineitem join. The Spark-first split: the part-only half of
+    * each branch (brand + size) filters the BROADCAST dim — the scan
+    * side joins against a dim already reduced to the union of the
+    * three branch part-sets — and only the quantity half remains as a
+    * residual on the joined stream. Per-branch rows (brand keys the
+    * branch here) with exact DECIMAL revenue.
+    */
+  private val q51 = Q(
+    "q51_disjunctive_parts",
+    (s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        .filter(
+          (col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(25, 50)))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("l_quantity").between(20, 35)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some(s"""SELECT p_brand, COUNT(*)::BIGINT AS n_items,
+      ${sqlSum6("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 25 AND 50
+        AND l_quantity BETWEEN 20 AND 35)
+    GROUP BY p_brand ORDER BY p_brand"""))
+
+  // ---------------------------------------------------------------- q52
+  /** Returned-item reporting — the TPC-H Q10 shape (who returned the
+    * most money): revenue on `l_returnflag = 'R'` lines per customer,
+    * top-20 with the customer's nation. The returnflag filter sits ON
+    * THE SCAN (PushedFilters — ~1/3 selectivity before any join), the
+    * two fact tables shuffle once on orderkey, nation broadcasts, and
+    * the top-20 plans as TakeOrderedAndProject (never a full sort).
+    */
+  private val q52 = Q(
+    "q52_returned_customers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_returned"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name,
+      COUNT(*)::BIGINT AS n_returned,
+      ${sqlSum6("l_extendedprice * (1 - l_discount)", "lost_revenue")}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }
