@@ -1847,9 +1847,96 @@ object Relational {
     GROUP BY c_custkey, c_name, n_name
     ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""))
 
+  // ---------------------------------------------------------------- q53
+  /** Top supplier by quarterly revenue — the TPC-H Q15 shape (ARGMAX
+    * WITH TIES against a global scalar: the view + `total = (SELECT
+    * MAX...)` correlation): revenue per supplier over one quarter,
+    * keep every supplier whose revenue EQUALS the maximum. The
+    * equality is exact because revenue never leaves DECIMAL micro
+    * units until output — a double-sum argmax can drop a true tie (or
+    * invent one) on the last bit; decimal equality cannot. Date range
+    * filters on the scan; the max is a broadcast 1-row scalar (the q18
+    * posture); ties surface deterministically, suppkey-ordered.
+    */
+  private val q53 = Q(
+    "q53_top_supplier",
+    (s, dir) => {
+      val revMicro = ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(26, 6)) * lit(1000000))
+        .cast(DecimalType(38, 0))
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .select(col("l_suppkey"), revMicro.as("rm"))
+        .groupBy("l_suppkey")
+        .agg(sum("rm").cast(DecimalType(38, 0)).as("rev"))
+      val mx = rev.agg(max("rev").as("mx"))
+      rev.join(broadcast(mx), col("rev") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev").cast("long").as("rev_micro"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (
+      SELECT l_suppkey,
+        SUM(((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+          * 1000000)::HUGEINT) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT MAX(rev) AS mx FROM rev)
+    SELECT s_suppkey, s_name, rev::BIGINT AS rev_micro
+    FROM rev JOIN mx ON rev = mx
+    JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY s_suppkey"""))
+
+  // ---------------------------------------------------------------- q54
+  /** Supplier diversity per part attribute, excluding a blocklist —
+    * the TPC-H Q16 shape (COUNT DISTINCT over an anti-joined
+    * relationship table): how many DISTINCT qualified suppliers serve
+    * each (brand, size), where the part↔supplier relationship is
+    * derived from the fact table (this schema has no partsupp) and
+    * "qualified" anti-joins the blocklist (negative account balance —
+    * the comment-LIKE stand-in). Spark-first: the relationship
+    * dedupes to thin (partkey, suppkey) pairs FIRST (one exchange on
+    * the pair — never count-distinct over raw facts), the blocklist
+    * broadcasts as an anti-join, part broadcasts for the attributes,
+    * and the distinct count re-aggregates pre-deduped pairs.
+    */
+  private val q54 = Q(
+    "q54_part_supplier_counts",
+    (s, dir) => {
+      val rel = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val block = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      rel.join(broadcast(block),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(50)
+    },
+    Some("""WITH rel AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    q AS (
+      SELECT l_partkey, l_suppkey FROM rel
+      WHERE l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+    SELECT p_brand, p_size,
+      COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM q JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
+      q54)
 }
