@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input totality — the shapes a 100 TB run always hits:
+  * an EMPTY shard (a date partition with no rows, a source with no
+  * documents) must flow through the operators as zero/empty results,
+  * never an exception; and a dataset whose later files ADDED a column
+  * (schema drift at ingest) must read as the union schema.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  /** A temp data dir whose tables have the REAL schemas but zero rows. */
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  // One representative per machinery family: hash-agg dedup, kernel
+  // explode + banded self-join, text kernels, relational agg/window,
+  // broadcast-scalar embedding stats, bruteforce BNLJ, perceptual
+  // kernel, per-source window sampling, postings self-join, gaps-and-
+  // islands, fixed-point drift grid.
+  private val total = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "text_stats", "q01_agg",
+    "q07_window", "emb_stats", "knn_bruteforce", "mm_phash",
+    "sample_reservoir", "dedup_ngram_jaccard", "mm_audio_vad",
+    "text_source_drift", "q49_cumulative_users", "sample_interleave",
+    "q20_sessionize", "text_tokens", "pack_sequences")
+
+  test("empty shards flow through the operator families as empty results") {
+    for (name <- total) {
+      val rows = SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(rows == 0L, s"$name returned $rows rows on an empty shard")
+    }
+  }
+
+  test("global-aggregate queries stay total on empty input (0-or-1 " +
+      "summary rows, no exception)") {
+    // these legitimately emit a single all-null/zero summary row (global
+    // aggregates over zero rows) — totality, not emptiness, is the claim
+    for (name <- Seq("q18_corr_scalar", "corpus_stats"))
+      assert(SparkEntry.queries(name)(spark, emptyDir).count() <= 1L,
+        s"$name should reduce an empty corpus to at most one summary row")
+  }
+
+  test("schema-evolved parquet (a later file adds a column) reads as the " +
+      "union schema with nulls for the old file") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir)
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")),
+      "pre-evolution row must surface the new column as null")
+    assert(rows(1).getLong(rows(1).fieldIndex("v2")) == 9L)
+  }
+}
