@@ -388,7 +388,8 @@ object Dedup {
         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
           >= $TAU),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+    e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
     SELECT a_id, b_id, jaccard,
       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine,
       list_cosine_similarity(ea.v, eb.v) >= ($LEXSEM_TAU - 5e-7)

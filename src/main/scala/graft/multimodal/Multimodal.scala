@@ -516,11 +516,6 @@ object Multimodal {
     */
   val SCENE_HAM = 20
 
-  /** Per-media (n_frames, n_scenes) over a media Dataset: every
-    * `frameBytes` frame fingerprinted, boundary = frame-over-frame
-    * hamming > hamMax, scenes = boundaries + 1. The callable form behind
-    * `mm_scene_detect`; spec'd on constructed two-scene payloads.
-    */
   /** Per-frame boundary flags — (media_id, idx, fh, cut) with cut = 1
     * at a scene boundary: the shared stage behind [[sceneCounts]] and
     * [[keyframes]]. One lag window on the (media, idx) exchange.
@@ -544,6 +539,11 @@ object Multimodal {
       .select("media_id", "idx", "fh", "cut")
   }
 
+  /** Per-media (n_frames, n_scenes) over a media Dataset: every
+    * `frameBytes` frame fingerprinted, boundary = frame-over-frame
+    * hamming > hamMax, scenes = boundaries + 1. The callable form behind
+    * `mm_scene_detect`; spec'd on constructed two-scene payloads.
+    */
   def sceneCounts(media: Dataset[MediaRecord], frameBytes: Int = 64,
       hamMax: Int = SCENE_HAM): DataFrame =
     frameCuts(media, frameBytes, hamMax)

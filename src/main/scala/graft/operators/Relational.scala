@@ -1588,10 +1588,14 @@ object Relational {
           .select("s_suppkey", "s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
-      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
+      // customer thins against the 2-row nation dim BEFORE touching
+      // orders — joining orders x full customer first would carry all
+      // 25 nations of customers through the join (CBO off: Spark does
+      // not reorder inner joins by selectivity)
+      val custPair = t(s, dir, "customer").select("c_custkey", "c_nationkey")
         .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(custPair, col("o_custkey") === col("c_custkey"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -1870,6 +1874,10 @@ object Relational {
         .select(col("l_suppkey"), revMicro.as("rm"))
         .groupBy("l_suppkey")
         .agg(sum("rm").cast(DecimalType(38, 0)).as("rev"))
+        // checkpointed: rev feeds the max scalar AND the probe side —
+        // without the barrier the quarter-filtered fact scan + agg runs
+        // twice (the q40 two-consumer trap)
+        .transform(graft.Checkpoint.of)
       val mx = rev.agg(max("rev").as("mx"))
       rev.join(broadcast(mx), col("rev") === col("mx"))
         .join(broadcast(t(s, dir, "supplier")

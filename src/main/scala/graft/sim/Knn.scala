@@ -1234,7 +1234,7 @@ object Knn {
           col("n_votes"), (col("predicted") === col("actual")).as("correct"))
         .orderBy("query_id")
     },
-    Some(s"""WITH e AS (
+    Some(s"""WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
     q AS (SELECT vec_id query_id, v qv, label::BIGINT AS actual FROM e
       WHERE vec_id < $NQ),
@@ -1301,7 +1301,7 @@ object Knn {
         .withColumn("margin", col("pos_cosine") - col("neg_cosine"))
         .orderBy("query_id")
     },
-    Some(s"""WITH e AS (
+    Some(s"""WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
     q AS (SELECT vec_id query_id, v qv, label qlabel FROM e
       WHERE vec_id < $NQ),

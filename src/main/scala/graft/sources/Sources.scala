@@ -16,10 +16,19 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   // ------------------------------------------------------------- readers
+  /** `mergeSchema` reconciles SCHEMA-EVOLVED datasets (later files added
+    * a column — routine at a long-lived ingest root): the read pays one
+    * footer pass per file to union the schemas, so it is opt-in, not the
+    * default (the default samples one footer — fine for a table written
+    * in one shape). RobustnessSpec pins the union-plus-nulls semantics
+    * through THIS path.
+    */
   def readParquet(spark: SparkSession, path: String,
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val r = spark.read
     schema.foreach(r.schema)
+    if (mergeSchema) r.option("mergeSchema", "true")
     r.parquet(path)
   }
 

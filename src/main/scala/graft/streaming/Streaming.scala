@@ -328,8 +328,9 @@ object Streaming {
     *
     * @param out receives (source, n_tokens, jsd_m20) per micro-batch
     */
-  def driftSink(stateDir: String, buckets: Int = 256,
-      ref: String = "src0", compactEvery: Int = 8)(
+  def driftSink(stateDir: String,
+      buckets: Int = graft.text.TextOps.DRIFT_B,
+      ref: String = graft.text.TextOps.DRIFT_REF, compactEvery: Int = 8)(
       out: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession

@@ -1494,7 +1494,13 @@ object TextOps {
     * arithmetic on ≤5k rows. Shares overflow-safe to c < 2⁴³ tokens
     * per (source, bucket) — the ilog2m20 shift-split note.
     */
-  private val DRIFT_B = 256
+  /** Shared by the batch query AND [[graft.streaming.Streaming.driftSink]]
+    * — the sink's bit-equality contract with the batch query holds only
+    * while both hash into the same bucket count against the same
+    * reference source, so there is exactly ONE definition of each.
+    */
+  private[graft] val DRIFT_B = 256
+  private[graft] val DRIFT_REF = "src0"
 
   /** Hashed token-bucket counts per source — (source, b, c) from a
     * (source, text) frame; the [[sourceDrift]] model stage, reused by
@@ -1515,7 +1521,7 @@ object TextOps {
     * materialized frame (Checkpoint.of / localCheckpoint) or the
     * upstream lineage runs three times.
     */
-  def sourceJsd(cnt: DataFrame, ref: String = "src0"): DataFrame = {
+  def sourceJsd(cnt: DataFrame, ref: String = DRIFT_REF): DataFrame = {
     val il = Sampling.ilog2m20 _
     val totals = cnt.groupBy("source").agg(sum("c").as("n_tokens"))
     val shares = cnt.join(broadcast(totals), "source")

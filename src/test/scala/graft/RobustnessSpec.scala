@@ -59,7 +59,8 @@ class RobustnessSpec extends SparkSpec {
     Seq((1L, "a")).toDF("id", "v1").write.parquet(dir)
     Seq((2L, "b", 9L)).toDF("id", "v1", "v2")
       .write.mode("append").parquet(dir)
-    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    val back = graft.sources.Sources.readParquet(spark, dir,
+      mergeSchema = true)
     assert(back.columns.sorted.toSeq == Seq("id", "v1", "v2"))
     val rows = back.orderBy("id").collect()
     assert(rows.length == 2)
