@@ -309,6 +309,55 @@ object Streaming {
       } finally merged.unpersist()
   }
 
+  /** Streaming RESERVOIR maintenance — the ingest-loop twin of batch
+    * `sample_reservoir`: keep a STABLE exact-k uniform sample per
+    * source (the eval/eyeball subset) as documents stream in. The
+    * order-statistics restatement is what makes it mergeable with NO
+    * approximation: the k smallest content-hash keys of a union are
+    * the k smallest of each side's k smallest, so per batch we k-min
+    * the batch, union the persisted k-mins, and re-reduce — the
+    * emitted sample is EXACTLY the batch query over the cumulative
+    * corpus (bit-equal, spec'd), and it only changes when a new doc
+    * genuinely displaces a member (stability is the property an eval
+    * subset needs). State ≤ k·|sources| thin rows forever, under the
+    * [[BatchState]] replay/compaction contract (distinct rows — the
+    * k-min re-reduce ignores compaction duplicates).
+    *
+    * @param out receives (source, rk, doc_id, hb) per micro-batch
+    */
+  def reservoirSink(stateDir: String,
+      k: Int = graft.text.Sampling.RESERVOIR_K, compactEvery: Int = 8)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val st = new BatchState(spark, stateDir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hb",
+            org.apache.spark.sql.types.LongType))),
+        compactEvery, None)
+      val w = Window.partitionBy("source").orderBy("hb", "doc_id")
+      def kmin(df: DataFrame): DataFrame = df
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("source", "doc_id", "hb")
+      val batchMins = kmin(batch.select(col("source"), col("doc_id"),
+        graft.text.Sampling.hashBucket(col("text")).as("hb")))
+      val merged = kmin(st.visible(batchId)
+          .select("source", "doc_id", "hb")
+          .unionByName(batchMins).distinct())
+        .localCheckpoint() // feeds the ranked output + commit
+      try {
+        out(merged
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select("source", "rk", "doc_id", "hb"))
+        st.commit(merged, batchId)
+      } finally merged.unpersist()
+    }
+
   /** Streaming SOURCE-DRIFT monitor — the ingest-loop twin of batch
     * `text_source_drift`: per micro-batch of (source, text) documents,
     * fold the batch's hashed token-bucket counts

@@ -524,7 +524,9 @@ object Sampling {
     * limit pushes into the sort as WindowGroupLimit, so each partition
     * retains k rows, never the corpus.
     */
-  private val RESERVOIR_K = 20
+  /** Shared with [[graft.streaming.Streaming.reservoirSink]] — ONE
+    * definition, the driftSink constant-sharing rule. */
+  private[graft] val RESERVOIR_K = 20
 
   private val reservoir = Q(
     "sample_reservoir",

@@ -516,6 +516,32 @@ class StreamingSpec extends SparkSpec {
     assert(last == merged)
   }
 
+  test("reservoirSink maintains the exact batch reservoir across slices; " +
+      "replay is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resv").toString
+    var last = Seq.empty[(String, Long, Long, Long)]
+    val sink = Streaming.reservoirSink(s"$tmp/state") { out =>
+      last = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+    }
+    val docs = Tables(spark, sfDir, "documents")
+      .select("source", "doc_id", "text").localCheckpoint()
+    sink(docs.filter(col("doc_id") % 3 === 0).localCheckpoint(), 0L)
+    sink(docs.filter(col("doc_id") % 3 === 1).localCheckpoint(), 1L)
+    sink(docs.filter(col("doc_id") % 3 === 2).localCheckpoint(), 2L)
+    val merged = last
+    // the streamed k-min merge must equal the one-shot batch reservoir
+    val expected = SparkEntry.queries("sample_reservoir")(spark, sfDir)
+      .select("source", "rk", "doc_id", "hb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(merged == expected)
+    // replaying the last slice re-emits the identical sample
+    sink(docs.filter(col("doc_id") % 3 === 2).localCheckpoint(), 2L)
+    assert(last == merged)
+  }
+
   test("driftSink folds slices to the batch JSD report; replay is " +
       "idempotent") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
