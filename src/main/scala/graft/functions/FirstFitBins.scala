@@ -62,10 +62,13 @@ case class FirstFitBins(child: Expression, ctx: Int)
 object PackKernels {
 
   /** See [[FirstFitBins]]. Bin state = (remaining, fill) long arrays;
-    * a new bin starts at `ctx` remaining even for an oversized item
-    * (remaining goes negative, so the bin never admits another item —
-    * the same "dedicated bin" the oracle's `greatest(ctx, n)` virtual
-    * bin yields, with identical assignments and offsets).
+    * a new bin is sized `max(ctx, n)` — the oracle's `greatest(ctx, n)`
+    * virtual bin VERBATIM, so an oversized item's dedicated bin ends at
+    * remaining exactly 0, not negative. The distinction is observable:
+    * a zero-token doc fits a remaining-0 bin (0 ≥ 0) in both engines,
+    * where a negative-remaining bin would reject it in the kernel only
+    * and break the hash gate (the reviewed n=0-behind-oversized case;
+    * PackingSpec pins it).
     */
   def firstFit(items: ArrayData, ctx: Int): ArrayData = {
     val m = items.numElements()
@@ -87,7 +90,7 @@ object PackKernels {
           rem = java.util.Arrays.copyOf(rem, cap)
           fill = java.util.Arrays.copyOf(fill, cap)
         }
-        rem(j) = ctx.toLong
+        rem(j) = math.max(ctx.toLong, n)
         fill(j) = 0L
         nb += 1
       }

@@ -1004,18 +1004,26 @@ object Multimodal {
     * (identical content exists with a smaller frame id — anywhere, own
     * video included), and the exact-millionths duplication share.
     *
-    * Scale: the frame explode is map-side typed flatMap; ONE exchange
-    * on the 32-char hash key serves the keeper aggregate and the
-    * co-partitioned join back; the per-video roll-up is thin. Exact:
-    * md5 on identical bytes, integer counts, `n·10⁶ DIV total` share.
+    * Scale: the frame explode is map-side typed flatMap; the frame
+    * table is CHECKPOINTED (it feeds the keeper aggregate AND the
+    * join back — by barrier, not by hoping ReusedExchange survives
+    * AQE's broadcast conversion), then one hash-key exchange joins
+    * the two; the per-video roll-up is thin. Exact: md5 on identical
+    * bytes, integer counts, `n·10⁶ DIV total` share.
     */
   private val frameDedup = Q(
     "mm_frame_dedup",
     (s, dir) => {
+      // checkpointed: f feeds the keeper aggregate AND the join back —
+      // AQE can broadcast the thin (h, keeper) side and remove the
+      // exchange whose ReusedExchange the single-pass plan counts on,
+      // re-running the decode+explode+md5 lineage twice (the
+      // dedup_substring 2-consumer trap)
       val f = frameSample(mediaFromDocuments(s, dir),
           frameBytes = 16, everyN = 1).toDF()
         .select(col("mediaId").as("frame_id"),
           md5(col("payload")).as("h"))
+        .transform(graft.Checkpoint.of)
       val keep = f.groupBy("h").agg(min("frame_id").as("keeper"))
       f.join(keep, "h")
         .select(expr(s"frame_id DIV $FRAME_STRIDE").as("media_id"),

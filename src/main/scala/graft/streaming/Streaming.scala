@@ -344,8 +344,12 @@ object Streaming {
       def kmin(df: DataFrame): DataFrame = df
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k).select("source", "doc_id", "hb")
+      // distinct BEFORE the k-min: a duplicate row inside one batch
+      // (at-least-once delivery) must not consume two of the k slots —
+      // the truncation would permanently evict the k-th distinct doc
+      // (the KMV sink's same guard)
       val batchMins = kmin(batch.select(col("source"), col("doc_id"),
-        graft.text.Sampling.hashBucket(col("text")).as("hb")))
+        graft.text.Sampling.hashBucket(col("text")).as("hb")).distinct())
       val merged = kmin(st.visible(batchId)
           .select("source", "doc_id", "hb")
           .unionByName(batchMins).distinct())

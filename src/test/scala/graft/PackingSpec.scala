@@ -40,7 +40,10 @@ class PackingSpec extends SparkSpec {
       items.foreach { case (n, id) =>
         var j = 0
         while (j < rem.length && rem(j) < n) j += 1
-        if (j == rem.length) { rem += ctx.toLong; fill += 0L }
+        // max(ctx, n) = the oracle's greatest(ctx, n) virtual bin: an
+        // oversized item's dedicated bin ends at remaining 0, not
+        // negative, so a zero-token doc can still land in it
+        if (j == rem.length) { rem += math.max(ctx.toLong, n); fill += 0L }
         assert(got(id) == ((n, shard, (j + 1).toLong, fill(j))),
           s"doc $id in shard $shard")
         fill(j) += n
@@ -67,6 +70,25 @@ class PackingSpec extends SparkSpec {
     assert(rows(1L) == ((2L, 0L)) && rows(2L) == ((2L, 60L)),
       "nothing shares the oversized bin; 60+60 pack together")
     assert(rows(3L) == ((2L, 120L)), "8 fits the 128-bin after 60+60")
+  }
+
+  test("a zero-token doc behind an oversized doc lands in its " +
+      "remaining-0 dedicated bin — the oracle's greatest(ctx, n) rule") {
+    import spark.implicits._
+    val ctx = text.Packing.BF_CTX
+    // FFD order: the oversized doc first, then the zero-token doc; the
+    // oversized bin's remaining is exactly 0 (max(ctx, n) − n), which
+    // admits n = 0 in BOTH engines — a ctx-sized bin gone negative
+    // would reject it in the kernel only and break the hash gate
+    val d = Seq((0L, (ctx + 72).toLong), (1L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val rows = text.Packing.firstFitPacked(d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows(0L) == ((1L, 0L)), "oversized doc opens bin 1")
+    assert(rows(1L) == ((1L, (ctx + 72).toLong)),
+      "zero-token doc joins the saturated bin at its fill offset")
   }
 
   test("packed layout is gapless and ordered") {
