@@ -130,9 +130,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q51/q52 push their selective predicates to the scans") {
+    // q51: the part-only half of each disjunct filters the broadcast
+    // dim at ITS scan; q52: the returnflag filter sits on the fact scan
+    val p51 = physical("q51_disjunctive_parts")
+    assert(p51.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert(p51.contains("p_brand"), "brand predicate must reach the plan")
+    val p52 = physical("q52_returned_customers")
+    assert(p52.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "EqualTo(l_returnflag,R)]") ||
+      p52.contains("EqualTo(l_returnflag,R)"),
+      "returnflag must be pushed to the lineitem scan")
+    assert(p52.contains("TakeOrderedAndProject"),
+      "top-20 must never be a full sort")
+  }
+
   test("recall-audit rankings are partial top-K (WindowGroupLimit), " +
       "never a corpus-sized per-query sort") {
-    for (name <- Seq("emb_matryoshka", "emb_quantize_recall")) {
+    for (name <- Seq("emb_matryoshka", "emb_quantize_recall",
+        "sample_interleave", "knn_triplets", "emb_knn_classify")) {
       val d = df(name)
       d.collect() // finalize the AQE plan
       val plan = d.queryExecution.executedPlan.toString
