@@ -1434,22 +1434,27 @@ object Relational {
   private val q46 = Q(
     "q46_unpivot",
     (s, dir) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
       val wide = Tables.events(s, dir)
         .groupBy("user_id")
-        .pivot("event_type", types)
+        .pivot("event_type", eventTypes)
         .agg(count(lit(1)))
       wide.unpivot(
           Array(col("user_id")),
-          types.map(t => col(s"`$t`").as(t)).toArray,
+          eventTypes.map(t => col(s"`$t`").as(t)).toArray,
           "event_type", "n_raw")
         .filter(col("n_raw").isNotNull && col("n_raw") > 0)
         .select(col("user_id"), col("event_type"),
           col("n_raw").cast("long").as("n"))
         .orderBy("user_id", "event_type")
     },
-    Some("""SELECT user_id, event_type, COUNT(*)::BIGINT AS n
-    FROM events GROUP BY user_id, event_type
+    // The oracle is constrained to the SAME pivot column list (the
+    // shared `eventTypes` constant) so a testdata regeneration that
+    // introduces a new event_type cannot desync the two sides: the
+    // pivot would silently drop it, so the oracle must too.
+    Some(s"""SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+    FROM events
+    WHERE event_type IN (${eventTypes.map(e => s"'$e'").mkString(", ")})
+    GROUP BY user_id, event_type
     ORDER BY user_id, event_type"""))
 
   // ---------------------------------------------------------------- q44
@@ -1474,7 +1479,12 @@ object Relational {
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val li = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        // floor, not a raw long cast: Spark cast(double→long) truncates
+        // toward zero while DuckDB ::BIGINT rounds half-even — they
+        // agree only on whole numbers. floor() is identical in both
+        // engines, so the gate no longer depends on quantities staying
+        // integral across testdata regenerations.
+        .select(col("l_partkey"), floor(col("l_quantity")).as("qty"),
           (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(1000000))
             .cast(DecimalType(38, 0)).as("price_micro"))
       val perPart = li.groupBy("l_partkey")
@@ -1491,7 +1501,7 @@ object Relational {
         .orderBy("p_brand")
     },
     Some("""WITH li AS (
-      SELECT l_partkey, l_quantity::BIGINT AS qty,
+      SELECT l_partkey, FLOOR(l_quantity)::BIGINT AS qty,
         (l_extendedprice::DECIMAL(18,2) * 1000000)::HUGEINT AS price_micro
       FROM lineitem),
     pp AS (

@@ -396,7 +396,16 @@ object Streaming {
           org.apache.spark.sql.types.StructField("c",
             org.apache.spark.sql.types.LongType))),
         compactEvery, None)
-      val delta = graft.text.TextOps.sourceBucketCounts(batch, buckets)
+      // Dedup the batch on document identity BEFORE counting: under
+      // at-least-once delivery a row duplicated WITHIN one batch would
+      // permanently inflate the cumulative counts (replay protection
+      // only guards whole-batch re-delivery), silently breaking the
+      // bit-equality with the batch text_source_drift — the same guard
+      // reservoirSink applies before its k-min.
+      val distinctBatch =
+        if (batch.columns.contains("doc_id")) batch.dropDuplicates("doc_id")
+        else batch.dropDuplicates("source", "text")
+      val delta = graft.text.TextOps.sourceBucketCounts(distinctBatch, buckets)
       val prior = st.visible(batchId).groupBy("source", "b")
         .agg(max("c").as("c"))
       val merged = prior.unionByName(delta)

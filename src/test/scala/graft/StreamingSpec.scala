@@ -554,7 +554,12 @@ class StreamingSpec extends SparkSpec {
     val docs = Tables(spark, sfDir, "documents")
       .select("source", "text", "doc_id").localCheckpoint()
     sink(docs.filter(col("doc_id") % 3 === 0).localCheckpoint(), 0L)
-    sink(docs.filter(col("doc_id") % 3 === 1).localCheckpoint(), 1L)
+    // slice 1 arrives with INTRA-batch duplicates (at-least-once
+    // delivery): the sink must dedup on doc identity, or the duplicated
+    // tokens permanently inflate the cumulative counts
+    val slice1 = docs.filter(col("doc_id") % 3 === 1)
+    sink(slice1.union(slice1.filter(col("doc_id") % 5 === 1))
+      .localCheckpoint(), 1L)
     sink(docs.filter(col("doc_id") % 3 === 2).localCheckpoint(), 2L)
     val merged = last
     // the streamed cumulative report must equal the one-shot batch query
