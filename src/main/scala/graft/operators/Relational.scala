@@ -1951,10 +1951,393 @@ object Relational {
     GROUP BY p_brand, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50"""))
 
+  // ---------------------------------------------------------------- q55
+  /** Minimum-cost supplier per part — the TPC-H Q2 shape (PER-GROUP
+    * ARGMIN with ties over a correlated aggregate, where q53's argmax
+    * is against one GLOBAL scalar): for every mid-size part, which
+    * EUROPE supplier ships it cheapest? Unit cost is derived from the
+    * fact table (no partsupp in this schema) as the integer floor
+    * `price_micro DIV qty` per line, minimized per (part, supplier) —
+    * all-integer, so the per-part argmin ties are exact in both
+    * engines (a float unit price can drop or invent a tie).
+    *
+    * Scale: both dims thin FIRST — qualified suppliers collapse to a
+    * broadcast (suppkey, name, nation) set via the nation→region
+    * chain, the part filter broadcasts — so the fact scan joins
+    * already-reduced dims (the q47 no-CBO rule); the (part, supp) min
+    * aggregates map-side-combined; the per-part argmin is a
+    * `rank() = 1` window — WindowGroupLimit bounds every partition at
+    * O(n·1) instead of a full per-part sort.
+    */
+  private val q55 = Q(
+    "q55_min_cost_supplier",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val p = t(s, dir, "part")
+        .filter(col("p_size").between(10, 30))
+        .select("p_partkey", "p_brand")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity")).as("qty"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(1000000))
+            .cast(DecimalType(38, 0)).as("price_micro"))
+        .filter(col("qty") > 0)
+      val pairCost = li
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("n_name"),
+          expr("price_micro DIV qty").cast("long").as("unit_cost"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name")
+        .agg(min("unit_cost").as("cost_micro"))
+      val w = Window.partitionBy("p_partkey")
+        .orderBy("cost_micro")
+      pairCost.withColumn("rk", rank().over(w))
+        .filter(col("rk") === 1)
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("cost_micro"))
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    },
+    Some("""WITH sup AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    pair AS (
+      SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+        MIN((l_extendedprice::DECIMAL(18,2) * 1000000)::HUGEINT
+          // FLOOR(l_quantity)::BIGINT)::BIGINT AS cost_micro
+      FROM lineitem
+      JOIN sup ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size BETWEEN 10 AND 30 AND FLOOR(l_quantity) > 0
+      GROUP BY 1, 2, 3, 4, 5),
+    rk AS (
+      SELECT *, RANK() OVER (PARTITION BY p_partkey
+        ORDER BY cost_micro) AS r
+      FROM pair)
+    SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, cost_micro
+    FROM rk WHERE r = 1
+    ORDER BY p_partkey, s_suppkey LIMIT 100"""))
+
+  // ---------------------------------------------------------------- q56
+  /** Late-line order-priority check — the TPC-H Q4 shape (EXISTS
+    * semi-join feeding an aggregate, where q10 is the bare semi): for
+    * one order quarter, how many orders per priority had at least one
+    * line shipped more than 60 epoch-days after the order date? The
+    * date predicate prunes the orders scan BEFORE the join; the
+    * existence test is a LEFT SEMI with the lateness residual on the
+    * join itself (never a count-distinct over matched lines).
+    *
+    * Scale: one orderkey shuffle of the quarter-pruned orders against
+    * a 2-column lineitem projection; the final aggregate runs on
+    * ≤|priorities| map-side-combined keys. Both tables bucketed by
+    * orderkey → zero-exchange (the q38 recipe).
+    */
+  private val q56 = Q(
+    "q56_late_priority_orders",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1997-04-01")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("od"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("sd"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("sd") > col("od") + 60, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND epoch_ms(l_shipdate) // 86400000
+            > epoch_ms(o_orderdate) // 86400000 + 60)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q57
+  /** Product-line profit by supplier nation and year — the TPC-H Q9
+    * shape (profit = revenue − cost across a part-name-filtered slice
+    * of the whole fact history): cost is derived deterministically
+    * (half the part's retail price per unit, in integer micro units —
+    * no partsupp/supplycost in this schema) so profit stays an exact
+    * integer in both engines: `rev_micro − (retail_micro·qty) DIV 2`.
+    *
+    * Scale: the part-name filter thins the BROADCAST part dim before
+    * the fact scan touches it; supplier→nation broadcast; the one
+    * orderkey shuffle joins the year in from orders; the aggregate
+    * runs on ≤|nations|·|years| map-side-combined keys.
+    */
+  private val q57 = Q(
+    "q57_product_profit",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_name").like("%gear"))
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast(DecimalType(18, 2)) * lit(1000000))
+            .cast(DecimalType(38, 0)).as("retail_micro"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity")).as("qty"),
+          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(26, 6)) * lit(1000000))
+            .cast(DecimalType(38, 0)).as("rev_micro"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"), col("o_year"),
+          (col("rev_micro") - expr("retail_micro * qty DIV 2"))
+            .as("profit"))
+        .groupBy("n_name", "o_year")
+        .agg(sum("profit").cast(DecimalType(38, 0)).cast("long")
+          .as("profit_micro"))
+        .orderBy("n_name", "o_year")
+    },
+    Some("""SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+      SUM(((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+            * 1000000)::HUGEINT
+        - ((p_retailprice::DECIMAL(18,2) * 1000000)::HUGEINT
+            * FLOOR(l_quantity)::BIGINT) // 2)::BIGINT AS profit_micro
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear'
+    GROUP BY n_name, o_year ORDER BY n_name, o_year"""))
+
+  // ---------------------------------------------------------------- q58
+  /** Important-stock report — the TPC-H Q11 shape (per-group total vs
+    * a FRACTION of the global total, where q42's threshold is a global
+    * average and q44's is per-group): the shipped value per part
+    * through ASIA's suppliers, keeping parts holding more than
+    * 1/2000 of that region's total — the integer cross-multiplication
+    * `value·2000 > total` (no float fraction anywhere).
+    *
+    * Scale: the region's suppliers collapse to a broadcast key set at
+    * the scan; one partkey exchange aggregates values map-side-
+    * combined; the frame is CHECKPOINTED because it feeds two
+    * consumers (the 1-row total and the probe — the q53 barrier), and
+    * the total broadcasts back as a single-row scalar.
+    */
+  private val q58 = Q(
+    "q58_important_stock",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val value = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(1000000))
+            .cast(DecimalType(38, 0)).as("price_micro"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum("price_micro").cast(DecimalType(38, 0)).as("value"))
+        .transform(graft.Checkpoint.of)
+      val total = value.agg(sum("value").cast(DecimalType(38, 0))
+        .as("total"))
+      value.join(broadcast(total), col("value") * 2000 > col("total"))
+        .select(col("l_partkey"),
+          col("value").cast("long").as("value_micro"))
+        .orderBy(col("value_micro").desc, col("l_partkey"))
+    },
+    Some("""WITH value AS (
+      SELECT l_partkey,
+        SUM((l_extendedprice::DECIMAL(18,2) * 1000000)::HUGEINT) AS value
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA')
+      GROUP BY l_partkey),
+    total AS (SELECT SUM(value) AS total FROM value)
+    SELECT l_partkey, value::BIGINT AS value_micro
+    FROM value, total WHERE value * 2000 > total
+    ORDER BY value_micro DESC, l_partkey"""))
+
+  // ---------------------------------------------------------------- q59
+  /** Promotion revenue share per month — the TPC-H Q14 shape (a
+    * CONDITIONAL-numerator ratio over the same aggregate pass): what
+    * fraction of each month's revenue came from PROMO-type parts,
+    * as exact integer millionths `promo·10⁶ DIV total` — both sums
+    * ride ONE aggregate (a `sum(CASE)` numerator next to the plain
+    * denominator), never two scans.
+    *
+    * Scale: part broadcasts as a 2-column (key, type) dim; one
+    * month-key exchange of map-side-combined partials; months are an
+    * integer `year·100+month` (no date-truncation semantics to
+    * disagree on).
+    */
+  private val q59 = Q(
+    "q59_promo_share",
+    (s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1998-01-01" &&
+          col("l_shipdate") < "1999-01-01")
+        .select(col("l_partkey"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("ym"),
+          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(26, 6)) * lit(1000000))
+            .cast(DecimalType(38, 0)).as("rev_micro"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("ym")
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_micro"))
+            .otherwise(lit(0))).cast(DecimalType(38, 0)).as("promo"),
+          sum("rev_micro").cast(DecimalType(38, 0)).as("total"))
+        .select(col("ym"),
+          col("promo").cast("long").as("promo_micro"),
+          col("total").cast("long").as("total_micro"),
+          expr("promo * 1000000 DIV total").cast("long")
+            .as("promo_share_m6"))
+        .orderBy("ym")
+    },
+    Some("""SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT
+        AS ym,
+      SUM(CASE WHEN p_type = 'PROMO'
+        THEN ((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+          * 1000000)::HUGEINT ELSE 0 END)::BIGINT AS promo_micro,
+      SUM(((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+        * 1000000)::HUGEINT)::BIGINT AS total_micro,
+      (SUM(CASE WHEN p_type = 'PROMO'
+          THEN ((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+            * 1000000)::HUGEINT ELSE 0 END) * 1000000
+        // SUM(((l_extendedprice * (1 - l_discount))::DECIMAL(26,6)
+          * 1000000)::HUGEINT))::BIGINT AS promo_share_m6
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+    GROUP BY 1 ORDER BY ym"""))
+
+  // ---------------------------------------------------------------- q60
+  /** Large-volume orders — the TPC-H Q18 shape (HAVING on a fact-table
+    * aggregate, joined BACK to the dimensions): orders whose total
+    * quantity exceeds 250 units, with their customer, top-100 by
+    * volume. The classic mistake is joining customer⋈orders⋈lineitem
+    * first and aggregating the wide rows; the Spark-first order
+    * aggregates the 2-column fact projection per orderkey (map-side
+    * combine), filters to the rare qualifying keys, and only THEN
+    * joins the dims — the join input is the thin winners, not 100 TB.
+    */
+  private val q60 = Q(
+    "q60_large_orders",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), floor(col("l_quantity")).as("qty"))
+        .groupBy("l_orderkey")
+        .agg(sum("qty").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (
+      SELECT l_orderkey, SUM(FLOOR(l_quantity)::BIGINT)::BIGINT
+        AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250)
+    SELECT c_custkey, c_name, o_orderkey, total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100"""))
+
+  // ---------------------------------------------------------------- q61
+  /** Dominant-share suppliers for a part family — the TPC-H Q20 shape
+    * (a NESTED aggregate comparison gating a semi-join chain): EUROPE
+    * suppliers who shipped MORE THAN HALF of some red part's 1998
+    * volume — `2·pair_qty > part_qty`, all-integer. The per-(part,
+    * supplier) aggregate and the per-part total share one exchange:
+    * the total is a window sum over the already-aggregated thin pair
+    * rows (no second fact scan, no join back).
+    *
+    * Scale: the part-name filter thins the broadcast dim before the
+    * fact scan; the dominance test runs on pair-aggregated thin rows;
+    * the winning supplier keys dedupe and the supplier⋈nation⋈region
+    * chain is a broadcast-dim join of a tiny key set.
+    */
+  private val q61 = Q(
+    "q61_dominant_suppliers",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_name").like("red %")).select("p_partkey")
+      val pair = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1998-01-01" &&
+          col("l_shipdate") < "1999-01-01")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity")).as("qty"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qty").as("pair_qty"))
+      val wp = Window.partitionBy("l_partkey")
+      val winners = pair
+        .withColumn("part_qty", sum("pair_qty").over(wp))
+        .filter(col("pair_qty") * 2 > col("part_qty"))
+        .select("l_suppkey").distinct()
+      winners
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH pair AS (
+      SELECT l_partkey, l_suppkey,
+        SUM(FLOOR(l_quantity)::BIGINT) AS pair_qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red %'
+        AND l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+      GROUP BY 1, 2),
+    win AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, pair_qty,
+          SUM(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM pair)
+      WHERE pair_qty * 2 > part_qty)
+    SELECT s_suppkey, s_name, n_name
+    FROM win JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    ORDER BY s_suppkey"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-      q54)
+      q54, q55, q56, q57, q58, q59, q60, q61)
 }
