@@ -25,6 +25,7 @@ object SparkEntry {
   private def suites: Seq[Q] =
     operators.Relational.all ++ operators.CustomJoins.all ++
       operators.Sketches.all ++ operators.Profile.all ++
+      operators.Dq.all ++
       text.TextOps.all ++ text.Sampling.all ++
       text.Decontam.all ++ text.Packing.all ++ text.Bpe.all ++
       text.Classify.all ++

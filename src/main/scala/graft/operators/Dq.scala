@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Data-quality constraint suite — the Deequ/Great-Expectations shape
+  * (AWS Deequ's `VerificationSuite`, re-expressed Spark-first): a
+  * declarative rule set evaluated in as few passes as the rules allow,
+  * emitting ONE thin report row per rule `(rule, n_rows, n_violations,
+  * pass)`. This is the admission gate a 100 TB ingest runs before any
+  * downstream operator trusts the batch — completeness (NOT NULL),
+  * domain membership, range, key uniqueness, referential integrity,
+  * and cross-table temporal ordering, each over the driver's TPC-H
+  * tables.
+  *
+  * Scale design:
+  *  - Row-level rules on the same table share ONE column-pruned scan:
+  *    a single aggregate computes every rule's violation count as a
+  *    `sum(CASE)` beside the shared row count, and the 1-row result is
+  *    checkpointed before fanning out into per-rule report rows (the
+  *    two-consumer trap — without the barrier each rule row would
+  *    re-run the scan).
+  *  - Uniqueness aggregates the KEY, never the row: `count>1` groups
+  *    roll up map-side-combined; violations = rows living in
+  *    duplicated groups.
+  *  - Referential rules anti-join DISTINCT child keys against the
+  *    parent key set — the probe is |distinct keys|, not |fact rows|.
+  *  - The temporal rule rides the one orderkey shuffle the q38 family
+  *    already demonstrates is bucketable to zero-exchange.
+  * The final report is a union of 1-row frames — driver-tiny by
+  * construction, independent of data scale.
+  */
+object Dq {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** One report row from a 1-row aggregate frame. */
+  private def ruleRow(agg1: DataFrame, rule: String, nRows: Column,
+      nViol: Column): DataFrame =
+    agg1.select(lit(rule).as("rule"), nRows.cast("long").as("n_rows"),
+      nViol.cast("long").as("n_violations"))
+
+  private val dqRules = Q(
+    "dq_rules",
+    (s, dir) => {
+      val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+
+      // lineitem row rules — ONE scan, one 1-row aggregate
+      val liAgg = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"))
+        .agg(count(lit(1)).as("n"),
+          viol(!col("l_quantity").between(1, 50)).as("v_qty"),
+          viol(!col("l_discount").between(0, 1)).as("v_disc"))
+        .transform(graft.Checkpoint.of)
+
+      // orders row rules — ONE scan, one 1-row aggregate
+      val ordAgg = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          viol(col("o_custkey").isNull).as("v_null"),
+          viol(!col("o_orderstatus").isin("F", "O", "P")).as("v_dom"))
+        .transform(graft.Checkpoint.of)
+
+      // part row rule — one scan
+      val partAgg = t(s, dir, "part")
+        .select(col("p_retailprice"))
+        .agg(count(lit(1)).as("n"),
+          viol(col("p_retailprice") <= 0).as("v_price"))
+
+      // key uniqueness: violations = rows inside duplicated key groups
+      val uniqAgg = t(s, dir, "orders").select(col("o_orderkey"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("v"))
+
+      // referential integrity over DISTINCT child keys
+      def refAgg(child: DataFrame, key: String, parent: DataFrame,
+          pkey: String): DataFrame = {
+        val keys = child.select(col(key)).distinct()
+          .transform(graft.Checkpoint.of)
+        val orphans = keys.join(parent.select(col(pkey)),
+          col(key) === col(pkey), "left_anti")
+        keys.agg(count(lit(1)).as("n"))
+          .crossJoin(orphans.agg(count(lit(1)).as("v")))
+      }
+      val liRef = refAgg(t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      val ordRef = refAgg(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey")
+
+      // cross-table temporal rule: a line never ships before its order
+      val shipAgg = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          viol(col("l_shipdate") < col("o_orderdate")).as("v"))
+
+      Seq(
+        ruleRow(liAgg, "lineitem_discount_range", col("n"), col("v_disc")),
+        ruleRow(liRef, "lineitem_orderkey_ref", col("n"), col("v")),
+        ruleRow(liAgg, "lineitem_quantity_range", col("n"), col("v_qty")),
+        ruleRow(shipAgg, "lineitem_ship_after_order", col("n"), col("v")),
+        ruleRow(ordAgg, "orders_custkey_not_null", col("n"), col("v_null")),
+        ruleRow(ordRef, "orders_custkey_ref", col("n"), col("v")),
+        ruleRow(uniqAgg, "orders_orderkey_unique", col("n"), col("v")),
+        ruleRow(ordAgg, "orders_status_domain", col("n"), col("v_dom")),
+        ruleRow(partAgg, "part_retailprice_positive", col("n"),
+          col("v_price")))
+        .reduce(_ unionByName _)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("rule")
+    },
+    Some("""SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+    FROM (
+      SELECT 'lineitem_discount_range' AS rule,
+        COUNT(*)::BIGINT AS n_rows,
+        SUM(CASE WHEN NOT l_discount BETWEEN 0 AND 1
+          THEN 1 ELSE 0 END)::BIGINT AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_orderkey_ref',
+        (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)::BIGINT,
+        (SELECT COUNT(*) FROM
+          (SELECT DISTINCT l_orderkey FROM lineitem) k
+          WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders))::BIGINT
+      UNION ALL
+      SELECT 'lineitem_quantity_range',
+        COUNT(*)::BIGINT,
+        SUM(CASE WHEN NOT l_quantity BETWEEN 1 AND 50
+          THEN 1 ELSE 0 END)::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_ship_after_order',
+        COUNT(*)::BIGINT,
+        SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)::BIGINT
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'orders_custkey_not_null',
+        COUNT(*)::BIGINT,
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_ref',
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders)::BIGINT,
+        (SELECT COUNT(*) FROM
+          (SELECT DISTINCT o_custkey FROM orders) k
+          WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM customer))::BIGINT
+      UNION ALL
+      SELECT 'orders_orderkey_unique',
+        SUM(c)::BIGINT,
+        SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT
+      FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'orders_status_domain',
+        COUNT(*)::BIGINT,
+        SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+          THEN 1 ELSE 0 END)::BIGINT
+      FROM orders
+      UNION ALL
+      SELECT 'part_retailprice_positive',
+        COUNT(*)::BIGINT,
+        SUM(CASE WHEN p_retailprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+      FROM part)
+    ORDER BY rule"""))
+
+  val all: Seq[Q] = Seq(dqRules)
+}

@@ -898,6 +898,73 @@ object Knn {
     LEFT JOIN tpn ON tpn.node = e.vec_id
     ORDER BY e.vec_id"""))
 
+  // --------------------------------------------------------- graph_linkpred
+  /** LINK PREDICTION over the kNN graph — common-neighbor Jaccard
+    * scoring (Liben-Nowell & Kleinberg's classic baseline): for every
+    * NON-adjacent pair sharing ≥1 neighbor, score =
+    * |N(u)∩N(v)|·10⁶ DIV |N(u)∪N(v)| in exact integer millionths
+    * (union = deg(u)+deg(v)−common, so ONE wedge count and two degree
+    * lookups suffice — the neighbor sets are never materialized as
+    * arrays). Top-50 predicted edges: the pairs the kNN index "missed"
+    * — in a dedup/similarity pipeline these are the candidate pairs a
+    * second verification pass should score next.
+    *
+    * Scale: wedge generation is the adjacency self-join on the shared
+    * CENTER vertex — Σ deg² pair volume, bounded by n·(2k)² on a
+    * degree-capped kNN graph (never all-pairs); adjacency and degrees
+    * derive from one checkpointed edge list; the known-edge exclusion
+    * is a thin anti-join on ordered pairs; top-50 plans as
+    * TakeOrderedAndProject.
+    */
+  private val linkpredQ = Q(
+    "graph_linkpred",
+    (s, dir) => {
+      val und = knnGraph(s, dir)
+        .select(least(col("query_id"), col("neighbor_id")).as("u"),
+          greatest(col("query_id"), col("neighbor_id")).as("v"))
+        .distinct()
+        .transform(graft.Checkpoint.of)
+      val adj = und.select(col("u").as("node"), col("v").as("nb"))
+        .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+      val common = adj.as("x").join(adj.as("y"),
+          col("x.node") === col("y.node") && col("x.nb") < col("y.nb"))
+        .groupBy(col("x.nb").as("pu"), col("y.nb").as("pv"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(und, col("pu") === col("u") && col("pv") === col("v"),
+          "left_anti")
+        .join(deg.withColumnRenamed("node", "pu")
+          .withColumnRenamed("d", "du"), Seq("pu"))
+        .join(deg.withColumnRenamed("node", "pv")
+          .withColumnRenamed("d", "dv"), Seq("pv"))
+        .select(col("pu").as("src"), col("pv").as("dst"), col("common"),
+          expr("common * 1000000 DIV (du + dv - common)").cast("long")
+            .as("jaccard_m6"))
+        .orderBy(col("jaccard_m6").desc, col("src"), col("dst"))
+        .limit(50)
+    },
+    Some(s"""WITH $sqlKnnEdgesCte,
+    und AS (SELECT DISTINCT least(u, v_id) AS u, greatest(u, v_id) AS v
+      FROM edges),
+    adj AS (SELECT u AS node, v AS nb FROM und
+      UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT node, COUNT(*)::BIGINT AS d FROM adj GROUP BY node),
+    common AS (
+      SELECT x.nb AS pu, y.nb AS pv, COUNT(*)::BIGINT AS common
+      FROM adj x JOIN adj y ON x.node = y.node AND x.nb < y.nb
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT pu, pv, common FROM common
+      WHERE NOT EXISTS (SELECT 1 FROM und
+        WHERE u = pu AND v = pv))
+    SELECT pu AS src, pv AS dst, common,
+      (common * 1000000 // (du.d + dv.d - common))::BIGINT AS jaccard_m6
+    FROM cand
+    JOIN deg du ON du.node = pu
+    JOIN deg dv ON dv.node = pv
+    ORDER BY jaccard_m6 DESC, src, dst LIMIT 50"""))
+
   // ---------------------------------------------------- kmeans_train/assign
   /** The trained Lloyd codebook and its corpus assignment as first-class
     * OPERATORS (k-means clustering is its own pipeline stage — corpus
@@ -1371,6 +1438,7 @@ object Knn {
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, pagerank, triangleQ, componentsQ, kmeansTrain, kmeansAssign,
+    knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, kmeansTrain,
+    kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }
