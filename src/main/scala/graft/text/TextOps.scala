@@ -1759,9 +1759,141 @@ object TextOps {
       (n_tokens * 1000000 // tt)::BIGINT AS token_share_micro
     FROM h, tot ORDER BY bucket"""))
 
+  // ------------------------------------------------------ text_readability
+  /** Automated Readability Index per document — the grade-level quality
+    * signal next to [[sentences]]' words-per-sentence flag (Senter &
+    * Smith 1967: `ARI = 4.71·chars/words + 0.5·words/sentences −
+    * 21.43`), entirely in integer MILLI units so both engines floor
+    * identically: `4710·chars DIV words + 500·words DIV sentences −
+    * 21430`. The grade bucket ceils the milli score and clamps to
+    * [1, 14] (the published ARI grade table's range). Characters count
+    * token characters (whitespace excluded by construction — the same
+    * token definition every other text operator shares).
+    *
+    * Shape: two map-side explode→aggregate passes over the pruned
+    * (doc_id, text) scan — token chars/words and sentence counts —
+    * joined on the doc key; no windows, no corpus-level state.
+    */
+  private val readability = Q(
+    "text_readability",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val words = d
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("tok"))).cast("long").as("n_chars"))
+      val sents = d
+        .select(col("doc_id"),
+          explode(split(col("text"), "[.!?]")).as("sent"))
+        .filter(trim(col("sent")) =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sentences"))
+      words.join(sents, "doc_id")
+        .filter(col("n_words") > 0 && col("n_sentences") > 0)
+        .withColumn("ari_milli",
+          expr("4710 * n_chars DIV n_words" +
+            " + 500 * n_words DIV n_sentences - 21430"))
+        .withColumn("grade",
+          greatest(lit(1L), least(lit(14L),
+            expr("(greatest(ari_milli, 0) + 999) DIV 1000"))))
+        .select("doc_id", "n_chars", "n_words", "n_sentences",
+          "ari_milli", "grade")
+        .orderBy("doc_id")
+    },
+    Some("""WITH words AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+        SUM(length(tok))::BIGINT AS n_chars
+      FROM (SELECT doc_id, u.tok
+        FROM documents,
+          UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+            u(tok))
+      GROUP BY doc_id),
+    sents AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_sentences
+      FROM (SELECT doc_id, u.s
+        FROM documents,
+          UNNEST(regexp_split_to_array(text, '[.!?]')) u(s)
+        WHERE trim(u.s) <> '')
+      GROUP BY doc_id),
+    ari AS (
+      SELECT doc_id, n_chars, n_words, n_sentences,
+        (4710 * n_chars // n_words
+          + 500 * n_words // n_sentences - 21430)::BIGINT AS ari_milli
+      FROM words JOIN sents USING (doc_id)
+      WHERE n_words > 0 AND n_sentences > 0)
+    SELECT doc_id, n_chars, n_words, n_sentences, ari_milli,
+      greatest(1, least(14,
+        (greatest(ari_milli, 0) + 999) // 1000))::BIGINT AS grade
+    FROM ari ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------ text_zipf
+  /** ZIPF-LAW FIT over the corpus vocabulary — the sanity check every
+    * crawled corpus runs (natural language follows `freq ∝ rank^(−s)`
+    * with s ≈ 1; template/machine text bends the curve): least-squares
+    * slope of ilog2(freq) against ilog2(rank) over the top
+    * [[ZIPF_R]] terms, in the repo's fixed-point 2⁻²⁰ log2 — no
+    * transcendental ln, no float regression. The slope closed form
+    * `(n·Σxy − Σx·Σy) DIV (n·Σx² − (Σx)²)` runs in DECIMAL(38,0) /
+    * HUGEINT (Σxy ≈ R·(30·2²⁰)² needs >64 bits after the ·10⁶ lift);
+    * the numerator is negative by construction and both engines
+    * truncate integer division toward zero identically.
+    *
+    * Scale: the vocabulary count is one map-side-combined gram
+    * aggregate; the top-R cut is TakeOrdered (never a global rank
+    * window over the vocabulary); the regression runs on R rows.
+    */
+  private val ZIPF_R = 200
+
+  private val zipf = Q(
+    "text_zipf",
+    (s, dir) => {
+      import Sampling.ilog2m20
+      val topR = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(ZIPF_R)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val xy = topR
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("w"))).cast("long"))
+        .select(expr(ilog2m20("rk")).cast(dec38).as("x"),
+          expr(ilog2m20("c")).cast(dec38).as("y"))
+      xy.agg(count(lit(1)).cast(dec38).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_terms"),
+          expr("CAST((n * sxy - sx * sy) * 1000000" +
+            " DIV (n * sxx - sx * sx) AS LONG)").as("slope_m6"))
+    },
+    Some(s"""WITH uni AS (
+      SELECT u.tok AS w FROM documents,
+        UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+          u(tok)),
+    cnt AS (SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY w
+      ORDER BY c DESC, w LIMIT $ZIPF_R),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w)::BIGINT AS rk, c
+      FROM cnt),
+    xy AS (
+      SELECT ${Sampling.dIlog2m20("rk")}::HUGEINT AS x,
+        ${Sampling.dIlog2m20("c")}::HUGEINT AS y
+      FROM ranked),
+    s AS (
+      SELECT COUNT(*)::HUGEINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy)
+    SELECT n::BIGINT AS n_terms,
+      ((n * sxy - sx * sy) * 1000000
+        // (n * sxx - sx * sx))::BIGINT AS slope_m6
+    FROM s"""))
+
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
     piiScrub, pplBucket, lineDedup, htmlStrip, normalize, stemQ, bm25,
     hybrid, badwords, keywords, entropy, sentences, collocations,
-    lenHistogram, sourceDrift)
+    lenHistogram, sourceDrift, readability, zipf)
 }
