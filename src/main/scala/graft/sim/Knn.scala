@@ -965,6 +965,126 @@ object Knn {
     JOIN deg dv ON dv.node = pv
     ORDER BY jaccard_m6 DESC, src, dst LIMIT 50"""))
 
+  // -------------------------------------------------------- emb_mmr_select
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998)
+    * — the diversity-aware re-ranker between ANN retrieval and a
+    * context window / labeling budget: from each query's top-
+    * [[MMR_POOL]] candidates, greedily pick [[MMR_K]] maximizing
+    * `λ·rel − (1−λ)·max-sim-to-already-selected`. λ = 0.7 is applied
+    * as `(7·rel − 3·maxsim)/10` — integer-scaled IEEE ops in the same
+    * order both engines, on raw cosines that are already bit-identical
+    * (sequential-fold kernel), so every greedy argmax decides exactly.
+    *
+    * Shape: the ONLY corpus-sized work is the candidate generation
+    * (broadcast queries, WindowGroupLimit-bounded top-pool — the
+    * knn_bruteforce plan); the greedy runs UNROLLED as k−1 lazy
+    * stages over the checkpointed pool (|Q|·pool rows) and pairwise
+    * sim table (|Q|·pool² rows) — no driver loop, no per-round action,
+    * one job at the end. At 100 TB the pool comes from the persisted
+    * IVF index instead; the MMR stages are scale-invariant (they never
+    * touch the corpus).
+    */
+  private val MMR_NQ = 3
+  private val MMR_POOL = 16
+  private val MMR_K = 5
+
+  private val mmrSelect = Q(
+    "emb_mmr_select",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < MMR_NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("v"),
+          cosineSim(col("qv"), col("v")).as("rel"))
+      val wPool = Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("vec_id"))
+      val cand = scored.withColumn("rk", row_number().over(wPool))
+        .filter(col("rk") <= MMR_POOL)
+        .select("query_id", "vec_id", "v", "rel")
+        .transform(graft.Checkpoint.of)
+      val sims = cand.as("a").join(cand.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.query_id").as("query_id"),
+          col("a.vec_id").as("ca"), col("b.vec_id").as("cb"),
+          cosineSim(col("a.v"), col("b.v")).as("sim"))
+        .transform(graft.Checkpoint.of)
+      val base = cand.select("query_id", "vec_id", "rel")
+      def argmax(sc: DataFrame): DataFrame =
+        sc.withColumn("r", row_number().over(Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("r") === 1).drop("r")
+      var acc = argmax(base.select(col("query_id"), col("vec_id"),
+          col("rel").as("score")))
+        .withColumn("sel_rank", lit(1L))
+      for (i <- 2 to MMR_K) {
+        val sel = acc.select("query_id", "vec_id")
+        val rem = base.join(sel, Seq("query_id", "vec_id"), "left_anti")
+        val ms = sims
+          .join(sel.withColumnRenamed("vec_id", "cb"), Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca").as("vec_id"))
+          .agg(max("sim").as("ms"))
+        val scoredI = rem.join(ms, Seq("query_id", "vec_id"))
+          .select(col("query_id"), col("vec_id"),
+            ((lit(7) * col("rel") - lit(3) * col("ms")) / lit(10))
+              .as("score"))
+        acc = acc.unionByName(
+          argmax(scoredI).withColumn("sel_rank", lit(i.toLong)))
+      }
+      acc.select("query_id", "sel_rank", "vec_id", "score")
+        .orderBy("query_id", "sel_rank")
+    },
+    Some {
+      val rounds = (2 to MMR_K).map { i =>
+        s"""sel$i AS (
+      SELECT query_id, vec_id, score, ${i}::BIGINT AS sel_rank FROM (
+        SELECT c.query_id, c.vec_id,
+          (7 * c.rel - 3 * m.ms) / 10 AS score,
+          row_number() OVER (PARTITION BY c.query_id
+            ORDER BY (7 * c.rel - 3 * m.ms) / 10 DESC, c.vec_id) AS r
+        FROM cand c
+        JOIN (SELECT s.query_id, s.ca AS vec_id, MAX(s.sim) AS ms
+            FROM sims s JOIN acc${i - 1} a
+              ON s.query_id = a.query_id AND s.cb = a.vec_id
+            GROUP BY 1, 2) m
+          ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} a2
+          WHERE a2.query_id = c.query_id AND a2.vec_id = c.vec_id))
+      WHERE r = 1),
+    acc$i AS MATERIALIZED (
+      SELECT query_id, vec_id, score, sel_rank FROM acc${i - 1}
+      UNION ALL SELECT query_id, vec_id, score, sel_rank FROM sel$i)"""
+      }.mkString(",\n    ")
+      s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < $MMR_NQ),
+    cand AS MATERIALIZED (
+      SELECT query_id, vec_id, v, rel FROM (
+        SELECT q.query_id, e.vec_id, e.v,
+          list_cosine_similarity(qv, e.v) AS rel,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id)
+            AS rk
+        FROM q, e WHERE query_id <> e.vec_id)
+      WHERE rk <= $MMR_POOL),
+    sims AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+        list_cosine_similarity(a.v, b.v) AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    acc1 AS MATERIALIZED (
+      SELECT query_id, vec_id, rel AS score, 1::BIGINT AS sel_rank FROM (
+        SELECT query_id, vec_id, rel,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, vec_id) AS r
+        FROM cand)
+      WHERE r = 1),
+    $rounds
+    SELECT query_id, sel_rank, vec_id, score FROM acc$MMR_K
+    ORDER BY query_id, sel_rank"""})
+
   // ---------------------------------------------------- kmeans_train/assign
   /** The trained Lloyd codebook and its corpus assignment as first-class
     * OPERATORS (k-means clustering is its own pipeline stage — corpus
@@ -1438,7 +1558,7 @@ object Knn {
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, kmeansTrain,
-    kmeansAssign,
+    knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, mmrSelect,
+    kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }
