@@ -42,17 +42,24 @@ object Dq {
     agg1.select(lit(rule).as("rule"), nRows.cast("long").as("n_rows"),
       nViol.cast("long").as("n_violations"))
 
+  private def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+  /** The lineitem ROW-LEVEL rules as one 1-row aggregate — shared by
+    * the batch report and [[graft.streaming.Streaming.dqSink]] (the
+    * twin-constant rule: duplicated bounds compile clean and diverge
+    * silently).
+    */
+  private[graft] def lineitemRowAgg(li: DataFrame): DataFrame =
+    li.select(col("l_quantity"), col("l_discount"))
+      .agg(count(lit(1)).as("n"),
+        viol(!col("l_quantity").between(1, 50)).as("v_qty"),
+        viol(!col("l_discount").between(0, 1)).as("v_disc"))
+
   private val dqRules = Q(
     "dq_rules",
     (s, dir) => {
-      val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
-
       // lineitem row rules — ONE scan, one 1-row aggregate
-      val liAgg = t(s, dir, "lineitem")
-        .select(col("l_quantity"), col("l_discount"))
-        .agg(count(lit(1)).as("n"),
-          viol(!col("l_quantity").between(1, 50)).as("v_qty"),
-          viol(!col("l_discount").between(0, 1)).as("v_disc"))
+      val liAgg = lineitemRowAgg(t(s, dir, "lineitem"))
         .transform(graft.Checkpoint.of)
 
       // orders row rules — ONE scan, one 1-row aggregate

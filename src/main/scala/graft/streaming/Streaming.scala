@@ -417,6 +417,70 @@ object Streaming {
       } finally merged.unpersist()
     }
 
+  /** Streaming DATA-QUALITY monitor — the ingest-loop twin of the
+    * batch `dq_rules` ROW-LEVEL rules over a lineitem stream: per
+    * micro-batch, fold the batch's violation counts (the IDENTICAL
+    * 1-row aggregate [[graft.operators.Dq.lineitemRowAgg]] — one
+    * definition, two consumers) into cumulative per-rule state and
+    * emit the corpus-to-date report `(rule, n_rows, n_violations,
+    * pass)` — bit-equal to the batch rule rows over the same
+    * cumulative corpus.
+    *
+    * State = the thin (rule, n, v) counters themselves under the
+    * [[BatchState]] replay/compaction contract; counts are MONOTONE
+    * per rule, so `max` over visible partitions is latest-wins (the
+    * driftSink argument). The at-least-once guard needs a CALLER-
+    * DECLARED row identity (`idCols`) — the driver's synthetic
+    * lineitem proves why no key can be assumed: (l_orderkey,
+    * l_linenumber) is not unique there, so a hard-coded "primary key"
+    * would silently DROP legitimate rows. With `idCols` empty the
+    * contract assumes exactly-once rows within a batch.
+    *
+    * @param idCols row-identity columns to dedup each batch on (the
+    *               at-least-once guard); empty = exactly-once contract
+    * @param out receives (rule, n_rows, n_violations, pass) per batch
+    */
+  def dqSink(stateDir: String, idCols: Seq[String] = Nil,
+      compactEvery: Int = 8)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val st = new BatchState(spark, stateDir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rule",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))),
+        compactEvery, None)
+      val distinctBatch =
+        if (idCols.nonEmpty && idCols.forall(batch.columns.contains(_)))
+          batch.dropDuplicates(idCols)
+        else batch
+      val agg1 = graft.operators.Dq.lineitemRowAgg(distinctBatch)
+        .localCheckpoint() // two rule rows read the 1-row aggregate
+      val delta = Seq("lineitem_quantity_range" -> "v_qty",
+          "lineitem_discount_range" -> "v_disc")
+        .map { case (r, vc) =>
+          agg1.select(lit(r).as("rule"), col("n").cast("long").as("n"),
+            col(vc).cast("long").as("v"))
+        }
+        .reduce(_ unionByName _)
+      val prior = st.visible(batchId).groupBy("rule")
+        .agg(max("n").as("n"), max("v").as("v"))
+      val merged = prior.unionByName(delta).groupBy("rule")
+        .agg(sum("n").as("n"), sum("v").as("v"))
+        .localCheckpoint() // feeds the report + commit
+      try {
+        out(merged.select(col("rule"), col("n").as("n_rows"),
+            col("v").as("n_violations"),
+            (col("v") === 0L).as("pass"))
+          .orderBy("rule"))
+        st.commit(merged, batchId)
+      } finally { merged.unpersist(); agg1.unpersist() }
+    }
+
   /** Streaming PERCEPTUAL near-dup suppression — the media twin of
     * [[minhashDedupSink]] for a stream of (media_id, phash) rows (the
     * [[graft.multimodal.Multimodal.perceptualHashes]] projection of an

@@ -574,6 +574,46 @@ class StreamingSpec extends SparkSpec {
     assert(last == merged)
   }
 
+  test("dqSink folds slices to the batch row-rule report; replay is " +
+      "idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    var last = Seq.empty[(String, Long, Long, Boolean)]
+    val sink = Streaming.dqSink(s"$tmp/state", idCols = Seq("row_id")) {
+        out =>
+      last = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+        .toSeq.sortBy(_._1)
+    }
+    // localCheckpoint PINS the synthetic row identity — the duplicated
+    // delivery below then re-ships identical row_ids, as a real
+    // at-least-once source would
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount")
+      .withColumn("row_id", monotonically_increasing_id())
+      .localCheckpoint()
+    sink(li.filter(col("l_orderkey") % 3 === 0).localCheckpoint(), 0L)
+    // slice 1 carries INTRA-batch duplicates (at-least-once delivery):
+    // the sink must dedup on the declared row identity
+    val slice1 = li.filter(col("l_orderkey") % 3 === 1)
+    sink(slice1.union(slice1.filter(col("l_orderkey") % 5 === 1))
+      .localCheckpoint(), 1L)
+    sink(li.filter(col("l_orderkey") % 3 === 2).localCheckpoint(), 2L)
+    val merged = last
+    // cumulative report == the batch dq_rules row-level lineitem rules
+    val expected = SparkEntry.queries("dq_rules")(spark, sfDir)
+      .filter(col("rule").isin("lineitem_quantity_range",
+        "lineitem_discount_range"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+      .toSeq.sortBy(_._1)
+    assert(merged == expected)
+    // replaying the last slice re-emits the identical report
+    sink(li.filter(col("l_orderkey") % 3 === 2).localCheckpoint(), 2L)
+    assert(last == merged)
+  }
+
   test("minhashDedupSink compaction preserves flags and bounds state") {
     def run(every: Int): (Seq[Map[Long, Boolean]], String) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ndc").toString
