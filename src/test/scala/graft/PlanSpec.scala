@@ -109,7 +109,10 @@ class PlanSpec extends SparkSpec {
     "text_len_histogram",  // broadcast 1-row (td, tt) total scalars
     "text_source_drift",   // <=B-row bucket x |sources|-row grid
     "emb_knn_classify",    // broadcast query set vs corpus (bruteforce shape)
-    "knn_triplets")        // broadcast anchor set vs corpus (bruteforce shape)
+    "knn_triplets",        // broadcast anchor set vs corpus (bruteforce shape)
+    "emb_mmr_select",      // broadcast query set vs corpus (bruteforce shape)
+    "q58_important_stock", // broadcast 1-row total, inequality probe
+    "dq_rules")            // 1-row × 1-row referential-count cross joins
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {
@@ -155,6 +158,33 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("WindowGroupLimit"),
         s"$name must pre-reduce each ranking to K rows per partition")
     }
+  }
+
+  test("round-10 plans: argmin window bounded, top-k partial, " +
+      "semi join planned") {
+    // q55: the per-part argmin (rank()=1) must be WindowGroupLimit-
+    // bounded — never a full per-part sort of the pair table
+    val d55 = df("q55_min_cost_supplier")
+    d55.collect()
+    assert(d55.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "q55 argmin must pre-reduce each part's candidates")
+    // q60 / graph_linkpred: global top-k plans as TakeOrdered, not a
+    // full sort
+    for (name <- Seq("q60_large_orders", "graph_linkpred")) {
+      val d = df(name)
+      d.collect()
+      assert(d.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        s"$name top-k must never be a full sort")
+    }
+    // q56: the EXISTS collapses to a left semi join (never an
+    // aggregate over matched multiplicities)
+    val d56 = df("q56_late_priority_orders")
+    d56.collect()
+    assert(d56.queryExecution.executedPlan.toString
+      .toLowerCase.contains("leftsemi"),
+      "q56 existence test must plan as a semi join")
   }
 
   test("q34/q35 window pipelines run on ONE hash exchange") {
