@@ -101,6 +101,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter join: the selective dim leg injects a " +
+      "might_contain pre-filter on the fact scan") {
+    // The 100 TB shuffle-join saver Spark ships DISABLED by default:
+    // with a selective filter on one join leg, the optimizer builds a
+    // bloom filter over that leg's join keys and pre-filters the FACT
+    // scan with might_contain — rows that cannot join die before the
+    // exchange instead of shuffling. (Broadcast joins don't need it;
+    // this is for the dim-too-big-to-broadcast regime, so broadcast is
+    // disabled here.)
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter must inject on the fact leg:\n$plan")
+      val n = j.count()
+      withSQLConf(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        assert(n === li.join(o,
+          col("l_orderkey") === col("o_orderkey")).count(),
+          "the bloom pre-filter must not change the join result")
+      }
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
