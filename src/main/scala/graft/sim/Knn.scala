@@ -977,12 +977,13 @@ object Knn {
     *
     * Shape: the ONLY corpus-sized work is the candidate generation
     * (broadcast queries, WindowGroupLimit-bounded top-pool — the
-    * knn_bruteforce plan); the greedy runs UNROLLED as k−1 lazy
-    * stages over the checkpointed pool (|Q|·pool rows) and pairwise
-    * sim table (|Q|·pool² rows) — no driver loop, no per-round action,
-    * one job at the end. At 100 TB the pool comes from the persisted
-    * IVF index instead; the MMR stages are scale-invariant (they never
-    * touch the corpus).
+    * knn_bruteforce plan); the greedy runs UNROLLED as k−1 stages over
+    * the checkpointed pool (|Q|·pool rows) and pairwise sim table
+    * (|Q|·pool² rows), each round's ≤|Q|-row selection materialized by
+    * a micro-action (the CC-loop pattern — three consumers read it, an
+    * unmaterialized lineage re-executes earlier rounds 3^k times). At
+    * 100 TB the pool comes from the persisted IVF index instead; the
+    * MMR stages are scale-invariant (they never touch the corpus).
     */
   private val MMR_NQ = 3
   private val MMR_POOL = 16
@@ -1011,29 +1012,47 @@ object Knn {
           cosineSim(col("a.v"), col("b.v")).as("sim"))
         .transform(graft.Checkpoint.of)
       val base = cand.select("query_id", "vec_id", "rel")
+      // per-query argmax as ONE partial-aggregatable max_by (ordering
+      // struct = (score desc, vec_id asc) via the negated tie key) —
+      // an exchange+sort+window over these ≤|Q|·pool-row frames would
+      // triple the per-stage cost for identical semantics
       def argmax(sc: DataFrame): DataFrame =
-        sc.withColumn("r", row_number().over(Window
-            .partitionBy("query_id")
-            .orderBy(col("score").desc, col("vec_id"))))
-          .filter(col("r") === 1).drop("r")
-      var acc = argmax(base.select(col("query_id"), col("vec_id"),
-          col("rel").as("score")))
-        .withColumn("sel_rank", lit(1L))
+        sc.groupBy("query_id")
+          .agg(max_by(struct(col("vec_id"), col("score")),
+            struct(col("score"), (-col("vec_id")).as("tie"))).as("m"))
+          .select(col("query_id"), col("m.vec_id").as("vec_id"),
+            col("m.score").as("score"))
+      // each round's selection (≤|Q| rows) is MATERIALIZED before the
+      // next round reads it: the accumulated set is consumed by THREE
+      // sub-plans per round (remaining-filter, max-sim leg, final
+      // union), so an un-checkpointed lineage re-executes the earlier
+      // rounds 3^k times (measured: 7 s → 1.5 s at sf0.1). Same
+      // micro-action pattern as the CC loop — the corpus is still
+      // touched exactly once, in the candidate stage.
+      var sels = Vector(graft.Checkpoint.of(
+        argmax(base.select(col("query_id"), col("vec_id"),
+            col("rel").as("score")))
+          .withColumn("sel_rank", lit(1L))))
       for (i <- 2 to MMR_K) {
-        val sel = acc.select("query_id", "vec_id")
-        val rem = base.join(sel, Seq("query_id", "vec_id"), "left_anti")
+        // every stage-side frame is ≤|Q|·pool rows — broadcast them so
+        // the greedy stages never shuffle (scale-invariant by design)
+        val sel = sels.reduce(_ unionByName _).select("query_id", "vec_id")
+        val rem = base.join(broadcast(sel), Seq("query_id", "vec_id"),
+          "left_anti")
         val ms = sims
-          .join(sel.withColumnRenamed("vec_id", "cb"), Seq("query_id", "cb"))
+          .join(broadcast(sel.withColumnRenamed("vec_id", "cb")),
+            Seq("query_id", "cb"))
           .groupBy(col("query_id"), col("ca").as("vec_id"))
           .agg(max("sim").as("ms"))
-        val scoredI = rem.join(ms, Seq("query_id", "vec_id"))
+        val scoredI = rem.join(broadcast(ms), Seq("query_id", "vec_id"))
           .select(col("query_id"), col("vec_id"),
             ((lit(7) * col("rel") - lit(3) * col("ms")) / lit(10))
               .as("score"))
-        acc = acc.unionByName(
+        sels :+= graft.Checkpoint.of(
           argmax(scoredI).withColumn("sel_rank", lit(i.toLong)))
       }
-      acc.select("query_id", "sel_rank", "vec_id", "score")
+      sels.reduce(_ unionByName _)
+        .select("query_id", "sel_rank", "vec_id", "score")
         .orderBy("query_id", "sel_rank")
     },
     Some {
