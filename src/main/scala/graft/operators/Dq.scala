@@ -36,11 +36,16 @@ object Dq {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** One report row from a 1-row aggregate frame. */
+  /** One report row from a 1-row aggregate frame. Counts coalesce to
+    * zero: over an EMPTY shard `sum(CASE)` is NULL, and a null
+    * violation count would read as a failing rule (totality —
+    * RobustnessSpec pins it).
+    */
   private def ruleRow(agg1: DataFrame, rule: String, nRows: Column,
       nViol: Column): DataFrame =
-    agg1.select(lit(rule).as("rule"), nRows.cast("long").as("n_rows"),
-      nViol.cast("long").as("n_violations"))
+    agg1.select(lit(rule).as("rule"),
+      coalesce(nRows.cast("long"), lit(0L)).as("n_rows"),
+      coalesce(nViol.cast("long"), lit(0L)).as("n_violations"))
 
   private def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
 

@@ -2130,9 +2130,11 @@ object Relational {
   /** Important-stock report — the TPC-H Q11 shape (per-group total vs
     * a FRACTION of the global total, where q42's threshold is a global
     * average and q44's is per-group): the shipped value per part
-    * through ASIA's suppliers, keeping parts holding more than
-    * 1/2000 of that region's total — the integer cross-multiplication
-    * `value·2000 > total` (no float fraction anywhere).
+    * through ASIA's suppliers, keeping parts worth more than TWICE the
+    * mean part value — the integer cross-multiplication
+    * `value·n_parts > 2·total` (no float fraction anywhere; a
+    * mean-multiple threshold is scale-invariant where TPC-H's fixed
+    * 1/2000 fraction empties as the part count grows past 2000).
     *
     * Scale: the region's suppliers collapse to a broadcast key set at
     * the scan; one partkey exchange aggregates values map-side-
@@ -2159,8 +2161,9 @@ object Relational {
         .agg(sum("price_micro").cast(DecimalType(38, 0)).as("value"))
         .transform(graft.Checkpoint.of)
       val total = value.agg(sum("value").cast(DecimalType(38, 0))
-        .as("total"))
-      value.join(broadcast(total), col("value") * 2000 > col("total"))
+        .as("total"), count(lit(1)).as("n_parts"))
+      value.join(broadcast(total),
+          col("value") * col("n_parts") > col("total") * 2)
         .select(col("l_partkey"),
           col("value").cast("long").as("value_micro"))
         .orderBy(col("value_micro").desc, col("l_partkey"))
@@ -2174,9 +2177,10 @@ object Relational {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA')
       GROUP BY l_partkey),
-    total AS (SELECT SUM(value) AS total FROM value)
+    total AS (SELECT SUM(value) AS total, COUNT(*)::BIGINT AS n_parts
+      FROM value)
     SELECT l_partkey, value::BIGINT AS value_micro
-    FROM value, total WHERE value * 2000 > total
+    FROM value, total WHERE value * n_parts > total * 2
     ORDER BY value_micro DESC, l_partkey"""))
 
   // ---------------------------------------------------------------- q59

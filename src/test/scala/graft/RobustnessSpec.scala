@@ -33,7 +33,9 @@ class RobustnessSpec extends SparkSpec {
     "q07_window", "emb_stats", "knn_bruteforce", "mm_phash",
     "sample_reservoir", "dedup_ngram_jaccard", "mm_audio_vad",
     "text_source_drift", "q49_cumulative_users", "sample_interleave",
-    "q20_sessionize", "text_tokens", "pack_sequences")
+    "q20_sessionize", "text_tokens", "pack_sequences",
+    "text_readability", "emb_mmr_select", "q55_min_cost_supplier",
+    "q60_large_orders")
 
   test("empty shards flow through the operator families as empty results") {
     for (name <- total) {
@@ -46,9 +48,18 @@ class RobustnessSpec extends SparkSpec {
       "summary rows, no exception)") {
     // these legitimately emit a single all-null/zero summary row (global
     // aggregates over zero rows) — totality, not emptiness, is the claim
-    for (name <- Seq("q18_corr_scalar", "corpus_stats"))
+    for (name <- Seq("q18_corr_scalar", "corpus_stats", "text_zipf"))
       assert(SparkEntry.queries(name)(spark, emptyDir).count() <= 1L,
         s"$name should reduce an empty corpus to at most one summary row")
+  }
+
+  test("dq_rules stays total on empty input: the full fixed-rule report " +
+      "with zero counts, all rules passing") {
+    val rows = SparkEntry.queries("dq_rules")(spark, emptyDir)
+      .collect()
+    assert(rows.length == 9, "the rule report must not lose rows")
+    assert(rows.forall(_.getAs[Boolean]("pass")),
+      "zero rows violate nothing")
   }
 
   test("schema-evolved parquet (a later file adds a column) reads as the " +
