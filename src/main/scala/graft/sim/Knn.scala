@@ -845,10 +845,14 @@ object Knn {
     * roll-ups are map-side-combined counts. No arrays, no windows, no
     * driver state.
     */
-  private val triangleQ = Q(
-    "graph_triangles",
-    (s, dir) => {
-      val und = knnGraph(s, dir)
+  /** The triangle/degree report from any (query_id, neighbor_id) edge
+    * frame — shared by [[triangleQ]] (edges derived in-query) and
+    * `graph_triangles_persisted` (edges read from the stored graph):
+    * ONE definition, two ingestion paths.
+    */
+  private def triangleReport(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
+      val und = edges
         .select(least(col("query_id"), col("neighbor_id")).as("u"),
           greatest(col("query_id"), col("neighbor_id")).as("v"))
         .distinct()
@@ -875,8 +879,13 @@ object Knn {
           coalesce(col("degree"), lit(0L)).as("degree"),
           coalesce(col("triangles"), lit(0L)).as("triangles"))
         .orderBy("vec_id")
-    },
-    Some(s"""WITH $sqlKnnEdgesCte,
+  }
+
+  /** Shared by graph_triangles and graph_triangles_persisted — the
+    * stored edges are [[knnGraph]]'s rows by construction, so one
+    * oracle gates both ingestion paths.
+    */
+  private val sqlTriangles: String = s"""WITH $sqlKnnEdgesCte,
     und AS (SELECT DISTINCT least(u, v_id) AS u, greatest(u, v_id) AS v
       FROM edges),
     tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
@@ -896,7 +905,13 @@ object Knn {
     FROM e
     LEFT JOIN deg ON deg.node = e.vec_id
     LEFT JOIN tpn ON tpn.node = e.vec_id
-    ORDER BY e.vec_id"""))
+    ORDER BY e.vec_id"""
+
+  private val triangleQ = Q(
+    "graph_triangles",
+    (s, dir) => triangleReport(s, dir,
+      knnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlTriangles))
 
   // --------------------------------------------------------- graph_linkpred
   /** LINK PREDICTION over the kNN graph — common-neighbor Jaccard
@@ -916,10 +931,11 @@ object Knn {
     * is a thin anti-join on ordered pairs; top-50 plans as
     * TakeOrderedAndProject.
     */
-  private val linkpredQ = Q(
-    "graph_linkpred",
-    (s, dir) => {
-      val und = knnGraph(s, dir)
+  /** The link-prediction report from any (query_id, neighbor_id) edge
+    * frame — shared by [[linkpredQ]] and `graph_linkpred_persisted`.
+    */
+  private def linkpredReport(edges: DataFrame): DataFrame = {
+      val und = edges
         .select(least(col("query_id"), col("neighbor_id")).as("u"),
           greatest(col("query_id"), col("neighbor_id")).as("v"))
         .distinct()
@@ -943,8 +959,10 @@ object Knn {
             .as("jaccard_m6"))
         .orderBy(col("jaccard_m6").desc, col("src"), col("dst"))
         .limit(50)
-    },
-    Some(s"""WITH $sqlKnnEdgesCte,
+  }
+
+  /** Shared by graph_linkpred and graph_linkpred_persisted. */
+  private val sqlLinkpred: String = s"""WITH $sqlKnnEdgesCte,
     und AS (SELECT DISTINCT least(u, v_id) AS u, greatest(u, v_id) AS v
       FROM edges),
     adj AS (SELECT u AS node, v AS nb FROM und
@@ -963,7 +981,60 @@ object Knn {
     FROM cand
     JOIN deg du ON du.node = pu
     JOIN deg dv ON dv.node = pv
-    ORDER BY jaccard_m6 DESC, src, dst LIMIT 50"""))
+    ORDER BY jaccard_m6 DESC, src, dst LIMIT 50"""
+
+  private val linkpredQ = Q(
+    "graph_linkpred",
+    (s, dir) => linkpredReport(
+      knnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlLinkpred))
+
+  // ------------------------------------------------- persisted kNN graph
+  /** The kNN GRAPH as a PERSISTED artifact — the production shape for
+    * the whole graph family: at 100 TB the edge list (n·k thin rows —
+    * ~1/1000th of the corpus bytes) is built ONCE (an IVF train +
+    * bucketed join pass over the corpus) and every downstream graph
+    * analytic — triangles, link prediction, components, centrality —
+    * reads the stored edges instead of re-deriving them per query.
+    * Build is session-cached per corpus dir (the [[cachedIndex]]
+    * pattern); doubles round-trip parquet bit-exactly, so the stored
+    * edges ARE [[knnGraph]]'s rows and the non-persisted oracles gate
+    * the persisted queries verbatim.
+    */
+  def buildKnnGraphIndex(s: SparkSession, dir: String,
+      path: String): Unit = {
+    graphBuildCount += 1
+    knnGraph(s, dir).write.mode("overwrite").parquet(path)
+  }
+
+  private[graft] var graphBuildCount = 0
+
+  private val builtGraphs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cachedGraph(s: SparkSession, dir: String): String =
+    builtGraphs.getOrElseUpdate(dir, {
+      val name = "graft-knngraph-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = new org.apache.hadoop.fs.Path(indexRoot(s), name).toString
+      buildKnnGraphIndex(s, dir, path)
+      path
+    })
+
+  /** The stored edge list (query_id, neighbor_id, rank, cosine). */
+  def readKnnGraph(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(cachedGraph(s, dir))
+
+  private val trianglePersistedQ = Q(
+    "graph_triangles_persisted",
+    (s, dir) => triangleReport(s, dir,
+      readKnnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlTriangles))
+
+  private val linkpredPersistedQ = Q(
+    "graph_linkpred_persisted",
+    (s, dir) => linkpredReport(
+      readKnnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlLinkpred))
 
   // -------------------------------------------------------- emb_mmr_select
   /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998)
@@ -1577,7 +1648,8 @@ object Knn {
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, mmrSelect,
+    knnJoin, pagerank, triangleQ, componentsQ, linkpredQ,
+    trianglePersistedQ, linkpredPersistedQ, mmrSelect,
     kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }

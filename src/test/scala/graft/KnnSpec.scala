@@ -89,6 +89,21 @@ class KnnSpec extends SparkSpec {
     assert(again.nonEmpty)
   }
 
+  test("persisted kNN graph: answers equal the derive-per-query twins, " +
+      "builds once, queries reuse it") {
+    for ((p, t) <- Seq("graph_triangles_persisted" -> "graph_triangles",
+        "graph_linkpred_persisted" -> "graph_linkpred")) {
+      val got = SparkEntry.queries(p)(spark, sfDir).collect().toSeq
+      val want = SparkEntry.queries(t)(spark, sfDir).collect().toSeq
+      assert(got == want, s"$p must answer exactly like $t")
+    }
+    val afterFirst = graft.sim.Knn.graphBuildCount
+    assert(afterFirst >= 1, "first query must have built the graph")
+    SparkEntry.queries("graph_triangles_persisted")(spark, sfDir).collect()
+    assert(graft.sim.Knn.graphBuildCount == afterFirst,
+      "subsequent queries must NOT rebuild the stored edge list")
+  }
+
   test("buildIvfIndex/queryIvfIndex API: build to a caller path, " +
       "overwrite on rebuild, query matches knn_ivf") {
     import org.apache.spark.sql.functions.col
