@@ -1300,14 +1300,17 @@ object Knn {
     * fixpoint. Output carries the component size — the quantity a
     * curation dashboard actually reads.
     */
-  private val componentsQ = Q(
-    "graph_components",
-    (s, dir) => {
+  /** The component report from any (query_id, neighbor_id) edge frame
+    * — shared by [[componentsQ]] and `graph_components_persisted`.
+    */
+  private def componentsReport(s: SparkSession, dir: String,
+      rawEdges: DataFrame): DataFrame = {
       // materialized BEFORE the CC loop: connectedComponents unions both
       // edge orientations, and without the barrier each union branch
-      // re-runs the whole IVF kNN-join lineage (train+assign+probe+topk,
-      // ~2× the graph cost — measured 1.8 s of the query's 9.4 s)
-      val edges = graft.Checkpoint.of(knnGraph(s, dir)
+      // re-runs the whole edge lineage (for the in-query derivation
+      // that is the IVF kNN-join — train+assign+probe+topk, ~2× the
+      // graph cost, measured 1.8 s of the query's 9.4 s)
+      val edges = graft.Checkpoint.of(rawEdges
         .select(col("query_id").as("u"), col("neighbor_id").as("v")))
       val labels = graft.dedup.Dedup.connectedComponents(edges)
       val lab = emb(s, dir).select(col("vec_id"))
@@ -1320,8 +1323,9 @@ object Knn {
       lab.join(sizes, "component_id")
         .select("vec_id", "component_id", "component_size")
         .orderBy("vec_id")
-    },
-    Some(s"""WITH RECURSIVE $sqlKnnEdgesCte,
+  }
+
+  private val sqlComponents: String = s"""WITH RECURSIVE $sqlKnnEdgesCte,
     sym AS (SELECT u, v_id AS v FROM edges
       UNION SELECT v_id, u FROM edges),
     reach(u, v) AS (
@@ -1336,7 +1340,19 @@ object Knn {
     sz AS (SELECT component_id, COUNT(*)::BIGINT AS component_size
       FROM lab GROUP BY component_id)
     SELECT vec_id, component_id, component_size
-    FROM lab JOIN sz USING (component_id) ORDER BY vec_id"""))
+    FROM lab JOIN sz USING (component_id) ORDER BY vec_id"""
+
+  private val componentsQ = Q(
+    "graph_components",
+    (s, dir) => componentsReport(s, dir,
+      knnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlComponents))
+
+  private val componentsPersistedQ = Q(
+    "graph_components_persisted",
+    (s, dir) => componentsReport(s, dir,
+      readKnnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlComponents))
 
   // --------------------------------------------------------- knn_hamming
   /** Binary-sketch ANN — 1-bit scalar quantization: each vector collapses
@@ -1649,7 +1665,7 @@ object Knn {
 
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ,
-    trianglePersistedQ, linkpredPersistedQ, mmrSelect,
-    kmeansTrain, kmeansAssign,
+    trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
+    mmrSelect, kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }
