@@ -87,12 +87,18 @@ object Dq {
         .agg(sum("c").as("n"),
           sum(when(col("c") > 1, col("c")).otherwise(0L)).as("v"))
 
-      // referential integrity over DISTINCT child keys
+      // referential integrity over DISTINCT NON-NULL child keys — a
+      // NULL key is the not_null rule's finding, not an orphan, and
+      // the engines disagree on NULLs here (Spark's left_anti keeps a
+      // null probe row, SQL's COUNT(DISTINCT)/NOT IN drop or poison
+      // it), so the rule domain excludes them EXPLICITLY on both sides
       def refAgg(child: DataFrame, key: String, parent: DataFrame,
           pkey: String): DataFrame = {
-        val keys = child.select(col(key)).distinct()
+        val keys = child.select(col(key)).filter(col(key).isNotNull)
+          .distinct()
           .transform(graft.Checkpoint.of)
-        val orphans = keys.join(parent.select(col(pkey)),
+        val orphans = keys.join(
+          parent.select(col(pkey)).filter(col(pkey).isNotNull),
           col(key) === col(pkey), "left_anti")
         keys.agg(count(lit(1)).as("n"))
           .crossJoin(orphans.agg(count(lit(1)).as("v")))
@@ -125,7 +131,15 @@ object Dq {
         .withColumn("pass", col("n_violations") === 0L)
         .orderBy("rule")
     },
-    Some("""SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+    // COALESCE mirrors the Spark side's zero-coalesce: SUM(CASE) over
+    // an empty shard is NULL in both engines, and only a total oracle
+    // stays hash-equal if the driver ever regenerates a table empty.
+    // The referential subqueries exclude NULL keys EXPLICITLY (NULL is
+    // the not_null rule's finding; NOT IN over a null parent would
+    // otherwise poison the whole count).
+    Some("""SELECT rule, n_rows,
+      COALESCE(n_violations, 0)::BIGINT AS n_violations,
+      COALESCE(n_violations, 0) = 0 AS pass
     FROM (
       SELECT 'lineitem_discount_range' AS rule,
         COUNT(*)::BIGINT AS n_rows,
@@ -134,11 +148,15 @@ object Dq {
       FROM lineitem
       UNION ALL
       SELECT 'lineitem_orderkey_ref',
-        (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)::BIGINT,
         (SELECT COUNT(*) FROM
-          (SELECT DISTINCT l_orderkey FROM lineitem) k
+          (SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL) k)::BIGINT,
+        (SELECT COUNT(*) FROM
+          (SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL) k
           WHERE l_orderkey NOT IN
-            (SELECT o_orderkey FROM orders))::BIGINT
+            (SELECT o_orderkey FROM orders
+              WHERE o_orderkey IS NOT NULL))::BIGINT
       UNION ALL
       SELECT 'lineitem_quantity_range',
         COUNT(*)::BIGINT,
@@ -157,14 +175,18 @@ object Dq {
       FROM orders
       UNION ALL
       SELECT 'orders_custkey_ref',
-        (SELECT COUNT(DISTINCT o_custkey) FROM orders)::BIGINT,
         (SELECT COUNT(*) FROM
-          (SELECT DISTINCT o_custkey FROM orders) k
+          (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL) k)::BIGINT,
+        (SELECT COUNT(*) FROM
+          (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL) k
           WHERE o_custkey NOT IN
-            (SELECT c_custkey FROM customer))::BIGINT
+            (SELECT c_custkey FROM customer
+              WHERE c_custkey IS NOT NULL))::BIGINT
       UNION ALL
       SELECT 'orders_orderkey_unique',
-        SUM(c)::BIGINT,
+        COALESCE(SUM(c), 0)::BIGINT,
         SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT
       FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
       UNION ALL

@@ -850,13 +850,19 @@ object Knn {
     * `graph_triangles_persisted` (edges read from the stored graph):
     * ONE definition, two ingestion paths.
     */
+  /** The deduped undirected (u < v) edge set, checkpointed — shared
+    * derivation of every undirected-graph report body.
+    */
+  private def undirectedEdges(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("query_id"), col("neighbor_id")).as("u"),
+        greatest(col("query_id"), col("neighbor_id")).as("v"))
+      .distinct()
+      .transform(graft.Checkpoint.of)
+
   private def triangleReport(s: SparkSession, dir: String,
       edges: DataFrame): DataFrame = {
-      val und = edges
-        .select(least(col("query_id"), col("neighbor_id")).as("u"),
-          greatest(col("query_id"), col("neighbor_id")).as("v"))
-        .distinct()
-        .transform(graft.Checkpoint.of)
+      val und = undirectedEdges(edges)
       val deg = und.select(col("u").as("node"))
         .unionByName(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -935,11 +941,7 @@ object Knn {
     * frame — shared by [[linkpredQ]] and `graph_linkpred_persisted`.
     */
   private def linkpredReport(edges: DataFrame): DataFrame = {
-      val und = edges
-        .select(least(col("query_id"), col("neighbor_id")).as("u"),
-          greatest(col("query_id"), col("neighbor_id")).as("v"))
-        .distinct()
-        .transform(graft.Checkpoint.of)
+      val und = undirectedEdges(edges)
       val adj = und.select(col("u").as("node"), col("v").as("nb"))
         .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
       val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))

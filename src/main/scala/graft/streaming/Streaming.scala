@@ -396,15 +396,19 @@ object Streaming {
           org.apache.spark.sql.types.StructField("c",
             org.apache.spark.sql.types.LongType))),
         compactEvery, None)
-      // Dedup the batch on document identity BEFORE counting: under
+      // Dedup the batch on DOCUMENT IDENTITY before counting: under
       // at-least-once delivery a row duplicated WITHIN one batch would
       // permanently inflate the cumulative counts (replay protection
       // only guards whole-batch re-delivery), silently breaking the
       // bit-equality with the batch text_source_drift — the same guard
-      // reservoirSink applies before its k-min.
+      // reservoirSink applies before its k-min. Without a doc_id no
+      // content fallback is safe (two GENUINELY distinct documents can
+      // share (source, text) — exact-duplicate texts are what the
+      // dedup family exists for), so the contract then assumes
+      // exactly-once rows within a batch.
       val distinctBatch =
         if (batch.columns.contains("doc_id")) batch.dropDuplicates("doc_id")
-        else batch.dropDuplicates("source", "text")
+        else batch
       val delta = graft.text.TextOps.sourceBucketCounts(distinctBatch, buckets)
       val prior = st.visible(batchId).groupBy("source", "b")
         .agg(max("c").as("c"))
@@ -454,17 +458,28 @@ object Streaming {
           org.apache.spark.sql.types.StructField("v",
             org.apache.spark.sql.types.LongType))),
         compactEvery, None)
+      // fail FAST on a mistyped identity column: silently skipping the
+      // dedup would disable replay protection with no signal, exactly
+      // the corruption idCols exists to prevent
+      if (idCols.nonEmpty) {
+        val missing = idCols.filterNot(batch.columns.contains(_))
+        require(missing.isEmpty,
+          s"dqSink idCols ${missing.mkString(",")} absent from batch " +
+            s"columns ${batch.columns.mkString(",")}")
+      }
       val distinctBatch =
-        if (idCols.nonEmpty && idCols.forall(batch.columns.contains(_)))
-          batch.dropDuplicates(idCols)
-        else batch
+        if (idCols.nonEmpty) batch.dropDuplicates(idCols) else batch
       val agg1 = graft.operators.Dq.lineitemRowAgg(distinctBatch)
         .localCheckpoint() // two rule rows read the 1-row aggregate
       val delta = Seq("lineitem_quantity_range" -> "v_qty",
           "lineitem_discount_range" -> "v_disc")
         .map { case (r, vc) =>
-          agg1.select(lit(r).as("rule"), col("n").cast("long").as("n"),
-            col(vc).cast("long").as("v"))
+          // coalesce: an EMPTY micro-batch's sum(CASE) is NULL, and a
+          // null would poison the cumulative counters and emit a null
+          // pass flag where the batch twin emits (0, true)
+          agg1.select(lit(r).as("rule"),
+            coalesce(col("n").cast("long"), lit(0L)).as("n"),
+            coalesce(col(vc).cast("long"), lit(0L)).as("v"))
         }
         .reduce(_ unionByName _)
       val prior = st.visible(batchId).groupBy("rule")

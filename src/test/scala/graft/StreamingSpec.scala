@@ -592,13 +592,17 @@ class StreamingSpec extends SparkSpec {
       .select("l_orderkey", "l_quantity", "l_discount")
       .withColumn("row_id", monotonically_increasing_id())
       .localCheckpoint()
-    sink(li.filter(col("l_orderkey") % 3 === 0).localCheckpoint(), 0L)
-    // slice 1 carries INTRA-batch duplicates (at-least-once delivery):
+    // an EMPTY first trigger (a normal streaming occurrence) must emit
+    // the total all-zero report, not null counters
+    sink(li.limit(0).localCheckpoint(), 0L)
+    assert(last.forall { case (_, n, v, p) => n == 0L && v == 0L && p })
+    sink(li.filter(col("l_orderkey") % 3 === 0).localCheckpoint(), 1L)
+    // slice carries INTRA-batch duplicates (at-least-once delivery):
     // the sink must dedup on the declared row identity
     val slice1 = li.filter(col("l_orderkey") % 3 === 1)
     sink(slice1.union(slice1.filter(col("l_orderkey") % 5 === 1))
-      .localCheckpoint(), 1L)
-    sink(li.filter(col("l_orderkey") % 3 === 2).localCheckpoint(), 2L)
+      .localCheckpoint(), 2L)
+    sink(li.filter(col("l_orderkey") % 3 === 2).localCheckpoint(), 3L)
     val merged = last
     // cumulative report == the batch dq_rules row-level lineitem rules
     val expected = SparkEntry.queries("dq_rules")(spark, sfDir)
@@ -610,8 +614,15 @@ class StreamingSpec extends SparkSpec {
       .toSeq.sortBy(_._1)
     assert(merged == expected)
     // replaying the last slice re-emits the identical report
-    sink(li.filter(col("l_orderkey") % 3 === 2).localCheckpoint(), 2L)
+    sink(li.filter(col("l_orderkey") % 3 === 2).localCheckpoint(), 3L)
     assert(last == merged)
+    // a mistyped identity column must fail FAST, not silently disable
+    // the at-least-once guard
+    val bad = Streaming.dqSink(s"$tmp/state2",
+      idCols = Seq("no_such_col")) { _ => () }
+    intercept[IllegalArgumentException] {
+      bad(li.localCheckpoint(), 0L)
+    }
   }
 
   test("minhashDedupSink compaction preserves flags and bounds state") {
