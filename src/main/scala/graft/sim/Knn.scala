@@ -744,13 +744,16 @@ object Knn {
     */
   private val PR_ROUNDS = 3
 
-  private val pagerank = Q(
-    "graph_pagerank",
-    (s, dir) => {
+  /** The damped-pagerank report from any (query_id, neighbor_id) edge
+    * frame — shared by [[pagerank]] and `graph_pagerank_persisted`.
+    */
+  private def pagerankReport(s: SparkSession, dir: String,
+      rawEdges: DataFrame): DataFrame = {
       // materialized FIRST: e0 feeds both the degree aggregate and the
-      // join below — un-checkpointed, the whole IVF kNN-join lineage
-      // would run once per consumer (the graph_components lesson)
-      val e0 = graft.Checkpoint.of(knnGraph(s, dir)
+      // join below — un-checkpointed, the whole edge lineage (for the
+      // in-query derivation, the IVF kNN-join) would run once per
+      // consumer (the graph_components lesson)
+      val e0 = graft.Checkpoint.of(rawEdges
         .select(col("query_id").as("u"), col("neighbor_id").as("v_id")))
       val deg = e0.groupBy("u").agg(count(lit(1)).as("d"))
       // static (u, v_id, d) — the per-round loop then needs ONE join
@@ -770,8 +773,9 @@ object Knn {
           .transform(graft.Checkpoint.of)
       }
       last.orderBy("vec_id")
-    },
-    Some {
+  }
+
+  private val sqlPagerank: String = {
       val roundCtes = (1 to PR_ROUNDS).map { r =>
         s"""pr$r AS (
       SELECT n.vec_id,
@@ -787,7 +791,19 @@ object Knn {
     deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
     pr0 AS (SELECT vec_id, 1000000::BIGINT AS pr FROM e),
     $roundCtes
-    SELECT vec_id, pr FROM pr$PR_ROUNDS ORDER BY vec_id"""})
+    SELECT vec_id, pr FROM pr$PR_ROUNDS ORDER BY vec_id"""}
+
+  private val pagerank = Q(
+    "graph_pagerank",
+    (s, dir) => pagerankReport(s, dir,
+      knnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlPagerank))
+
+  private val pagerankPersistedQ = Q(
+    "graph_pagerank_persisted",
+    (s, dir) => pagerankReport(s, dir,
+      readKnnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlPagerank))
 
   /** The knn-graph edge list as a DuckDB CTE chain (`e` … `edges`) —
     * the shared oracle prefix of graph_pagerank / graph_triangles,
@@ -1668,6 +1684,6 @@ object Knn {
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
-    mmrSelect, kmeansTrain, kmeansAssign,
+    pagerankPersistedQ, mmrSelect, kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }

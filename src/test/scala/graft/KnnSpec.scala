@@ -93,7 +93,8 @@ class KnnSpec extends SparkSpec {
       "builds once, queries reuse it") {
     for ((p, t) <- Seq("graph_triangles_persisted" -> "graph_triangles",
         "graph_linkpred_persisted" -> "graph_linkpred",
-        "graph_components_persisted" -> "graph_components")) {
+        "graph_components_persisted" -> "graph_components",
+        "graph_pagerank_persisted" -> "graph_pagerank")) {
       val got = SparkEntry.queries(p)(spark, sfDir).collect().toSeq
       val want = SparkEntry.queries(t)(spark, sfDir).collect().toSeq
       assert(got == want, s"$p must answer exactly like $t")
