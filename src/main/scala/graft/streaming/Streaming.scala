@@ -379,11 +379,17 @@ object Streaming {
     * recomputes the same fold) and compaction-safe (stale versions
     * folded into one partition lose to the newer maximum).
     *
+    * @param idCols row-identity columns to dedup each batch on (the
+    *               at-least-once guard — the dqSink contract: a
+    *               declared-but-absent column FAILS FAST rather than
+    *               silently disabling the guard); pass Nil for a
+    *               stream with exactly-once rows and no identity
     * @param out receives (source, n_tokens, jsd_m20) per micro-batch
     */
   def driftSink(stateDir: String,
       buckets: Int = graft.text.TextOps.DRIFT_B,
-      ref: String = graft.text.TextOps.DRIFT_REF, compactEvery: Int = 8)(
+      ref: String = graft.text.TextOps.DRIFT_REF, compactEvery: Int = 8,
+      idCols: Seq[String] = Seq("doc_id"))(
       out: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
@@ -396,19 +402,25 @@ object Streaming {
           org.apache.spark.sql.types.StructField("c",
             org.apache.spark.sql.types.LongType))),
         compactEvery, None)
-      // Dedup the batch on DOCUMENT IDENTITY before counting: under
-      // at-least-once delivery a row duplicated WITHIN one batch would
-      // permanently inflate the cumulative counts (replay protection
-      // only guards whole-batch re-delivery), silently breaking the
-      // bit-equality with the batch text_source_drift — the same guard
-      // reservoirSink applies before its k-min. Without a doc_id no
-      // content fallback is safe (two GENUINELY distinct documents can
-      // share (source, text) — exact-duplicate texts are what the
-      // dedup family exists for), so the contract then assumes
-      // exactly-once rows within a batch.
+      // Dedup the batch on its DECLARED document identity before
+      // counting: under at-least-once delivery a row duplicated WITHIN
+      // one batch would permanently inflate the cumulative counts
+      // (replay protection only guards whole-batch re-delivery),
+      // silently breaking the bit-equality with the batch
+      // text_source_drift — the same guard reservoirSink applies
+      // before its k-min. No content fallback (two GENUINELY distinct
+      // documents can share (source, text) — exact-duplicate texts are
+      // what the dedup family exists for); a declared-but-missing
+      // column fails FAST instead of silently disabling the guard.
+      if (idCols.nonEmpty) {
+        val missing = idCols.filterNot(batch.columns.contains(_))
+        require(missing.isEmpty,
+          s"driftSink idCols ${missing.mkString(",")} absent from batch " +
+            s"columns ${batch.columns.mkString(",")}; pass idCols = Nil " +
+            "for an identity-less exactly-once stream")
+      }
       val distinctBatch =
-        if (batch.columns.contains("doc_id")) batch.dropDuplicates("doc_id")
-        else batch
+        if (idCols.nonEmpty) batch.dropDuplicates(idCols) else batch
       val delta = graft.text.TextOps.sourceBucketCounts(distinctBatch, buckets)
       val prior = st.visible(batchId).groupBy("source", "b")
         .agg(max("c").as("c"))
