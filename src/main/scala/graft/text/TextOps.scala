@@ -110,7 +110,21 @@ object TextOps {
 
   private val langid = Q(
     "text_langid",
-    (s, dir) => {
+    (s, dir) => langidScored(s, dir).orderBy("doc_id"),
+    Some(s"""WITH scored AS (
+        SELECT doc_id, lang,
+        $sqlLangidCounts
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE $sqlLangidCases END AS predicted,
+        $sqlLangidScoreCols
+      FROM scored ORDER BY doc_id"""))
+
+  /** The language prediction (doc_id, lang, predicted, per-lang scores)
+    * — shared by text_langid and text_langid_eval (one detector
+    * definition, two consumers).
+    */
+  private def langidScored(s: SparkSession, dir: String): DataFrame = {
       val scored = markers.foldLeft(Tables(s, dir, "documents")) {
         case (df, (lang, ms)) =>
           df.withColumn(s"score_$lang",
@@ -125,26 +139,64 @@ object TextOps {
       }
       scored.select(Seq(col("doc_id"), col("lang"), pred.as("predicted")) ++
           markers.map { case (l, _) => col(s"score_$l") }: _*)
-        .orderBy("doc_id")
+  }
+
+  private lazy val sqlLangidCounts: String = markers.map { case (l, ms) =>
+    val set = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text,' '), t -> t IN ($set))) AS score_$l"
+  }.mkString(",\n        ")
+  private lazy val sqlLangidScoreCols: String =
+    markers.map { case (l, _) => s"score_$l" }.mkString(", ")
+  private lazy val sqlLangidCases: String = markers.map { case (l, _) =>
+    s"WHEN score_$l = greatest($sqlLangidScoreCols) THEN '$l'"
+  }.mkString(" ")
+
+  // ----------------------------------------------------- text_langid_eval
+  /** LANGUAGE-ID EVALUATION against the corpus's ground-truth `lang`
+    * column — the detector-audit protocol (the dedup_recall /
+    * text_classify_prf shape, applied to [[langid]]): the full
+    * confusion matrix (truth × prediction) with each cell's share of
+    * its truth row in exact integer millionths `n·10⁶ DIV n_true` —
+    * the per-language recall lives on the diagonal, every systematic
+    * confusion (which language the detector mistakes for which) on
+    * the off-diagonals.
+    *
+    * Scale: the prediction pass is the langid scan (codegen token-
+    * match kernels, no joins); the confusion aggregate is ≤|langs|²
+    * map-side-combined keys; the truth totals re-aggregate those tiny
+    * keys. The shared prediction frame is CHECKPOINTED (two consumers
+    * — the cell counts and the truth totals).
+    */
+  private val langidEval = Q(
+    "text_langid_eval",
+    (s, dir) => {
+      val p = langidScored(s, dir).select("lang", "predicted")
+        .transform(graft.Checkpoint.of)
+      val conf = p.groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+      val nt = p.groupBy("lang").agg(count(lit(1)).as("n_true"))
+      conf.join(nt, "lang")
+        .select(col("lang"), col("predicted"), col("n"), col("n_true"),
+          expr("n * 1000000 DIV n_true").cast("long")
+            .as("share_of_true_m6"))
+        .orderBy("lang", "predicted")
     },
-    Some {
-      val counts = markers.map { case (l, ms) =>
-        val set = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(string_split(text,' '), t -> t IN ($set))) AS score_$l"
-      }.mkString(",\n        ")
-      val g = markers.map { case (l, _) => s"score_$l" }.mkString(", ")
-      val cases = markers.map { case (l, _) =>
-        s"WHEN score_$l = greatest($g) THEN '$l'"
-      }.mkString(" ")
-      s"""WITH scored AS (
+    Some(s"""WITH scored AS (
         SELECT doc_id, lang,
-        $counts
-        FROM documents)
-      SELECT doc_id, lang,
-        CASE $cases END AS predicted,
-        $g
-      FROM scored ORDER BY doc_id"""
-    })
+        $sqlLangidCounts
+        FROM documents),
+      pred AS MATERIALIZED (
+        SELECT lang, CASE $sqlLangidCases END AS predicted
+        FROM scored),
+      conf AS (
+        SELECT lang, predicted, COUNT(*)::BIGINT AS n
+        FROM pred GROUP BY 1, 2),
+      nt AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_true FROM pred GROUP BY 1)
+      SELECT lang, predicted, n, n_true,
+        (n * 1000000 // n_true)::BIGINT AS share_of_true_m6
+      FROM conf JOIN nt USING (lang)
+      ORDER BY lang, predicted"""))
 
   // ------------------------------------------------------ text_fingerprint
   /** Normalized-content fingerprint + duplicate-cluster size. At scale this
@@ -1895,5 +1947,5 @@ object TextOps {
     repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
     piiScrub, pplBucket, lineDedup, htmlStrip, normalize, stemQ, bm25,
     hybrid, badwords, keywords, entropy, sentences, collocations,
-    lenHistogram, sourceDrift, readability, zipf)
+    lenHistogram, sourceDrift, readability, zipf, langidEval)
 }
