@@ -691,6 +691,67 @@ object Sampling {
     SELECT position, source, doc_id, ikey FROM g
     WHERE position <= $INTERLEAVE_POS ORDER BY position"""))
 
+  // -------------------------------------------------------- sample_epochs
+  /** EPOCH MATERIALIZATION — the repetition-factor half of corpus
+    * mixing (the LLaMA/Dolma recipe: high-value sources are UPSAMPLED
+    * by repeating them an integer number of epochs, where [[budget]]
+    * downsamples): sources are ranked by a deterministic value signal
+    * (mean document length in chars, `sum(n_chars) DIV n_src` — exact
+    * integer both engines, source tie-break) and the rank QUARTILE
+    * sets the factor, top quartile 4 epochs … bottom 1:
+    * `ep = 4 − (rank−1)·4 DIV n_sources`. Rank-based factors exercise
+    * the full 1..4 range on ANY distribution (a count- or
+    * share-threshold rule degenerates to all-1s on a uniform corpus —
+    * this driver's documents table is exactly uniform).
+    *
+    * Scale: the per-source signal is one map-side-combined aggregate;
+    * the rank window runs on the ≤|sources|-row frame; the factor
+    * broadcasts; the explode is map-side on the scan — the row
+    * multiplication IS the operator's contract (the materialized
+    * mixture feeds the sequence packer), bounded by the epoch cap.
+    */
+  private val epochs = Q(
+    "sample_epochs",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+      val perSrc = d.groupBy("source")
+        .agg(count(lit(1)).as("n_src"), sum("n_chars").as("chars"))
+        .withColumn("mean_len", expr("chars DIV n_src"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_len").desc, col("source"))
+      val ep = perSrc
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n_sources",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))))
+        .select(col("source"),
+          expr("4 - (rk - 1) * 4 DIV n_sources").as("ep"))
+      d.join(broadcast(ep), "source")
+        .select(col("doc_id"), col("source"), col("ep"),
+          explode(sequence(lit(1L), col("ep"))).as("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+    Some("""WITH per_src AS (
+      SELECT source, COUNT(*)::BIGINT AS n_src,
+        SUM(n_chars)::BIGINT AS chars
+      FROM documents GROUP BY source),
+    ranked AS (
+      SELECT source,
+        ROW_NUMBER() OVER (ORDER BY chars // n_src DESC, source)::BIGINT
+          AS rk,
+        COUNT(*) OVER ()::BIGINT AS n_sources
+      FROM per_src),
+    ep AS (
+      SELECT source, (4 - (rk - 1) * 4 // n_sources)::BIGINT AS ep
+      FROM ranked)
+    SELECT doc_id, source, ep, u.epoch::BIGINT AS epoch
+    FROM documents
+    JOIN ep USING (source),
+    UNNEST(generate_series(1, ep)) u(epoch)
+    ORDER BY doc_id, epoch"""))
+
   val all: Seq[Q] = Seq(split, stratified, mix, shard, qualityWeighted,
-    temperature, budget, dsir, reservoir, kcenter, interleave)
+    temperature, budget, dsir, reservoir, kcenter, interleave, epochs)
 }
