@@ -1305,6 +1305,59 @@ object Knn {
     FROM kk LEFT JOIN m ON kk.query_id = m.query_id
     ORDER BY kk.query_id"""))
 
+  // ------------------------------------------------------ knn_recall_curve
+  /** RECALL@k CURVE for the IVF index against exact brute force — the
+    * full ANN evaluation protocol ([[recallQ]] reports the single
+    * operating point k=[[K]]; the curve shows how recall decays as
+    * the cutoff tightens, the number an index-tuning loop actually
+    * plots): for k ∈ {1, 3, 5}, `recall@k = |top-k exact ∩ top-k
+    * approx| / (NQ·k)` in exact integer millionths. Both rankings
+    * already exist WindowGroupLimit-bounded; the curve is three tiny
+    * aggregates over ONE checkpointed rank-pair join (three
+    * consumers — the multi-consumer rule), left-joined from the
+    * k-grid so an empty intersection still reports 0.
+    */
+  private val recallCurveQ = Q(
+    "knn_recall_curve",
+    (s, dir) => {
+      import s.implicits._
+      val exact = bruteforce.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("er"))
+      val approx = ivf.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("ar"))
+      val m = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .select("er", "ar")
+        .transform(graft.Checkpoint.of)
+      val ks = Seq(1L, 3L, 5L).toDF("k")
+      ks.join(m, col("er") <= col("k") && col("ar") <= col("k"), "left")
+        .groupBy("k")
+        .agg(count(col("er")).as("n_matched"))
+        .select(col("k"), col("n_matched"),
+          (col("k") * NQ).as("n_possible"),
+          expr(s"n_matched * 1000000 DIV (k * $NQ)").cast("long")
+            .as("recall_m6"))
+        .orderBy("k")
+    },
+    Some(s"""WITH $sqlIvfCtes,
+    brute AS (
+      SELECT query_id, neighbor_id, rank AS er FROM (
+        SELECT query_id, e.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id)
+            AS rank
+        FROM q, e WHERE query_id <> e.vec_id)
+      WHERE rank <= $K),
+    m AS MATERIALIZED (
+      SELECT b.er, i.rank AS ar
+      FROM brute b JOIN ivf_hits i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id),
+    ks AS (SELECT * FROM (VALUES (1), (3), (5)) t(k))
+    SELECT ks.k::BIGINT AS k, COUNT(m.er)::BIGINT AS n_matched,
+      (ks.k * $NQ)::BIGINT AS n_possible,
+      (COUNT(m.er) * 1000000 // (ks.k * $NQ))::BIGINT AS recall_m6
+    FROM ks LEFT JOIN m ON m.er <= ks.k AND m.ar <= ks.k
+    GROUP BY ks.k ORDER BY k"""))
+
   // ------------------------------------------------------ graph_components
   /** Connected components over the kNN graph — the third of the classic
     * graph trio (pagerank: importance; triangles: local density;
@@ -1684,6 +1737,6 @@ object Knn {
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
-    pagerankPersistedQ, mmrSelect, kmeansTrain, kmeansAssign,
+    pagerankPersistedQ, mmrSelect, recallCurveQ, kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }

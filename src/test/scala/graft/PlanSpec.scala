@@ -111,6 +111,7 @@ class PlanSpec extends SparkSpec {
     "emb_knn_classify",    // broadcast query set vs corpus (bruteforce shape)
     "knn_triplets",        // broadcast anchor set vs corpus (bruteforce shape)
     "emb_mmr_select",      // broadcast query set vs corpus (bruteforce shape)
+    "knn_recall_curve",    // composes knn_bruteforce + knn_ivf (both above)
     "q58_important_stock", // broadcast 1-row total, inequality probe
     "dq_rules")            // 1-row × 1-row referential-count cross joins
 
