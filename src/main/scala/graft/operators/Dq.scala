@@ -202,5 +202,95 @@ object Dq {
       FROM part)
     ORDER BY rule"""))
 
-  val all: Seq[Q] = Seq(dqRules)
+  /** Numeric STAT-DRIFT report — the second data-quality tier after
+    * [[dqRules]]' hard constraints (Deequ's AnomalyDetection shape,
+    * text_source_drift's numeric-table sibling): compare each fact
+    * metric's mean between a REFERENCE slice and the NEW slice (here:
+    * lineitem before/since 1998 — in production, yesterday's corpus vs
+    * today's batch) in exact integer micro units. Division-free where
+    * signs could bite: means are positive-integer floors
+    * (`sum_micro DIV n`, identical both engines) and the drift is the
+    * raw mean DIFFERENCE (a signed ratio would hit the DIV/`//`
+    * truncate-vs-floor trap q50 documents; a subtraction is exact).
+    *
+    * Scale: ONE column-pruned scan computes both slices' sums and
+    * counts as `sum(CASE)` partials beside each other (never two
+    * scans); the 1-row result is checkpointed before fanning out into
+    * the three metric rows; the report is driver-tiny at any size.
+    */
+  private val dqDrift = Q(
+    "dq_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val isNew = col("l_shipdate") >= lit("1998-01-01")
+      def micro(c: Column) =
+        (c.cast(DecimalType(18, 6)) * lit(1000000)).cast(DecimalType(38, 0))
+      def side(flag: Column, c: Column, tag: String) = Seq(
+        sum(when(flag, micro(c)).otherwise(lit(0)))
+          .cast(DecimalType(38, 0)).as(s"s_$tag"),
+        sum(when(flag, 1L).otherwise(0L)).as(s"n_$tag"))
+      val metrics = Seq(
+        "l_discount" -> col("l_discount"),
+        "l_extendedprice" -> col("l_extendedprice"),
+        "l_quantity" -> col("l_quantity"))
+      val aggExprs = metrics.flatMap { case (m, c) =>
+        side(!isNew, c, s"ref_$m") ++ side(isNew, c, s"new_$m")
+      }
+      val agg1 = t(s, dir, "lineitem")
+        .select(col("l_shipdate") +: metrics.map(_._2): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .transform(graft.Checkpoint.of)
+      metrics.map { case (m, _) =>
+        agg1.select(lit(m).as("metric"),
+          col(s"n_ref_$m").cast("long").as("n_ref"),
+          col(s"n_new_$m").cast("long").as("n_new"),
+          expr(s"s_ref_$m DIV n_ref_$m").cast("long")
+            .as("ref_mean_micro"),
+          expr(s"s_new_$m DIV n_new_$m").cast("long")
+            .as("new_mean_micro"))
+      }.reduce(_ unionByName _)
+        .withColumn("diff_micro",
+          col("new_mean_micro") - col("ref_mean_micro"))
+        .orderBy("metric")
+    },
+    Some("""WITH agg AS (
+      SELECT
+        SUM(CASE WHEN l_shipdate < '1998-01-01'
+          THEN (l_discount::DECIMAL(18,6) * 1000000)::HUGEINT
+          ELSE 0 END) AS s_ref_disc,
+        SUM(CASE WHEN l_shipdate >= '1998-01-01'
+          THEN (l_discount::DECIMAL(18,6) * 1000000)::HUGEINT
+          ELSE 0 END) AS s_new_disc,
+        SUM(CASE WHEN l_shipdate < '1998-01-01'
+          THEN (l_extendedprice::DECIMAL(18,6) * 1000000)::HUGEINT
+          ELSE 0 END) AS s_ref_price,
+        SUM(CASE WHEN l_shipdate >= '1998-01-01'
+          THEN (l_extendedprice::DECIMAL(18,6) * 1000000)::HUGEINT
+          ELSE 0 END) AS s_new_price,
+        SUM(CASE WHEN l_shipdate < '1998-01-01'
+          THEN (l_quantity::DECIMAL(18,6) * 1000000)::HUGEINT
+          ELSE 0 END) AS s_ref_qty,
+        SUM(CASE WHEN l_shipdate >= '1998-01-01'
+          THEN (l_quantity::DECIMAL(18,6) * 1000000)::HUGEINT
+          ELSE 0 END) AS s_new_qty,
+        SUM(CASE WHEN l_shipdate < '1998-01-01' THEN 1 ELSE 0 END)
+          AS n_ref,
+        SUM(CASE WHEN l_shipdate >= '1998-01-01' THEN 1 ELSE 0 END)
+          AS n_new
+      FROM lineitem)
+    SELECT metric, n_ref::BIGINT AS n_ref, n_new::BIGINT AS n_new,
+      (s_ref // n_ref)::BIGINT AS ref_mean_micro,
+      (s_new // n_new)::BIGINT AS new_mean_micro,
+      ((s_new // n_new) - (s_ref // n_ref))::BIGINT AS diff_micro
+    FROM (
+      SELECT 'l_discount' AS metric, s_ref_disc AS s_ref,
+        s_new_disc AS s_new, n_ref, n_new FROM agg
+      UNION ALL
+      SELECT 'l_extendedprice', s_ref_price, s_new_price, n_ref, n_new
+      FROM agg
+      UNION ALL
+      SELECT 'l_quantity', s_ref_qty, s_new_qty, n_ref, n_new FROM agg)
+    ORDER BY metric"""))
+
+  val all: Seq[Q] = Seq(dqRules, dqDrift)
 }
