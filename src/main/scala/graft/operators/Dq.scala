@@ -242,11 +242,16 @@ object Dq {
         .transform(graft.Checkpoint.of)
       metrics.map { case (m, _) =>
         agg1.select(lit(m).as("metric"),
-          col(s"n_ref_$m").cast("long").as("n_ref"),
-          col(s"n_new_$m").cast("long").as("n_new"),
-          expr(s"s_ref_$m DIV n_ref_$m").cast("long")
+          coalesce(col(s"n_ref_$m"), lit(0L)).cast("long").as("n_ref"),
+          coalesce(col(s"n_new_$m"), lit(0L)).cast("long").as("n_new"),
+          // Empty slice → NULL mean (never DIVIDE_BY_ZERO under ANSI;
+          // the driver HAS regenerated tables mid-round — a shipdate
+          // split can legitimately go one-sided).
+          expr(s"CASE WHEN coalesce(n_ref_$m, 0) = 0 THEN NULL " +
+            s"ELSE s_ref_$m DIV n_ref_$m END").cast("long")
             .as("ref_mean_micro"),
-          expr(s"s_new_$m DIV n_new_$m").cast("long")
+          expr(s"CASE WHEN coalesce(n_new_$m, 0) = 0 THEN NULL " +
+            s"ELSE s_new_$m DIV n_new_$m END").cast("long")
             .as("new_mean_micro"))
       }.reduce(_ unionByName _)
         .withColumn("diff_micro",
@@ -278,10 +283,16 @@ object Dq {
         SUM(CASE WHEN l_shipdate >= '1998-01-01' THEN 1 ELSE 0 END)
           AS n_new
       FROM lineitem)
-    SELECT metric, n_ref::BIGINT AS n_ref, n_new::BIGINT AS n_new,
-      (s_ref // n_ref)::BIGINT AS ref_mean_micro,
-      (s_new // n_new)::BIGINT AS new_mean_micro,
-      ((s_new // n_new) - (s_ref // n_ref))::BIGINT AS diff_micro
+    SELECT metric, COALESCE(n_ref, 0)::BIGINT AS n_ref,
+      COALESCE(n_new, 0)::BIGINT AS n_new,
+      (CASE WHEN COALESCE(n_ref, 0) = 0 THEN NULL
+        ELSE s_ref // n_ref END)::BIGINT AS ref_mean_micro,
+      (CASE WHEN COALESCE(n_new, 0) = 0 THEN NULL
+        ELSE s_new // n_new END)::BIGINT AS new_mean_micro,
+      (CASE WHEN COALESCE(n_ref, 0) = 0 OR COALESCE(n_new, 0) = 0
+        THEN NULL
+        ELSE (s_new // n_new) - (s_ref // n_ref) END)::BIGINT
+        AS diff_micro
     FROM (
       SELECT 'l_discount' AS metric, s_ref_disc AS s_ref,
         s_new_disc AS s_new, n_ref, n_new FROM agg

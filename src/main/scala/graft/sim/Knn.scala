@@ -861,11 +861,6 @@ object Knn {
     * roll-ups are map-side-combined counts. No arrays, no windows, no
     * driver state.
     */
-  /** The triangle/degree report from any (query_id, neighbor_id) edge
-    * frame — shared by [[triangleQ]] (edges derived in-query) and
-    * `graph_triangles_persisted` (edges read from the stored graph):
-    * ONE definition, two ingestion paths.
-    */
   /** The deduped undirected (u < v) edge set, checkpointed — shared
     * derivation of every undirected-graph report body.
     */
@@ -876,6 +871,11 @@ object Knn {
       .distinct()
       .transform(graft.Checkpoint.of)
 
+  /** The triangle/degree report from any (query_id, neighbor_id) edge
+    * frame — shared by the derive-in-query `graph_triangles` and
+    * `graph_triangles_persisted` (edges read from the stored graph):
+    * ONE definition, two ingestion paths.
+    */
   private def triangleReport(s: SparkSession, dir: String,
       edges: DataFrame): DataFrame = {
       val und = undirectedEdges(edges)

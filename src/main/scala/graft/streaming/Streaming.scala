@@ -380,16 +380,18 @@ object Streaming {
     * folded into one partition lose to the newer maximum).
     *
     * @param idCols row-identity columns to dedup each batch on (the
-    *               at-least-once guard — the dqSink contract: a
-    *               declared-but-absent column FAILS FAST rather than
-    *               silently disabling the guard); pass Nil for a
-    *               stream with exactly-once rows and no identity
+    *               at-least-once guard — the dqSink contract: identity
+    *               is CALLER-DECLARED, default Nil = exactly-once rows
+    *               with no identity; a declared-but-absent column
+    *               FAILS FAST rather than silently disabling the
+    *               guard. Document streams should pass
+    *               `Seq("doc_id")`.
     * @param out receives (source, n_tokens, jsd_m20) per micro-batch
     */
   def driftSink(stateDir: String,
       buckets: Int = graft.text.TextOps.DRIFT_B,
       ref: String = graft.text.TextOps.DRIFT_REF, compactEvery: Int = 8,
-      idCols: Seq[String] = Seq("doc_id"))(
+      idCols: Seq[String] = Nil)(
       out: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession

@@ -53,6 +53,18 @@ class RobustnessSpec extends SparkSpec {
         s"$name should reduce an empty corpus to at most one summary row")
   }
 
+  test("dq_drift stays total on empty input: the full metric grid with " +
+      "zero counts and NULL means (no ANSI DIVIDE_BY_ZERO)") {
+    val rows = SparkEntry.queries("dq_drift")(spark, emptyDir).collect()
+    assert(rows.length == 3, "the metric report must not lose rows")
+    assert(rows.forall(r => r.getAs[Long]("n_ref") == 0L &&
+      r.getAs[Long]("n_new") == 0L))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("ref_mean_micro")) &&
+      r.isNullAt(r.fieldIndex("new_mean_micro")) &&
+      r.isNullAt(r.fieldIndex("diff_micro"))),
+      "an empty slice has no mean — NULL, never a division error")
+  }
+
   test("dq_rules stays total on empty input: the full fixed-rule report " +
       "with zero counts, all rules passing") {
     val rows = SparkEntry.queries("dq_rules")(spark, emptyDir)

@@ -546,7 +546,10 @@ class StreamingSpec extends SparkSpec {
       "idempotent") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
     var last = Seq.empty[(String, Long, Long)]
-    val sink = Streaming.driftSink(s"$tmp/state") { out =>
+    // identity is caller-declared (Nil default = exactly-once): the
+    // documents stream declares doc_id as its at-least-once identity
+    val sink = Streaming.driftSink(s"$tmp/state",
+        idCols = Seq("doc_id")) { out =>
       last = out.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSeq.sortBy(_._1)
