@@ -424,16 +424,27 @@ object Quantize {
       .transform(graft.Checkpoint.of)
   }
 
+  /** One round of the iterate as ONE linear plan: the max-|component|
+    * normalizer is a single-partition WINDOW aggregate over the d-row
+    * matvec result instead of a broadcast 1-row scalar — the matvec
+    * subtree appears ONCE in the plan (a broadcast scalar re-executes
+    * it per consumer: 2^rounds executions of round 1 by the end), so
+    * the whole trainer is one action with no per-round checkpoint. The
+    * single partition holds d rows — the trainer state, never the
+    * corpus.
+    */
   private def powerIterateFrom(sm: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
+    val wg = Window.partitionBy("g")
     var v = sm.select(col("i").as("j")).distinct()
       .select(col("j"), lit(1000000L).cast(dec).as("v"))
     for (_ <- 1 to PCA_ROUNDS) {
-      val r = sm.join(broadcast(v), "j")
+      v = sm.join(broadcast(v), "j")
         .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
-      val mx = r.agg(max(abs(col("r"))).cast(dec).as("mx"))
-      v = r.crossJoin(broadcast(mx))
+        .withColumn("g", lit(1))
+        .withColumn("mx", max(abs(col("r"))).over(wg).cast(dec))
         .select(col("i").as("j"),
           expr("r * 1000000 DIV mx").cast(dec).as("v"))
     }
@@ -773,9 +784,10 @@ object Quantize {
     * component — a deterministic artifact, not drift; both engines
     * compute the identical integers. Scale: identical to pcaPower —
     * corpus appears only in the one scatter pass; the trainer runs on
-    * the broadcast d²-row matrix, ONE materialized d-row state frame
-    * per round (half the action count of the former
-    * deflate-after-converge two-trainer chain).
+    * the broadcast d²-row matrix as ONE linear plan (per-round scalars
+    * are single-partition window aggregates over the d-row iterate —
+    * see [[powerIterateFrom]] — so the whole 3-round chain is a single
+    * action, no per-round checkpoint).
     */
   /** The trained 2-d basis as a `(j, va, vb)` DECIMAL(38,0) frame —
     * shared by [[pca2]] (exports it) and [[pca2Project]] (applies it
@@ -783,41 +795,46 @@ object Quantize {
     */
   private def pca2Basis(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
+    val wg = Window.partitionBy("g")
     val sm = scatterMirror(emb(s, dir))
     var st = sm.select(col("i").as("j")).distinct()
       .select(col("j"), lit(1000000L).cast(dec).as("va"),
         when(pmod(col("j"), lit(2)) === 0, lit(1000000L))
           .otherwise(lit(-1000000L)).cast(dec).as("vb"))
+    // Each round is ONE linear plan: every per-round scalar (the two
+    // max-norms, the two Gram-Schmidt inner products, the deflated
+    // max-norm) is a single-partition WINDOW aggregate over the d-row
+    // iterate, so no subtree is consumed twice — the former broadcast
+    // 1-row scalars re-executed the matvec join+agg ~8x per round
+    // (nested-broadcast fan-out), which at 3 rounds dominated the
+    // query (11.8 s -> the trainer is now one action). The single
+    // partition holds d rows — trainer state, never the corpus.
     for (_ <- 1 to PCA_ROUNDS) {
-      val r = sm.join(broadcast(st), "j")
+      st = sm.join(broadcast(st), "j")
         .groupBy("i")
         .agg(sum(col("sv") * col("va")).cast(dec).as("ra"),
           sum(col("sv") * col("vb")).cast(dec).as("rb"))
-      val mx = r.agg(max(abs(col("ra"))).cast(dec).as("mxa"),
-        max(abs(col("rb"))).cast(dec).as("mxb"))
-      // u feeds the Gram-Schmidt scalars AND the new state, but is a
-      // join+agg of already-materialized frames (sm + checkpointed
-      // st) — evaluating it per consumer costs less than an extra
-      // localCheckpoint action per round (the CC-loop measurement);
-      // only st materializes per round
-      val u = r.crossJoin(broadcast(mx))
-        .select(col("i"),
+        .withColumn("g", lit(1))
+        .withColumn("mxa", max(abs(col("ra"))).over(wg).cast(dec))
+        .withColumn("mxb", max(abs(col("rb"))).over(wg).cast(dec))
+        .select(col("g"), col("i"),
           expr("ra * 1000000 DIV mxa").cast(dec).as("ua"),
           expr("rb * 1000000 DIV mxb").cast(dec).as("ub"))
-      val c = u.agg(sum(col("ua") * col("ub")).cast(dec).as("uab"),
-        sum(col("ua") * col("ua")).cast(dec).as("uaa"))
-      val o = u.crossJoin(broadcast(c))
-        .select(col("i"), col("ua"),
+        .withColumn("uab", sum(col("ua") * col("ub")).over(wg).cast(dec))
+        .withColumn("uaa", sum(col("ua") * col("ua")).over(wg).cast(dec))
+        .select(col("g"), col("i"), col("ua"),
           (col("ub") - expr("uab * ua DIV uaa")).cast(dec).as("o"))
-      val mo = o.agg(greatest(max(abs(col("o"))), lit(1L).cast(dec))
-        .cast(dec).as("mxo"))
-      st = o.crossJoin(broadcast(mo))
+        .withColumn("mxo",
+          greatest(max(abs(col("o"))).over(wg), lit(1L).cast(dec))
+            .cast(dec))
         .select(col("i").as("j"), col("ua").as("va"),
           expr("o * 1000000 DIV mxo").cast(dec).as("vb"))
-        .transform(graft.Checkpoint.of) // bounds per-round lineage fan-out
     }
+    // single-use in both exports (pca2 sorts it, pca2Project broadcasts
+    // it once) — no materialization needed, the chain is linear
     st
   }
 
