@@ -2338,10 +2338,67 @@ object Relational {
     WHERE r_name = 'EUROPE'
     ORDER BY s_suppkey"""))
 
+  // ---------------------------------------------------------------- q62
+  /** Late-shipment priority split per line class — the TPC-H Q12 shape
+    * (the one classic this suite lacked: a fact-fact join whose output
+    * is TWO complementary `sum(CASE)` columns over the joined stream),
+    * adapted to this schema's columns: per (l_returnflag, l_linestatus)
+    * — the 6-value line class standing in for l_shipmode — over lines
+    * SHIPPED in 1997 that arrived late (shipped >30 epoch-days after
+    * the order date, the q38/q56 SLA rule), how many came from
+    * high-priority orders (1-URGENT/2-HIGH) vs the rest. The classic
+    * "are critical orders riding the slow lanes" report.
+    *
+    * Exactness: lateness is integer epoch-day floors both engines (the
+    * q56 recipe); the split counts are integer `sum(CASE)` over ≥1-row
+    * groups (never the empty-group NULL trap). Scale: the shipdate
+    * window is PUSHED to the lineitem scan (1/~5 of the fact rows
+    * before any join); the lateness predicate rides the join as a
+    * residual; ONE orderkey shuffle against a 3-column orders
+    * projection (bucketed twins → zero-exchange, the q38 recipe); the
+    * final aggregate map-side-combines onto 6 keys.
+    */
+  private val q62 = Q(
+    "q62_late_priority_split",
+    (s, dir) => {
+      val hi = Seq("1-URGENT", "2-HIGH")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("od"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_linestatus"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+            " DIV 86400000000").as("sd"))
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("sd") > col("od") + 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("high_lines"),
+          sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+            .as("low_lines"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        THEN 1 ELSE 0 END)::BIGINT AS high_lines,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        THEN 0 ELSE 1 END)::BIGINT AS low_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      AND epoch_ms(l_shipdate) // 86400000
+        > epoch_ms(o_orderdate) // 86400000 + 30
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-      q54, q55, q56, q57, q58, q59, q60, q61)
+      q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }
