@@ -1007,6 +1007,155 @@ object Knn {
       knnGraph(s, dir).select("query_id", "neighbor_id")),
     Some(sqlLinkpred))
 
+  // ------------------------------------------------------ graph_labelprop
+  /** COMMUNITY DETECTION via synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007) over the persisted kNN graph — the
+    * coarser-than-components structure a curation dashboard reads
+    * (components answers "is the space one blob"; communities answer
+    * "what are the topic-sized regions inside the blob"). Exactly
+    * [[LPA_ROUNDS]] synchronous rounds, fully deterministic: every
+    * node adopts the most frequent label among its neighbors, ties by
+    * max count then MIN label — so the unrolled-CTE oracle hash-gates
+    * the whole trajectory (the kmeans_train fixed-rounds precedent;
+    * no convergence probe, so cost is bounded by construction — the
+    * mm_phash_clusters diameter lesson applied a priori).
+    *
+    * Scale: each round is ONE equi-join of the checkpointed 2E-row
+    * adjacency against the n-row label frame + a map-side-combined
+    * (node, lbl) count + a partial-aggregatable `max_by` argmax (no
+    * exchange+sort+window — the q30 rule). Labels are consumed ONCE
+    * per round (isolated nodes are handled at the END — they never
+    * change label, so the loop runs only over nodes with edges),
+    * keeping the 3-round lineage LINEAR with zero per-round
+    * checkpoints. Final labels checkpoint once (sizes + report = two
+    * consumers).
+    */
+  private val LPA_ROUNDS = 3
+
+  private def labelpropReport(s: SparkSession, dir: String,
+      rawEdges: DataFrame): DataFrame = {
+    val und = undirectedEdges(
+      rawEdges.select("query_id", "neighbor_id"))
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+      .transform(graft.Checkpoint.of) // one frame, LPA_ROUNDS consumers
+    var lbl = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LPA_ROUNDS) {
+      lbl = adj
+        .join(lbl.withColumnRenamed("node", "nb"), "nb")
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+    }
+    val fin = graft.Checkpoint.of(lbl)
+    val all = emb(s, dir).select(col("vec_id"))
+      .join(fin.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("community_id"))
+    val sizes = all.groupBy("community_id")
+      .agg(count(lit(1)).as("community_size"))
+    all.join(sizes, "community_id")
+      .select("vec_id", "community_id", "community_size")
+      .orderBy("vec_id")
+  }
+
+  private val sqlLabelprop: String = {
+    val rounds = (1 to LPA_ROUNDS).map { k =>
+      val prev = s"lpl${k - 1}"
+      s"""lpc$k AS (
+      SELECT a.node, p.lbl, COUNT(*)::BIGINT AS c
+      FROM adj a JOIN $prev p ON a.nb = p.node
+      GROUP BY a.node, p.lbl),
+    lpl$k AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (PARTITION BY node
+          ORDER BY c DESC, lbl) AS rn FROM lpc$k)
+      WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""WITH $sqlKnnEdgesCte,
+    und AS (SELECT DISTINCT least(u, v_id) AS u, greatest(u, v_id) AS v
+      FROM edges),
+    adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+      UNION ALL SELECT v, u FROM und),
+    lpl0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+    $rounds,
+    lab AS MATERIALIZED (
+      SELECT e.vec_id, COALESCE(l.lbl, e.vec_id) AS community_id
+      FROM e LEFT JOIN lpl$LPA_ROUNDS l ON e.vec_id = l.node),
+    sz AS (SELECT community_id, COUNT(*)::BIGINT AS community_size
+      FROM lab GROUP BY community_id)
+    SELECT vec_id, community_id, community_size
+    FROM lab JOIN sz USING (community_id) ORDER BY vec_id"""
+  }
+
+  private val labelpropQ = Q(
+    "graph_labelprop",
+    (s, dir) => labelpropReport(s, dir, readKnnGraph(s, dir)),
+    Some(sqlLabelprop))
+
+  // --------------------------------------------------- graph_embeddedness
+  /** EDGE EMBEDDEDNESS — common-neighbor support of every EXISTING
+    * edge (the inner-join complement of [[linkpredReport]]'s
+    * non-adjacent candidates): `emb(u,v) = |N(u)∩N(v)|`, jaccard in
+    * exact integer millionths. This is the graph-sparsification /
+    * strong-tie report (Satuluri et al. 2011's local-similarity edge
+    * pruning): at 100 TB the kNN graph keeps only high-embeddedness
+    * edges before the expensive analytics run, and zero-embeddedness
+    * edges are the likely IVF artifacts a verification pass re-scores
+    * first. Top-50 strongest ties; same Σ deg²-bounded wedge join and
+    * checkpointed edge list as linkpred — never all-pairs.
+    */
+  private def embeddednessReport(edges: DataFrame): DataFrame = {
+    val und = undirectedEdges(edges)
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    val common = adj.as("x").join(adj.as("y"),
+        col("x.node") === col("y.node") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("pu"), col("y.nb").as("pv"))
+      .agg(count(lit(1)).as("common"))
+    und.join(common, col("u") === col("pu") && col("v") === col("pv"),
+        "left")
+      .select(col("u"), col("v"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("d", "dv"), Seq("v"))
+      .select(col("u").as("src"), col("v").as("dst"), col("common"),
+        expr("common * 1000000 DIV (du + dv - common)").cast("long")
+          .as("jaccard_m6"))
+      .orderBy(col("jaccard_m6").desc, col("src"), col("dst"))
+      .limit(50)
+  }
+
+  private val sqlEmbeddedness: String = s"""WITH $sqlKnnEdgesCte,
+    und AS MATERIALIZED (SELECT DISTINCT least(u, v_id) AS u,
+      greatest(u, v_id) AS v FROM edges),
+    adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+      UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT node, COUNT(*)::BIGINT AS d FROM adj GROUP BY node),
+    common AS (
+      SELECT x.nb AS pu, y.nb AS pv, COUNT(*)::BIGINT AS common
+      FROM adj x JOIN adj y ON x.node = y.node AND x.nb < y.nb
+      GROUP BY 1, 2)
+    SELECT u AS src, v AS dst,
+      COALESCE(c.common, 0)::BIGINT AS common,
+      (COALESCE(c.common, 0) * 1000000
+        // (du.d + dv.d - COALESCE(c.common, 0)))::BIGINT AS jaccard_m6
+    FROM und
+    LEFT JOIN common c ON c.pu = u AND c.pv = v
+    JOIN deg du ON du.node = u
+    JOIN deg dv ON dv.node = v
+    ORDER BY jaccard_m6 DESC, src, dst LIMIT 50"""
+
+  private val embeddednessQ = Q(
+    "graph_embeddedness",
+    (s, dir) => embeddednessReport(
+      readKnnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlEmbeddedness))
+
   // ------------------------------------------------- persisted kNN graph
   /** The kNN GRAPH as a PERSISTED artifact — the production shape for
     * the whole graph family: at 100 TB the edge list (n·k thin rows —
@@ -1735,7 +1884,8 @@ object Knn {
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
-    knnJoin, pagerank, triangleQ, componentsQ, linkpredQ,
+    knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, labelpropQ,
+    embeddednessQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
     pagerankPersistedQ, mmrSelect, recallCurveQ, kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
