@@ -695,6 +695,96 @@ object TextOps {
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     ORDER BY d.doc_id"""))
 
+  // --------------------------------------------------------- text_lm_heldout
+  /** HELD-OUT bigram-LM evaluation per source — the honest protocol for
+    * [[lmScore]] (which trains and scores on the same corpus, the
+    * in-sample fluency gate): train the MLE bigram counts ONLY on the
+    * 80% content-hash `train` split ([[Sampling.splitLabel]] — the
+    * text_classify_nb protocol), score the held-out `test` docs, and
+    * report per SOURCE the held-out mean probability plus the
+    * OOV-bigram rate (test bigrams never seen in training — the
+    * generalization-vs-memorization card a pipeline reads before
+    * trusting the LM filter on tomorrow's crawl; a source whose
+    * held-out score collapses is one the train split doesn't cover).
+    *
+    * Exactness: the seen-bigram terms are [[lmScore]]'s exact integers
+    * (`c2·10⁶ DIV c1`, unseen = 0 by MLE), the OOV rate is integer
+    * floor-millionths, and the mean is ONE IEEE division. Scale: the
+    * SAME checkpointed thin gram stream feeds the two train-count
+    * aggregates (vocab-bounded) and the test probe; two hash joins
+    * back; the report aggregate map-side-combines onto |sources| keys.
+    */
+  private val lmHeldout = Q(
+    "text_lm_heldout",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Sampling.splitLabel(col("text")).as("split"), col("text"))
+      val gramArr = org.apache.spark.sql.graft.Shim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), 2,
+          distinct = false))
+      def h(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val grams = d
+        .select(col("source"), col("split"), explode(gramArr).as("g"))
+        .select(col("source"), col("split"),
+          h(substring_index(col("g"), " ", 1)).as("h1"), h(col("g")).as("h2"))
+        .transform(graft.Checkpoint.of) // train counts + test probe
+      val ctx = grams.filter(col("split") === "train")
+        .groupBy("h1").agg(count(lit(1)).as("c1"))
+      val big = grams.filter(col("split") === "train")
+        .groupBy("h2").agg(count(lit(1)).as("c2"))
+      grams.filter(col("split") === "test")
+        .join(big, Seq("h2"), "left")
+        .join(ctx, Seq("h1"), "left")
+        .withColumn("term",
+          coalesce(expr("c2 * 1000000 DIV c1"), lit(0L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("term")).as("t"))
+        .select(col("source"), col("n_bigrams"), col("n_oov"),
+          expr("n_oov * 1000000 DIV n_bigrams").as("oov_m6"),
+          (col("t").cast("double") /
+            (col("n_bigrams") * lit(1000000.0))).as("lm_score"))
+        .orderBy("source")
+    },
+    Some("""WITH docs AS (
+      SELECT doc_id, source,
+        CASE
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 52429
+            THEN 'train'
+          WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 4))::INT < 58982
+            THEN 'val'
+          ELSE 'test'
+        END AS split,
+        list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    grams AS MATERIALIZED (
+      SELECT source, split,
+        ('0x' || substr(md5(u.s.a), 1, 15))::BIGINT AS h1,
+        ('0x' || substr(md5(u.s.g), 1, 15))::BIGINT AS h2
+      FROM docs, UNNEST([struct_pack(a := w[i], g := w[i] || ' ' || w[i+1])
+        for i in range(1, greatest(len(w), 1))]) u(s)),
+    ctx AS (SELECT h1, COUNT(*) AS c1 FROM grams
+      WHERE split = 'train' GROUP BY h1),
+    big AS (SELECT h2, COUNT(*) AS c2 FROM grams
+      WHERE split = 'train' GROUP BY h2),
+    probe AS (
+      SELECT g.source, COUNT(*)::BIGINT AS n_bigrams,
+        SUM(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        SUM(COALESCE((b.c2 * 1000000) // c.c1, 0))::BIGINT AS t
+      FROM grams g
+      LEFT JOIN big b USING (h2)
+      LEFT JOIN ctx c USING (h1)
+      WHERE g.split = 'test'
+      GROUP BY g.source)
+    SELECT source, n_bigrams, n_oov,
+      (n_oov * 1000000 // n_bigrams)::BIGINT AS oov_m6,
+      CAST(t AS DOUBLE) / (n_bigrams * 1000000.0) AS lm_score
+    FROM probe ORDER BY source"""))
+
   // ------------------------------------------------------------- text_oov
   /** Vocabulary-coverage / OOV-rate QA — the tokenizer-coverage check a
     * pipeline runs before committing to a vocab: build the top-V corpus
@@ -1944,7 +2034,7 @@ object TextOps {
     FROM s"""))
 
   val all: Seq[Q] = Seq(stats, langid, fingerprint, winnowed, topTokens,
-    repetition, quality, tfidf, chunk, corpusStats, lmScore, oov, ngramLm,
+    repetition, quality, tfidf, chunk, corpusStats, lmScore, lmHeldout, oov, ngramLm,
     piiScrub, pplBucket, lineDedup, htmlStrip, normalize, stemQ, bm25,
     hybrid, badwords, keywords, entropy, sentences, collocations,
     lenHistogram, sourceDrift, readability, zipf, langidEval)
