@@ -251,6 +251,109 @@ object Pq {
         FROM ${p}sv$m s, cb_$m cb) WHERE rk = 1)"""
   }
 
+  // ---------------------------------------------------- knn_pq_distortion
+  /** PQ RECONSTRUCTION-ERROR report — the compression-quality card for
+    * the [[pq]] encoder (emb_matryoshka audits the dimension axis,
+    * emb_quantize_recall the int8 precision axis; this audits the PQ
+    * codebook axis): per subspace, the mean squared error between each
+    * vector's slice and its assigned centroid — the number that decides
+    * KSUB/M before a 100 TB corpus is committed to 64×-smaller codes
+    * (Jégou et al. 2011 §IV's distortion curve).
+    *
+    * Exactness: slices lift to the exact round(x,6) micro integers and
+    * the trained centroids to FLOOR-micro integers (`floor(cv·10⁶)` —
+    * cv is already a bit-identical double both engines: decimal-exact
+    * sums ÷ count in one IEEE division, then one IEEE multiply and a
+    * floor), so every squared error is an exact BIGINT and the
+    * per-subspace totals are exact DECIMAL(38,0)/HUGEINT sums — the
+    * only FP in the output is the final total→DOUBLE cast and ONE IEEE
+    * division per row. Scale: encode is the [[pq]] map-side kernel
+    * chain (zero exchange); components posexplode map-side and join
+    * the n-row codes table CO-PARTITIONED on vec_id and the ≤M·KSUB·SD
+    * = 1024-row broadcast centroid components; the aggregate map-side-
+    * combines onto M keys.
+    */
+  private val pqDistortion = Q(
+    "knn_pq_distortion",
+    (s, dir) => {
+      val dec = DecimalType(38, 0)
+      val e = emb(s, dir)
+      val cbArrs = cbArrays(e)
+      val codes = cbArrs.zipWithIndex.foldLeft(e) { case (df, (cb, m)) =>
+        df.crossJoin(broadcast(cb))
+          .withColumn(s"k$m", nc(sub(m, col("v")), col(s"cs$m")))
+          .drop(s"cs$m")
+      }.select(col("vec_id") +: (0 until M).map(m => col(s"k$m")): _*)
+      val cbcomp = cbArrs.zipWithIndex.map { case (cb, m) =>
+        cb.select(explode(col(s"cs$m")).as("c"))
+          .select(lit(m).as("m"), col("c.cent_id").as("code"),
+            posexplode(col("c.cv")).as(Seq("p0", "cx")))
+          .select(col("m"), col("code"), col("p0"),
+            floor(col("cx") * lit(1000000.0)).as("ci"))
+      }.reduce(_ unionByName _)
+      val comp = e
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+        .select(col("vec_id"), expr(s"CAST(i0 DIV $SD AS INT)").as("m"),
+          expr(s"i0 % $SD").as("p0"),
+          (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+            .cast(dec).cast("long").as("mi"))
+      comp.join(codes, "vec_id")
+        .withColumn("code", element_at(
+          array((0 until M).map(m => col(s"k$m")): _*),
+          (col("m") + 1).cast("int")))
+        .join(broadcast(cbcomp), Seq("m", "code", "p0"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_comp"),
+          sum((col("mi") - col("ci")) * (col("mi") - col("ci")))
+            .cast(dec).as("total"))
+        .select(col("m"), expr(s"n_comp DIV $SD").as("n_vectors"),
+          col("total").cast("double").as("total_se"),
+          (col("total").cast("double") / expr(s"n_comp DIV $SD"))
+            .as("mse"))
+        .orderBy("m")
+    },
+    Some {
+      val chains = (0 until M).map(m => subSql(m, "", "e", "seeds"))
+        .mkString(",\n      ")
+      val cbcomp = (0 until M).map(m =>
+        s"""SELECT $m AS m, code, u.s.p AS p0,
+          FLOOR(u.s.c * 1000000)::BIGINT AS ci
+        FROM cb_$m, UNNEST([struct_pack(p := i - 1, c := cv[i])
+          for i in range(1, len(cv) + 1)]) u(s)""").mkString(
+        "\n        UNION ALL\n        ")
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      seeds AS (SELECT vec_id, v FROM e
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+          vec_id
+        LIMIT $KSUB),
+      $chains,
+      codes AS (SELECT k0.vec_id, k0.code AS k0, k1.code AS k1,
+          k2.code AS k2, k3.code AS k3
+        FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id)
+        JOIN k3 USING (vec_id)),
+      cbcomp AS MATERIALIZED (
+        $cbcomp),
+      comp AS (
+        SELECT vec_id, (u.s.i // $SD)::INT AS m, (u.s.i % $SD)::INT AS p0,
+          ((round(u.s.x, 6)::DECIMAL(38,6) * 1000000)::HUGEINT)::BIGINT
+            AS mi
+        FROM e, UNNEST([struct_pack(i := k - 1, x := v[k])
+          for k in range(1, len(v) + 1)]) u(s)),
+      err AS (
+        SELECT c.m, COUNT(*)::BIGINT AS n_comp,
+          SUM((c.mi - cb.ci) * (c.mi - cb.ci)) AS total
+        FROM comp c
+        JOIN codes k USING (vec_id)
+        JOIN cbcomp cb ON cb.m = c.m AND cb.p0 = c.p0
+          AND cb.code = ([k.k0, k.k1, k.k2, k.k3])[c.m + 1]
+        GROUP BY c.m)
+      SELECT m, (n_comp // $SD)::BIGINT AS n_vectors,
+        CAST(total AS DOUBLE) AS total_se,
+        CAST(total AS DOUBLE) / (n_comp // $SD) AS mse
+      FROM err ORDER BY m"""
+    })
+
   private def vecSub(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.Shim.column(graft.functions.VecSub(
@@ -379,5 +482,5 @@ object Pq {
       WHERE rank <= $K ORDER BY query_id, rank"""
     })
 
-  val all: Seq[Q] = Seq(pq, ivfpq)
+  val all: Seq[Q] = Seq(pq, pqDistortion, ivfpq)
 }
