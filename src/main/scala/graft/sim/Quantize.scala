@@ -486,6 +486,61 @@ object Quantize {
     $rounds"""
   }
 
+  // ------------------------------------------------------------ emb_spectrum
+  /** EMBEDDING-SPACE spectrum card — how anisotropic is the corpus?
+    * `top_share = λ₁ / trace(S)`: the dominant eigenvalue's share of
+    * total variance (Mu & Viswanath 2018's anisotropy diagnostic; a
+    * collapsed encoder shows top_share → 1, a healthy space spreads
+    * variance). This is the number a pipeline reads BEFORE trusting
+    * cosine thresholds (dedup_embedding's τ) or IVF cell balance on a
+    * new encoder version — the embedding twin of text_zipf's corpus
+    * card.
+    *
+    * Exactness: trace is the exact DECIMAL sum of the scatter
+    * diagonal; λ₁ is the integer RAYLEIGH QUOTIENT `vᵀSv DIV vᵀv` of
+    * the [[powerIterateFrom]] iterate (every factor an exact integer:
+    * sv entries, the ≤10⁶ iterate components, one matvec join — no
+    * eigendecomposition, no floats until the output casts); the share
+    * is `λ̂·10⁶ DIV trace` floor-millionths. Scale: corpus appears only
+    * in the one scatter pass; everything after runs on the d²-row
+    * mirror and the d-row iterate (checkpointed once — matvec + inner
+    * product are two consumers).
+    */
+  private val spectrum = Q(
+    "emb_spectrum",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val sm = scatterMirror(emb(s, dir))
+      val v = graft.Checkpoint.of(powerIterateFrom(sm))
+      val trace = sm.filter(col("i") === col("j"))
+        .agg(sum("sv").cast(dec).as("trace"),
+          count(lit(1)).as("n_dims"))
+      val r = sm.join(broadcast(v), "j")
+        .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
+      val quot = r.join(broadcast(v.withColumnRenamed("j", "i")), "i")
+        .agg(sum(col("v") * col("r")).cast(dec).as("num"),
+          sum(col("v") * col("v")).cast(dec).as("den"))
+      trace.crossJoin(quot)
+        .select(col("n_dims"), col("trace"),
+          expr("num DIV den").cast(dec).as("l1"))
+        .select(col("n_dims"),
+          col("trace").cast("double").as("trace"),
+          col("l1").cast("double").as("lambda1"),
+          expr("l1 * 1000000 DIV trace").cast("long").as("top_share_m6"))
+    },
+    Some(s"""$pcaCte,
+    tr AS (SELECT SUM(sv) AS trace, COUNT(*)::BIGINT AS n_dims
+      FROM sm WHERE i = j),
+    mv AS (SELECT sm.i, SUM(sv * v) AS r
+      FROM sm JOIN v$PCA_ROUNDS p ON sm.j = p.j GROUP BY sm.i),
+    quot AS (SELECT SUM(p.v * mv.r) AS num, SUM(p.v * p.v) AS den
+      FROM mv JOIN v$PCA_ROUNDS p ON mv.i = p.j)
+    SELECT n_dims, CAST(trace AS DOUBLE) AS trace,
+      CAST(num // den AS DOUBLE) AS lambda1,
+      ((num // den) * 1000000 // trace)::BIGINT AS top_share_m6
+    FROM tr, quot"""))
+
   private val pcaPower = Q(
     "emb_pca_power",
     (s, dir) =>
@@ -1003,7 +1058,7 @@ object Quantize {
     FROM ranked GROUP BY query_id ORDER BY query_id"""))
 
   val all: Seq[Q] =
-    Seq(quantize, stats, standardize, project, covariance, pcaPower,
+    Seq(quantize, stats, standardize, project, covariance, spectrum, pcaPower,
       pcaProject, outliers, drift, matryoshka, pca2, pca2Project,
       quantizeRecall)
 }
