@@ -303,5 +303,61 @@ object Dq {
       SELECT 'l_quantity', s_ref_qty, s_new_qty, n_ref, n_new FROM agg)
     ORDER BY metric"""))
 
-  val all: Seq[Q] = Seq(dqRules, dqDrift)
+  /** Daily INGEST-VOLUME anomaly — the third data-quality tier (dqRules:
+    * hard constraints; dqDrift: distribution shift; this: pipeline
+    * health): flag days whose event volume deviates more than 3σ from
+    * the trailing-14-day window — a scraper outage, a duplicated feed,
+    * or a backfill all show up here before any content check fires.
+    * Exactly the q35 integer trick at DATE grain: `|v−μ|>3σ ⇔
+    * (v·n−S₁)² > 9(n·S₂−S₁²)` over exact DECIMAL(38,0)/HUGEINT daily
+    * counts (counts at 100 TB reach 10⁹/day — squares at 10¹⁸ already
+    * need the wide lane), warm-up days (n_prev < 7) report false, and
+    * every day reports (totality — a DQ dashboard wants the full
+    * calendar, not just alarms).
+    *
+    * Scale: ONE map-side-combined date-grain aggregate over the events
+    * scan; the window runs on the ≤|days| thin frame (a single
+    * partition of date-grain rows — ~36k rows per century, trainer-
+    * state-sized, never the corpus).
+    */
+  private val dqVolume = Q(
+    "dq_volume_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_ms DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("g", lit(1))
+      val w = Window.partitionBy("g").orderBy("day").rowsBetween(-14, -1)
+      val vD = col("n_events").cast(dec)
+      val dev = vD * col("n_prev") - col("s1")
+      daily
+        .withColumn("n_prev", count(col("n_events")).over(w))
+        .withColumn("s1", sum(vD).over(w))
+        .withColumn("s2", sum((vD * vD).cast(dec)).over(w))
+        .select(col("day"), col("n_events"), col("n_prev"),
+          (col("n_prev") >= 7 &&
+            dev * dev >
+              (col("n_prev") * col("s2") - col("s1") * col("s1")) * 9)
+            .as("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY 1),
+    win AS (
+      SELECT *, COUNT(n_events) OVER w AS n_prev,
+        SUM(n_events::HUGEINT) OVER w AS s1,
+        SUM(n_events::HUGEINT * n_events::HUGEINT) OVER w AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+    SELECT day::BIGINT AS day, n_events, n_prev::BIGINT AS n_prev,
+      (n_prev >= 7 AND
+        (n_events::HUGEINT * n_prev - s1) * (n_events::HUGEINT * n_prev - s1)
+          > 9 * (n_prev * s2 - s1 * s1)) AS is_anomaly
+    FROM win ORDER BY day"""))
+
+  val all: Seq[Q] = Seq(dqRules, dqDrift, dqVolume)
 }
