@@ -320,30 +320,41 @@ object Dq {
     * partition of date-grain rows — ~36k rows per century, trainer-
     * state-sized, never the corpus).
     */
+  /** Shared window/σ constants + report body — ONE definition for the
+    * batch query and [[graft.streaming.Streaming.volumeAnomalySink]]
+    * (the bit-equality contract between the twins depends on them; see
+    * the driftSink constant-sharing rule).
+    */
+  private[graft] val VOL_WINDOW = 14
+  private[graft] val VOL_WARMUP = 7
+
+  /** The anomaly report from any (day, n_events) date-grain frame. */
+  private[graft] def volumeReport(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("g").orderBy("day")
+      .rowsBetween(-VOL_WINDOW, -1)
+    val vD = col("n_events").cast(dec)
+    val dev = vD * col("n_prev") - col("s1")
+    daily.withColumn("g", lit(1))
+      .withColumn("n_prev", count(col("n_events")).over(w))
+      .withColumn("s1", sum(vD).over(w))
+      .withColumn("s2", sum((vD * vD).cast(dec)).over(w))
+      .select(col("day"), col("n_events"), col("n_prev"),
+        (col("n_prev") >= VOL_WARMUP &&
+          dev * dev >
+            (col("n_prev") * col("s2") - col("s1") * col("s1")) * 9)
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
   private val dqVolume = Q(
     "dq_volume_anomaly",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
-      val daily = Tables.events(s, dir)
+    (s, dir) => volumeReport(
+      Tables.events(s, dir)
         .groupBy(expr("ts_ms DIV 86400000").as("day"))
-        .agg(count(lit(1)).as("n_events"))
-        .withColumn("g", lit(1))
-      val w = Window.partitionBy("g").orderBy("day").rowsBetween(-14, -1)
-      val vD = col("n_events").cast(dec)
-      val dev = vD * col("n_prev") - col("s1")
-      daily
-        .withColumn("n_prev", count(col("n_events")).over(w))
-        .withColumn("s1", sum(vD).over(w))
-        .withColumn("s2", sum((vD * vD).cast(dec)).over(w))
-        .select(col("day"), col("n_events"), col("n_prev"),
-          (col("n_prev") >= 7 &&
-            dev * dev >
-              (col("n_prev") * col("s2") - col("s1") * col("s1")) * 9)
-            .as("is_anomaly"))
-        .orderBy("day")
-    },
+        .agg(count(lit(1)).as("n_events"))),
     Some("""WITH daily AS (
       SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*)::BIGINT AS n_events
       FROM events GROUP BY 1),

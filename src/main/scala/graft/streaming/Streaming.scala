@@ -435,6 +435,60 @@ object Streaming {
       } finally merged.unpersist()
     }
 
+  /** Streaming INGEST-VOLUME monitor — the ingest-loop twin of batch
+    * `dq_volume_anomaly`: per micro-batch of events carrying `ts_ms`,
+    * fold the batch's daily counts into the persisted cumulative
+    * per-day counters and emit the corpus-to-date anomaly report via
+    * the IDENTICAL shared body ([[graft.operators.Dq.volumeReport]] —
+    * one definition of the window/σ constants, two consumers), so the
+    * emitted report is bit-equal to the batch query over the same
+    * cumulative corpus.
+    *
+    * State = the thin (day, c) counters under the [[BatchState]]
+    * replay/compaction contract; counts are MONOTONE per day, so
+    * `max(c)` over visible partitions is latest-wins (the driftSink
+    * argument). Identity is CALLER-DECLARED (`idCols`, the dqSink
+    * contract): a declared-but-absent column fails fast; Nil =
+    * exactly-once rows.
+    *
+    * @param out receives (day, n_events, n_prev, is_anomaly) per batch
+    */
+  def volumeAnomalySink(stateDir: String, compactEvery: Int = 8,
+      idCols: Seq[String] = Nil)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val st = new BatchState(spark, stateDir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c",
+            org.apache.spark.sql.types.LongType))),
+        compactEvery, None)
+      if (idCols.nonEmpty) {
+        val missing = idCols.filterNot(batch.columns.contains(_))
+        require(missing.isEmpty,
+          s"volumeAnomalySink idCols ${missing.mkString(",")} absent " +
+            s"from batch columns ${batch.columns.mkString(",")}; pass " +
+            "idCols = Nil for an identity-less exactly-once stream")
+      }
+      val distinctBatch =
+        if (idCols.nonEmpty) batch.dropDuplicates(idCols) else batch
+      val delta = distinctBatch
+        .groupBy(expr("ts_ms DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val prior = st.visible(batchId).groupBy("day")
+        .agg(max("c").as("c"))
+      val merged = prior.unionByName(delta)
+        .groupBy("day").agg(sum("c").as("c"))
+        .localCheckpoint() // feeds the report + commit (two consumers)
+      try {
+        out(graft.operators.Dq.volumeReport(
+          merged.select(col("day"), col("c").as("n_events"))))
+        st.commit(merged, batchId)
+      } finally merged.unpersist()
+    }
+
   /** Streaming DATA-QUALITY monitor — the ingest-loop twin of the
     * batch `dq_rules` ROW-LEVEL rules over a lineitem stream: per
     * micro-batch, fold the batch's violation counts (the IDENTICAL

@@ -542,6 +542,38 @@ class StreamingSpec extends SparkSpec {
     assert(last == merged)
   }
 
+  test("volumeAnomalySink folds slices to the batch daily-volume " +
+      "report; replay is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vol").toString
+    var last = Seq.empty[(Long, Long, Long, Boolean)]
+    val sink = Streaming.volumeAnomalySink(s"$tmp/state",
+        idCols = Seq("event_id")) { out =>
+      last = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts_ms").localCheckpoint()
+    sink(ev.filter(col("event_id") % 3 === 0).localCheckpoint(), 0L)
+    // slice 1 arrives with INTRA-batch duplicates (at-least-once
+    // delivery): the sink must dedup on the declared identity or the
+    // duplicated events permanently inflate the daily counters
+    val slice1 = ev.filter(col("event_id") % 3 === 1)
+    sink(slice1.union(slice1.filter(col("event_id") % 5 === 1))
+      .localCheckpoint(), 1L)
+    sink(ev.filter(col("event_id") % 3 === 2).localCheckpoint(), 2L)
+    val merged = last
+    // the streamed cumulative report must equal the one-shot batch query
+    val expected = SparkEntry.queries("dq_volume_anomaly")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(merged == expected)
+    // replaying the last slice must re-emit the identical report
+    sink(ev.filter(col("event_id") % 3 === 2).localCheckpoint(), 2L)
+    assert(last == merged)
+  }
+
   test("driftSink folds slices to the batch JSD report; replay is " +
       "idempotent") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
