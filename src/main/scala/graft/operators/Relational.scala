@@ -2395,10 +2395,64 @@ object Relational {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""))
 
+  // ---------------------------------------------------------------- q63
+  /** DAU / WAU stickiness — the engagement ratio every product dashboard
+    * tracks (daily actives ÷ trailing-7-day actives, in exact integer
+    * millionths). The naive WAU — `COUNT(DISTINCT user) OVER (ORDER BY
+    * day RANGE 6 PRECEDING)` — doesn't exist in Spark and re-scans the
+    * window per day in engines that allow it (quadratic, unshardable:
+    * the q49 cumulative-distinct problem, sliding edition). The
+    * scalable restatement is COVERAGE-EXPLODE: each distinct (user,
+    * active-day) pair COVERS the 7 report days it contributes to, so
+    * WAU(d) = |distinct (user, cover_day = d)| — one bounded ×7
+    * map-side explode of the thin distinct pair frame, one distinct,
+    * one count. Report days with no trailing activity simply don't
+    * appear; days whose 7-day window starts before the corpus report
+    * honestly over the truncated window (both engines identically).
+    *
+    * Scale: ONE distinct over (user, day) epoch-day pairs (map-side
+    * combined), the ×7 explode and second distinct run on that thin
+    * frame (never raw events), DAU rides the same pair frame; the
+    * stickiness join is date-grain × date-grain. The pair frame is
+    * CHECKPOINTED — two consumers (DAU + coverage).
+    */
+  private val q63 = Q(
+    "q63_dau_wau",
+    (s, dir) => {
+      val pairs = graft.Checkpoint.of(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+          .distinct())
+      val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = pairs
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("cover_day"))
+        .distinct()
+        .groupBy(col("cover_day").as("day"))
+        .agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 DIV wau").as("stickiness_m6"))
+        .orderBy("day")
+    },
+    Some("""WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+      FROM events),
+    dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM pairs GROUP BY day),
+    cover AS (
+      SELECT DISTINCT user_id, day + g.d AS cover_day
+      FROM pairs, (SELECT UNNEST(range(7)) AS d) g),
+    wau AS (SELECT cover_day AS day, COUNT(*)::BIGINT AS wau
+      FROM cover GROUP BY cover_day)
+    SELECT day::BIGINT AS day, dau, wau,
+      (dau * 1000000 // wau)::BIGINT AS stickiness_m6
+    FROM dau JOIN wau USING (day)
+    ORDER BY day"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-      q54, q55, q56, q57, q58, q59, q60, q61, q62)
+      q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }
