@@ -359,6 +359,50 @@ object Knn {
     SELECT query_id, neighbor_id, rank, cosine FROM ivf_hits
     ORDER BY query_id, rank"""
 
+  // -------------------------------------------------------- knn_ivf_balance
+  /** IVF CELL-BALANCE report — the index-health card read before
+    * trusting nprobe/recall numbers (FAISS's `imbalance_factor`): per
+    * trained centroid, how many vectors its inverted list holds and its
+    * exact floor-millionths share of the corpus. A skewed codebook
+    * (dead cells + one giant list) means probes scan far more than
+    * corpus/NLIST·nprobe — the dashboard number that triggers
+    * retraining with better seeds or more Lloyd rounds. Dead centroids
+    * REPORT (zero-coalesced left join from the codebook) — the failure
+    * mode is invisible if only assigned cells appear.
+    *
+    * Scale: the zero-shuffle broadcast-argmax [[assign]] pass + ONE
+    * map-side-combined count onto ≤NLIST keys; the share's total is a
+    * single-partition window over the NLIST-row frame (index state,
+    * never the corpus).
+    */
+  private val ivfBalance = Q(
+    "knn_ivf_balance",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = codebook(e)
+      val counts = assign(e, cents).groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vectors"))
+      cents.select("cent_id")
+        .join(counts, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+        .withColumn("g", lit(1))
+        .withColumn("total", sum(col("n_vectors")).over(
+          Window.partitionBy("g")))
+        .select(col("cent_id"), col("n_vectors"),
+          expr("n_vectors * 1000000 DIV total").as("share_m6"))
+        .orderBy("cent_id")
+    },
+    Some(s"""WITH $sqlIvfCtes,
+    counts AS (
+      SELECT c2.cent_id, COUNT(a.vec_id)::BIGINT AS n_vectors
+      FROM c2 LEFT JOIN assigned a ON a.cent_id = c2.cent_id
+      GROUP BY c2.cent_id)
+    SELECT cent_id, n_vectors,
+      (n_vectors * 1000000
+        // (SELECT SUM(n_vectors) FROM counts))::BIGINT AS share_m6
+    FROM counts ORDER BY cent_id"""))
+
   private val ivf = Q(
     "knn_ivf",
     (s, dir) => {
@@ -1883,7 +1927,7 @@ object Knn {
       FROM q, e WHERE query_id <> e.vec_id)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfPersisted, ivfQuantized,
+  val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfBalance, ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, labelpropQ,
     embeddednessQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
