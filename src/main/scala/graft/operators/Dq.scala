@@ -303,32 +303,18 @@ object Dq {
       SELECT 'l_quantity', s_ref_qty, s_new_qty, n_ref, n_new FROM agg)
     ORDER BY metric"""))
 
-  /** Daily INGEST-VOLUME anomaly — the third data-quality tier (dqRules:
-    * hard constraints; dqDrift: distribution shift; this: pipeline
-    * health): flag days whose event volume deviates more than 3σ from
-    * the trailing-14-day window — a scraper outage, a duplicated feed,
-    * or a backfill all show up here before any content check fires.
-    * Exactly the q35 integer trick at DATE grain: `|v−μ|>3σ ⇔
-    * (v·n−S₁)² > 9(n·S₂−S₁²)` over exact DECIMAL(38,0)/HUGEINT daily
-    * counts (counts at 100 TB reach 10⁹/day — squares at 10¹⁸ already
-    * need the wide lane), warm-up days (n_prev < 7) report false, and
-    * every day reports (totality — a DQ dashboard wants the full
-    * calendar, not just alarms).
-    *
-    * Scale: ONE map-side-combined date-grain aggregate over the events
-    * scan; the window runs on the ≤|days| thin frame (a single
-    * partition of date-grain rows — ~36k rows per century, trainer-
-    * state-sized, never the corpus).
-    */
-  /** Shared window/σ constants + report body — ONE definition for the
-    * batch query and [[graft.streaming.Streaming.volumeAnomalySink]]
-    * (the bit-equality contract between the twins depends on them; see
-    * the driftSink constant-sharing rule).
+  /** Shared window/σ constants — ONE definition for the batch query
+    * and [[graft.streaming.Streaming.volumeAnomalySink]] (the
+    * bit-equality contract between the twins depends on them; see the
+    * driftSink constant-sharing rule). The oracle SQL interpolates the
+    * SAME values.
     */
   private[graft] val VOL_WINDOW = 14
   private[graft] val VOL_WARMUP = 7
 
-  /** The anomaly report from any (day, n_events) date-grain frame. */
+  /** The anomaly report from any (day, n_events) date-grain frame —
+    * shared by `dq_volume_anomaly` and the streaming sink.
+    */
   private[graft] def volumeReport(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
@@ -349,13 +335,32 @@ object Dq {
       .orderBy("day")
   }
 
+  /** Daily INGEST-VOLUME anomaly — the third data-quality tier (dqRules:
+    * hard constraints; dqDrift: distribution shift; this: pipeline
+    * health): flag days whose event volume deviates more than 3σ from
+    * the trailing-[[VOL_WINDOW]]-day window — a scraper outage, a
+    * duplicated feed, or a backfill all show up here before any content
+    * check fires. Exactly the q35 integer trick at DATE grain:
+    * `|v−μ|>3σ ⇔ (v·n−S₁)² > 9(n·S₂−S₁²)` over exact
+    * DECIMAL(38,0)/HUGEINT daily counts (counts at 100 TB reach
+    * 10⁹/day — squares at 10¹⁸ already need the wide lane), warm-up
+    * days (n_prev < [[VOL_WARMUP]]) report false, and every day reports
+    * (totality — a DQ dashboard wants the full calendar, not just
+    * alarms; the steady synthetic feed keeps these rows all-false, so
+    * DqSpec proves the alarm fires on a constructed spike).
+    *
+    * Scale: ONE map-side-combined date-grain aggregate over the events
+    * scan; the window runs on the ≤|days| thin frame (a single
+    * partition of date-grain rows — ~36k rows per century, trainer-
+    * state-sized, never the corpus).
+    */
   private val dqVolume = Q(
     "dq_volume_anomaly",
     (s, dir) => volumeReport(
       Tables.events(s, dir)
         .groupBy(expr("ts_ms DIV 86400000").as("day"))
         .agg(count(lit(1)).as("n_events"))),
-    Some("""WITH daily AS (
+    Some(s"""WITH daily AS (
       SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*)::BIGINT AS n_events
       FROM events GROUP BY 1),
     win AS (
@@ -363,9 +368,10 @@ object Dq {
         SUM(n_events::HUGEINT) OVER w AS s1,
         SUM(n_events::HUGEINT * n_events::HUGEINT) OVER w AS s2
       FROM daily
-      WINDOW w AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+      WINDOW w AS (ORDER BY day
+        ROWS BETWEEN $VOL_WINDOW PRECEDING AND 1 PRECEDING))
     SELECT day::BIGINT AS day, n_events, n_prev::BIGINT AS n_prev,
-      (n_prev >= 7 AND
+      (n_prev >= $VOL_WARMUP AND
         (n_events::HUGEINT * n_prev - s1) * (n_events::HUGEINT * n_prev - s1)
           > 9 * (n_prev * s2 - s1 * s1)) AS is_anomaly
     FROM win ORDER BY day"""))
