@@ -1259,6 +1259,98 @@ object Dedup {
         FROM (${ngramJaccard.oracle.get}) t2
         JOIN (${simhash.oracle.get}) f2 USING (a_id, b_id))"""))
 
+  // ------------------------------------------------- dedup_recall_curve
+  /** Detector evaluation across a τ GRID — the dedup twin of
+    * knn_recall_curve (dedup_recall reports the single τ=0.6 operating
+    * point; the curve shows how precision/recall move as "duplicate"
+    * tightens — the bands/bits/radius tuning table): for τ ∈ {0.6,
+    * 0.75, 0.9}, the SimHash banded-hamming detector's
+    * precision/recall against the exact-Jaccard ≥ τ ground truth.
+    * Thresholds compare the RAW jaccard double (bit-identical IEEE
+    * division of exact integer counts both engines) against the same
+    * literals — never a rounded value (the round-then-compare near-tie
+    * trap). τ values are carried as exact micro LONGS; deriving them
+    * as `(0.6 * 1e6).toLong` would floor to 599999.
+    *
+    * Scale: BOTH pipelines run ONCE (checkpointed truth + found pair
+    * frames — the bucketed shapes, never all-pairs); the grid is one
+    * pair-key left join + ONE 1-row aggregate holding all six
+    * `sum(CASE)` counters (the dq_drift fan-out pattern), checkpointed
+    * before the 3-row report fan-out. A green row proves the capped
+    * postings pipeline keeps exact recall down to τ=0.6 vs the
+    * all-pairs oracle AND pins the detector curve.
+    */
+  private val RC_TAUS_M6 = Seq(600000L, 750000L, 900000L)
+
+  private val recallCurve = Q(
+    "dedup_recall_curve",
+    (s, dir) => {
+      val truth = graft.Checkpoint.of(
+        jaccardPairs(docShingles(s, dir), TAU)
+          .select(col("a_id"), col("b_id"), col("jaccard")))
+      val found = graft.Checkpoint.of(
+        simhash.fn(s, dir).select(col("a_id"), col("b_id")))
+      val hit = found.withColumn("hit", lit(1L))
+      val aggExprs = RC_TAUS_M6.zipWithIndex.flatMap { case (m6, i) =>
+        val t = m6 / 1.0e6
+        Seq(sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"nt$i"),
+          sum(when(col("jaccard") >= t && col("hit") === 1L, 1L)
+            .otherwise(0L)).as(s"nc$i"))
+      }
+      val agg1 = truth.join(hit, Seq("a_id", "b_id"), "left")
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .transform(graft.Checkpoint.of)
+      RC_TAUS_M6.zipWithIndex.map { case (m6, i) =>
+        agg1.select(lit(m6).as("tau_m6"),
+          coalesce(col(s"nt$i"), lit(0L)).as("n_truth"),
+          col("n_found"),
+          coalesce(col(s"nc$i"), lit(0L)).as("n_correct"))
+      }.reduce(_ unionByName _)
+        .withColumn("precision_micro", when(col("n_found") === 0, 0L)
+          .otherwise(expr("n_correct * 1000000 DIV n_found")))
+        .withColumn("recall_micro", when(col("n_truth") === 0, 0L)
+          .otherwise(expr("n_correct * 1000000 DIV n_truth")))
+        .orderBy("tau_m6")
+    },
+    Some {
+      val taus = Seq("0.6" -> 0, "0.75" -> 1, "0.9" -> 2)
+      val counters = taus.map { case (t, i) =>
+        s"""SUM(CASE WHEN jac >= $t THEN 1 ELSE 0 END)::BIGINT AS nt$i,
+        SUM(CASE WHEN jac >= $t AND hit = 1 THEN 1 ELSE 0 END)::BIGINT
+          AS nc$i"""
+      }.mkString(",\n      ")
+      val rows = RC_TAUS_M6.zipWithIndex.map { case (m6, i) =>
+        s"""SELECT ${m6}::BIGINT AS tau_m6,
+          COALESCE(nt$i, 0)::BIGINT AS n_truth, n_found,
+          COALESCE(nc$i, 0)::BIGINT AS n_correct FROM ag, nf"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH $sqlShingleCte,
+    tp AS MATERIALIZED (
+      SELECT a_id, b_id, jac FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            AS jac
+        FROM s a, s b WHERE a.doc_id < b.doc_id)
+      WHERE jac >= 0.6),
+    fp AS MATERIALIZED (
+      SELECT a_id, b_id, 1 AS hit FROM (${simhash.oracle.get}) fq),
+    ag AS (SELECT
+      $counters
+      FROM tp LEFT JOIN fp USING (a_id, b_id)),
+    nf AS (SELECT COUNT(*)::BIGINT AS n_found FROM fp)
+    SELECT tau_m6, n_truth, n_found, n_correct,
+      (CASE WHEN n_found = 0 THEN 0
+            ELSE n_correct * 1000000 // n_found END)::BIGINT
+        AS precision_micro,
+      (CASE WHEN n_truth = 0 THEN 0
+            ELSE n_correct * 1000000 // n_truth END)::BIGINT
+        AS recall_micro
+    FROM ($rows)
+    ORDER BY tau_m6"""
+    })
+
   // ---------------------------------------------------- text_gram_novelty
   /** Per-document n-gram NOVELTY — the diversity complement of the dedup
     * suite (same shingle stream, opposite question): what fraction of a
@@ -1529,6 +1621,6 @@ object Dedup {
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
-      splitDedup, dedupRecall, gramNovelty, containment, keepBest, weights,
+      splitDedup, dedupRecall, recallCurve, gramNovelty, containment, keepBest, weights,
       lexsem)
 }

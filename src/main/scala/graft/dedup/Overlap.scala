@@ -73,5 +73,39 @@ object Overlap {
     FROM grid LEFT JOIN common USING (source_a, source_b)
     ORDER BY source_a, source_b"""))
 
-  val all: Seq[Q] = Seq(overlap)
+  /** Per-source EXACT-DUPLICATE rate — the ingest dashboard number read
+    * next to [[overlap]] (overlap: how much sources repeat EACH OTHER;
+    * this: how much each source repeats ITSELF — a re-crawled site or a
+    * pagination bug shows up as within-source duplicate mass before any
+    * pair operator runs). Same normalized fingerprint as dedup_exact —
+    * one definition of "same content" across the suite.
+    *
+    * Scale: ONE map-side-combined aggregate per source (Spark plans the
+    * single-column COUNT DISTINCT as a two-phase partial distinct on
+    * (source, fp) — no Expand, no pair space); all-integer output.
+    */
+  private val dupRate = Q(
+    "corpus_dup_rate",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), TextOps.normalizedMd5(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .withColumn("n_dups", col("n_docs") - col("n_unique"))
+        .withColumn("dup_share_m6", expr("n_dups * 1000000 DIV n_docs"))
+        .orderBy("source")
+    },
+    Some("""WITH f AS (
+      SELECT source,
+        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+      COUNT(DISTINCT fp)::BIGINT AS n_unique,
+      (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS n_dups,
+      ((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*))::BIGINT
+        AS dup_share_m6
+    FROM f GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(overlap, dupRate)
 }

@@ -95,6 +95,7 @@ class PlanSpec extends SparkSpec {
     "sample_temperature",  // broadcast 1-row total / sum-of-weights scalars
     "sample_budget",       // same broadcast scalars + budget arithmetic
     "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
+    "dedup_recall_curve",  // same 1-row counter broadcasts, τ-grid form
     "decontam_embedding",  // broadcast benchmark vectors vs corpus scan
     "knn_hamming",         // broadcast query sigs vs corpus (bruteforce shape)
     "knn_mips",            // broadcast query set vs corpus (bruteforce shape)
