@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
-import graft.functions.CosineSim.cosineSim
+import graft.functions.CosineSim.{cosineSim, dotProduct}
 
 /** Similarity search over `embeddings` — SURVEY.md §2.5.
   *
@@ -402,6 +402,72 @@ object Knn {
       (n_vectors * 1000000
         // (SELECT SUM(n_vectors) FROM counts))::BIGINT AS share_m6
     FROM counts ORDER BY cent_id"""))
+
+  // ------------------------------------------------------ knn_ivf_residuals
+  /** IVF RESIDUAL-NORM report — the quantization-error half of the
+    * index-health pair ([[ivfBalance]] reads list-size skew; this reads
+    * how far vectors sit from their centroid — FAISS's per-list
+    * quantization error, and the IVFPQ feasibility number: PQ encodes
+    * RESIDUALS, so a cell with a huge mean residual norm is where ADC
+    * recall will die first): per trained centroid, list size + mean
+    * squared residual norm in exact floor-micro units.
+    *
+    * Exactness: the residual is the elementwise IEEE subtraction via
+    * the [[graft.functions.VecSub]] codegen kernel (bit-equal to
+    * DuckDB's indexed list comprehension — the knn_ivfpq contract) and
+    * its squared norm is the sequential-fold [[dotProduct]] kernel
+    * (bit-equal to `list_inner_product` — the knn_mips contract), so
+    * `floor(‖r‖²·10⁶)` is the same exact long both engines; sums are
+    * exact DECIMAL(38,0)/HUGEINT, the mean ONE IEEE division. Dead
+    * cells report n=0 with a NULL mean (the ivfBalance rule). Scale:
+    * one zero-shuffle assign pass + two map-side kernels per vector +
+    * one map-side-combined aggregate onto ≤NLIST keys.
+    */
+  private val ivfResiduals = Q(
+    "knn_ivf_residuals",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = codebook(e)
+      def vecSub(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.graft.Shim.column(graft.functions.VecSub(
+          org.apache.spark.sql.graft.Shim.expression(a),
+          org.apache.spark.sql.graft.Shim.expression(b)))
+      val r2 = assign(e, cents)
+        .join(broadcast(cents), "cent_id")
+        .select(col("cent_id"),
+          floor(dotProduct(vecSub(col("v"), col("cv")),
+            vecSub(col("v"), col("cv"))) * lit(1000000.0)).as("r2m"))
+      val agg = r2.groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("r2m")).cast(DecimalType(38, 0)).as("t"))
+      cents.select("cent_id")
+        .join(agg, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+          when(coalesce(col("n_vectors"), lit(0L)) === 0L,
+            lit(null).cast("double"))
+            .otherwise(col("t").cast("double") / col("n_vectors"))
+            .as("mean_r2_micro"))
+        .orderBy("cent_id")
+    },
+    Some(s"""WITH $sqlIvfCtes,
+    resid AS (
+      SELECT cent_id,
+        FLOOR(list_inner_product(rv, rv) * 1000000)::BIGINT AS r2m
+      FROM (
+        SELECT a.cent_id,
+          [a.v[i] - c.cv[i] for i in range(1, len(a.v) + 1)] AS rv
+        FROM assigned a JOIN c2 c USING (cent_id))),
+    ag AS (
+      SELECT cent_id, COUNT(*)::BIGINT AS n_vectors, SUM(r2m) AS t
+      FROM resid GROUP BY cent_id)
+    SELECT c2.cent_id,
+      COALESCE(ag.n_vectors, 0)::BIGINT AS n_vectors,
+      (CASE WHEN COALESCE(ag.n_vectors, 0) = 0 THEN NULL
+        ELSE CAST(ag.t AS DOUBLE) / ag.n_vectors END) AS mean_r2_micro
+    FROM c2 LEFT JOIN ag USING (cent_id)
+    ORDER BY c2.cent_id"""))
 
   private val ivf = Q(
     "knn_ivf",
@@ -1927,7 +1993,8 @@ object Knn {
       FROM q, e WHERE query_id <> e.vec_id)
     WHERE rank <= $K ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfBalance, ivfPersisted, ivfQuantized,
+  val all: Seq[Q] = Seq(bruteforce, radius, lsh, ivf, ivfBalance, ivfResiduals,
+    ivfPersisted, ivfQuantized,
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, labelpropQ,
     embeddednessQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,

@@ -89,6 +89,7 @@ class PlanSpec extends SparkSpec {
     "emb_spectrum",        // broadcast d-row iterate + 1-row quotient pair
     "knn_pq_distortion",   // broadcast 1-row sub-codebook arrays (encode)
     "knn_ivf_balance",     // broadcast codebook argmax (the assign kernel)
+    "knn_ivf_residuals",   // same broadcast codebook assign + residual kernels
     "text_ppl_bucket",     // broadcast 1-row corpus-count aggregate
     "text_rank_bm25",      // broadcast 1-row (N, avgdl) corpus scalars
     "hybrid_search_rrf",   // same BM25 scalars + broadcast 1-row query vec
