@@ -1336,10 +1336,10 @@ object Dedup {
       WHERE jac >= 0.6),
     fp AS MATERIALIZED (
       SELECT a_id, b_id, 1 AS hit FROM (${simhash.oracle.get}) fq),
-    ag AS (SELECT
+    ag AS MATERIALIZED (SELECT
       $counters
       FROM tp LEFT JOIN fp USING (a_id, b_id)),
-    nf AS (SELECT COUNT(*)::BIGINT AS n_found FROM fp)
+    nf AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n_found FROM fp)
     SELECT tau_m6, n_truth, n_found, n_correct,
       (CASE WHEN n_found = 0 THEN 0
             ELSE n_correct * 1000000 // n_found END)::BIGINT

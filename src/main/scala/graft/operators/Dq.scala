@@ -314,11 +314,27 @@ object Dq {
 
   /** The anomaly report from any (day, n_events) date-grain frame —
     * shared by `dq_volume_anomaly` and the streaming sink.
+    *
+    * The input is densified over a CALENDAR SPINE first: a day with no
+    * events produces no aggregate row, and without the spine the
+    * headline failure mode — a TOTAL outage day — would be invisible
+    * (no row, and the ROWS window would silently stretch the lookback
+    * across the gap). Zero-filled days participate like any other:
+    * after a steady week, an outage day's dev² = S₁² > 0 = 9·(nS₂−S₁²),
+    * so the alarm fires. An empty input stays empty (NULL bounds →
+    * empty sequence — totality preserved).
     */
-  private[graft] def volumeReport(daily: DataFrame): DataFrame = {
+  private[graft] def volumeReport(dailyRaw: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
+    // two consumers (bounds + join) of a date-grain frame
+    val dailyCk = graft.Checkpoint.of(dailyRaw)
+    val spine = dailyCk.agg(min("day").as("d0"), max("day").as("d1"))
+      .filter(col("d0").isNotNull)
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = spine.join(dailyCk, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
     val w = Window.partitionBy("g").orderBy("day")
       .rowsBetween(-VOL_WINDOW, -1)
     val vD = col("n_events").cast(dec)
@@ -360,9 +376,14 @@ object Dq {
       Tables.events(s, dir)
         .groupBy(expr("ts_ms DIV 86400000").as("day"))
         .agg(count(lit(1)).as("n_events"))),
-    Some(s"""WITH daily AS (
+    Some(s"""WITH daily0 AS MATERIALIZED (
       SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*)::BIGINT AS n_events
       FROM events GROUP BY 1),
+    spine AS (SELECT UNNEST(range((SELECT MIN(day) FROM daily0),
+      (SELECT MAX(day) FROM daily0) + 1)) AS day),
+    daily AS (
+      SELECT s.day, COALESCE(d.n_events, 0)::BIGINT AS n_events
+      FROM spine s LEFT JOIN daily0 d USING (day)),
     win AS (
       SELECT *, COUNT(n_events) OVER w AS n_prev,
         SUM(n_events::HUGEINT) OVER w AS s1,

@@ -394,7 +394,7 @@ object Knn {
         .orderBy("cent_id")
     },
     Some(s"""WITH $sqlIvfCtes,
-    counts AS (
+    counts AS MATERIALIZED (
       SELECT c2.cent_id, COUNT(a.vec_id)::BIGINT AS n_vectors
       FROM c2 LEFT JOIN assigned a ON a.cent_id = c2.cent_id
       GROUP BY c2.cent_id)
@@ -440,7 +440,10 @@ object Knn {
             vecSub(col("v"), col("cv"))) * lit(1000000.0)).as("r2m"))
       val agg = r2.groupBy("cent_id")
         .agg(count(lit(1)).as("n_vectors"),
-          sum(col("r2m")).cast(DecimalType(38, 0)).as("t"))
+          // accumulate in decimal (oracle sums into HUGEINT) — a giant
+          // list of high-residual vectors must not overflow a long sum
+          sum(col("r2m").cast(DecimalType(38, 0)))
+            .cast(DecimalType(38, 0)).as("t"))
       cents.select("cent_id")
         .join(agg, Seq("cent_id"), "left")
         .select(col("cent_id"),
@@ -1184,8 +1187,8 @@ object Knn {
       WHERE rn = 1)"""
     }.mkString(",\n    ")
     s"""WITH $sqlKnnEdgesCte,
-    und AS (SELECT DISTINCT least(u, v_id) AS u, greatest(u, v_id) AS v
-      FROM edges),
+    und AS MATERIALIZED (SELECT DISTINCT least(u, v_id) AS u,
+      greatest(u, v_id) AS v FROM edges),
     adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
       UNION ALL SELECT v, u FROM und),
     lpl0 AS (SELECT DISTINCT node, node AS lbl FROM adj),

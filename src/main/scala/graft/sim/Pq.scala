@@ -304,8 +304,11 @@ object Pq {
         .join(broadcast(cbcomp), Seq("m", "code", "p0"))
         .groupBy("m")
         .agg(count(lit(1)).as("n_comp"),
-          sum((col("mi") - col("ci")) * (col("mi") - col("ci")))
-            .cast(dec).as("total"))
+          // cast BEFORE the sum: the per-component square fits a long,
+          // but the corpus-scale TOTAL must accumulate in decimal (the
+          // oracle sums into HUGEINT)
+          sum(((col("mi") - col("ci")) * (col("mi") - col("ci")))
+            .cast(dec)).cast(dec).as("total"))
         .select(col("m"), expr(s"n_comp DIV $SD").as("n_vectors"),
           col("total").cast("double").as("total_se"),
           (col("total").cast("double") / expr(s"n_comp DIV $SD"))

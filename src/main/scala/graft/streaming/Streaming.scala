@@ -362,6 +362,26 @@ object Streaming {
       } finally merged.unpersist()
     }
 
+  /** The shared at-least-once identity guard (the dqSink contract, one
+    * definition for every BatchState sink): dedup the micro-batch on
+    * its CALLER-DECLARED identity; a declared-but-absent column fails
+    * FAST (silently skipping the dedup would disable replay protection
+    * with no signal — exactly the corruption idCols exists to
+    * prevent); Nil = exactly-once rows, no identity assumed.
+    */
+  private def dedupOnDeclaredIds(batch: DataFrame, idCols: Seq[String],
+      sink: String): DataFrame = {
+    if (idCols.isEmpty) batch
+    else {
+      val missing = idCols.filterNot(batch.columns.contains(_))
+      require(missing.isEmpty,
+        s"$sink idCols ${missing.mkString(",")} absent from batch " +
+          s"columns ${batch.columns.mkString(",")}; pass idCols = Nil " +
+          "for an identity-less exactly-once stream")
+      batch.dropDuplicates(idCols)
+    }
+  }
+
   /** Streaming SOURCE-DRIFT monitor — the ingest-loop twin of batch
     * `text_source_drift`: per micro-batch of (source, text) documents,
     * fold the batch's hashed token-bucket counts
@@ -414,15 +434,7 @@ object Streaming {
       // documents can share (source, text) — exact-duplicate texts are
       // what the dedup family exists for); a declared-but-missing
       // column fails FAST instead of silently disabling the guard.
-      if (idCols.nonEmpty) {
-        val missing = idCols.filterNot(batch.columns.contains(_))
-        require(missing.isEmpty,
-          s"driftSink idCols ${missing.mkString(",")} absent from batch " +
-            s"columns ${batch.columns.mkString(",")}; pass idCols = Nil " +
-            "for an identity-less exactly-once stream")
-      }
-      val distinctBatch =
-        if (idCols.nonEmpty) batch.dropDuplicates(idCols) else batch
+      val distinctBatch = dedupOnDeclaredIds(batch, idCols, "driftSink")
       val delta = graft.text.TextOps.sourceBucketCounts(distinctBatch, buckets)
       val prior = st.visible(batchId).groupBy("source", "b")
         .agg(max("c").as("c"))
@@ -465,15 +477,8 @@ object Streaming {
           org.apache.spark.sql.types.StructField("c",
             org.apache.spark.sql.types.LongType))),
         compactEvery, None)
-      if (idCols.nonEmpty) {
-        val missing = idCols.filterNot(batch.columns.contains(_))
-        require(missing.isEmpty,
-          s"volumeAnomalySink idCols ${missing.mkString(",")} absent " +
-            s"from batch columns ${batch.columns.mkString(",")}; pass " +
-            "idCols = Nil for an identity-less exactly-once stream")
-      }
       val distinctBatch =
-        if (idCols.nonEmpty) batch.dropDuplicates(idCols) else batch
+        dedupOnDeclaredIds(batch, idCols, "volumeAnomalySink")
       val delta = distinctBatch
         .groupBy(expr("ts_ms DIV 86400000").as("day"))
         .agg(count(lit(1)).as("c"))
@@ -526,17 +531,7 @@ object Streaming {
           org.apache.spark.sql.types.StructField("v",
             org.apache.spark.sql.types.LongType))),
         compactEvery, None)
-      // fail FAST on a mistyped identity column: silently skipping the
-      // dedup would disable replay protection with no signal, exactly
-      // the corruption idCols exists to prevent
-      if (idCols.nonEmpty) {
-        val missing = idCols.filterNot(batch.columns.contains(_))
-        require(missing.isEmpty,
-          s"dqSink idCols ${missing.mkString(",")} absent from batch " +
-            s"columns ${batch.columns.mkString(",")}")
-      }
-      val distinctBatch =
-        if (idCols.nonEmpty) batch.dropDuplicates(idCols) else batch
+      val distinctBatch = dedupOnDeclaredIds(batch, idCols, "dqSink")
       val agg1 = graft.operators.Dq.lineitemRowAgg(distinctBatch)
         .localCheckpoint() // two rule rows read the 1-row aggregate
       val delta = Seq("lineitem_quantity_range" -> "v_qty",
