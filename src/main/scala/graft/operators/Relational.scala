@@ -2449,10 +2449,68 @@ object Relational {
     FROM dau JOIN wau USING (day)
     ORDER BY day"""))
 
+  // ---------------------------------------------------------------- q64
+  /** MARKET-BASKET pair mining — the association-rule staple (Agrawal &
+    * Srikant's support/confidence, at the pair tier every "frequently
+    * bought together" widget runs): the top-50 part pairs co-occurring
+    * in the same order, with each pair's support and BOTH directional
+    * confidences `conf(a→b) = support·10⁶ DIV n_a` in exact integer
+    * millionths. The co-occurrence shape is new to the suite (the
+    * dedup postings joins pair DOCUMENTS by shared tokens; this pairs
+    * ITEMS by shared baskets — the transposed join).
+    *
+    * Scale: the (order, part) incidence list dedupes FIRST (one
+    * map-side-combined distinct — never pair raw lines), the pair
+    * self-join keys on the ORDER so its volume is Σ basket_size² —
+    * bounded by max-basket × |lines| on real order data (baskets are
+    * small; a viral-basket dfCap would bolt on exactly like the dedup
+    * postings guard if they weren't), pair counts map-side-combine,
+    * part supports ride the same incidence frame (checkpointed — three
+    * consumers), and the top-50 plans as TakeOrderedAndProject with a
+    * (p1, p2) tie-break.
+    */
+  private val q64 = Q(
+    "q64_basket_pairs",
+    (s, dir) => {
+      val op = graft.Checkpoint.of(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+      val cnt = op.groupBy("pk").agg(count(lit(1)).as("n"))
+      val pairs = op.as("a")
+        .join(op.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(cnt.select(col("pk").as("p1"), col("n").as("n_a")), "p1")
+        .join(cnt.select(col("pk").as("p2"), col("n").as("n_b")), "p2")
+        .select(col("p1"), col("p2"), col("support"), col("n_a"),
+          col("n_b"),
+          expr("support * 1000000 DIV n_a").as("conf_ab_m6"),
+          expr("support * 1000000 DIV n_b").as("conf_ba_m6"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(50)
+    },
+    Some("""WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    cnt AS (SELECT pk, COUNT(*)::BIGINT AS n FROM op GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, COUNT(*)::BIGINT AS support
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk)
+    SELECT p1, p2, support, ca.n AS n_a, cb.n AS n_b,
+      (support * 1000000 // ca.n)::BIGINT AS conf_ab_m6,
+      (support * 1000000 // cb.n)::BIGINT AS conf_ba_m6
+    FROM pairs
+    JOIN cnt ca ON ca.pk = p1
+    JOIN cnt cb ON cb.pk = p2
+    ORDER BY support DESC, p1, p2 LIMIT 50"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
       q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-      q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+      q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }
