@@ -16,7 +16,8 @@ object ProbeDriverSim11 {
     for (q <- Seq("q62_late_priority_split", "q63_dau_wau",
         "graph_labelprop", "graph_embeddedness", "text_lm_heldout",
         "knn_pq_distortion", "emb_spectrum", "dq_volume_anomaly",
-        "knn_ivf_balance", "corpus_dup_rate", "dedup_recall_curve")) {
+        "knn_ivf_balance", "corpus_dup_rate", "dedup_recall_curve",
+        "knn_ivf_residuals", "q64_basket_pairs")) {
       val c = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"$q rows=$c")
       require(c > 0, s"$q empty")
