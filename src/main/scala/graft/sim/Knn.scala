@@ -597,11 +597,7 @@ object Knn {
     * location per corpus (overwritten on rebuild, never accumulated —
     * the r4 `createTempDirectory`-per-invocation leak).
     */
-  private def indexRoot(s: SparkSession): String =
-    s.conf.getOption("spark.graft.indexDir")
-      .orElse(s.conf.getOption(graft.Checkpoint.CONF_KEY))
-      .filter(_.nonEmpty)
-      .getOrElse(sys.props("java.io.tmpdir"))
+  private def indexRoot(s: SparkSession): String = graft.Indexes.root(s)
 
   // one build per corpus dir per JVM: Verify + every Bench rep reuse the
   // same index (training is deterministic, so a rebuild would produce

@@ -41,8 +41,7 @@ object Pipelines {
     * expression into the post-explode projection and re-evaluate it
     * once per exploded row (≈500× per doc) on both join sides.
     */
-  private def stages(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private def dedupedStage(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(TextOps.tokens(col("text")))
     val swRatio = TextOps.tokenMatchCount(col("text"), TextOps.stopwords)
       .cast("double") / nTok
@@ -51,10 +50,15 @@ object Pipelines {
     val fp = quality.select(col("doc_id"), col("lang"), col("text"),
       TextOps.normalizedMd5(col("text")).as("fp"))
     val keepers = fp.groupBy("fp").agg(min("doc_id").as("keeper"))
-    val deduped = fp.join(keepers, "fp")
+    fp.join(keepers, "fp")
       .filter(col("doc_id") === col("keeper"))
       .select("doc_id", "lang", "text")
       .transform(graft.Checkpoint.of)
+  }
+
+  private def stages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val deduped = dedupedStage(s, dir)
     val sh = deduped
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
       .withColumn("nsh", size(col("sh")))
@@ -157,5 +161,56 @@ object Pipelines {
         WHERE c.doc_id = d.doc_id AND c.m < d.doc_id))
     $sqlSummarize"""))
 
-  val all: Seq[Q] = Seq(prepare, prepareClustered)
+  // --------------------------------------- persisted-drops twin
+  /** The clustered near-dup DROP SET as a persisted artifact: the
+    * pipeline's expensive stage-3 work (shingle self-join → verify →
+    * connected components) runs once per corpus snapshot and stores
+    * only the thin (doc_id) drop list; the `_persisted` twin re-runs
+    * the cheap map+agg stages 1–2 and anti-joins the stored drops.
+    * NOTE the pipeline's pair graph is computed on the quality-filtered,
+    * exact-deduped corpus — a DIFFERENT pair set than the raw-corpus
+    * [[graft.dedup.DedupState]] artifact (components may chain through
+    * quality-rejected docs there), so this stage keeps its own stored
+    * state rather than re-pointing at the raw one. Same oracle gates
+    * both twins verbatim (deterministic pipeline; builtIndexes
+    * fresh-JVM cache contract applies).
+    */
+  private[graft] var dropsBuildCount = 0
+
+  private val builtDrops =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def buildClusteredDrops(s: SparkSession, dir: String,
+      path: String): Unit = {
+    dropsBuildCount += 1
+    val (_, sh) = stages(s, dir)
+    val pairs = Dedup.jaccardPairs(sh, Dedup.TAU)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    Dedup.connectedComponents(pairs)
+      .filter(col("label") < col("id"))
+      .select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def cachedDrops(s: SparkSession, dir: String): String =
+    builtDrops.getOrElseUpdate(dir, {
+      val name = "graft-pipelinedrops-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path =
+        new org.apache.hadoop.fs.Path(graft.Indexes.root(s), name).toString
+      buildClusteredDrops(s, dir, path)
+      path
+    })
+
+  /** The stored clustered drop list (doc_id). */
+  def readClusteredDrops(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(cachedDrops(s, dir))
+
+  private val prepareClusteredPersisted = Q(
+    "pipeline_prepare_clustered_persisted",
+    (s, dir) =>
+      summarize(dedupedStage(s, dir)
+        .join(readClusteredDrops(s, dir), Seq("doc_id"), "left_anti")),
+    prepareClustered.oracle)
+
+  val all: Seq[Q] = Seq(prepare, prepareClustered, prepareClusteredPersisted)
 }

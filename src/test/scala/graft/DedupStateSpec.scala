@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Persisted dedup state ([[graft.dedup.DedupState]]) — the `*_persisted`
+  * cluster-consumer twins must answer EXACTLY like their derive-in-query
+  * twins (same oracle gates both at the driver), and the artifact must
+  * build once per corpus per JVM.
+  */
+class DedupStateSpec extends SparkSpec {
+
+  test("persisted dedup state: every *_persisted twin answers exactly " +
+      "like its derive-in-query twin, builds once, queries reuse it") {
+    for ((p, t) <- Seq(
+        "dedup_clusters_persisted" -> "dedup_clusters",
+        "dedup_keep_best_persisted" -> "dedup_keep_best",
+        "dedup_weights_persisted" -> "dedup_weights",
+        "sample_split_dedup_persisted" -> "sample_split_dedup",
+        "dedup_lexsem_persisted" -> "dedup_lexsem",
+        "pipeline_prepare_clustered_persisted"
+          -> "pipeline_prepare_clustered")) {
+      val got = SparkEntry.queries(p)(spark, sfDir).collect().toSeq
+      val want = SparkEntry.queries(t)(spark, sfDir).collect().toSeq
+      assert(got == want, s"$p must answer exactly like $t")
+    }
+    val pairBuilds = graft.dedup.DedupState.buildCount
+    val dropBuilds = graft.text.Pipelines.dropsBuildCount
+    assert(pairBuilds >= 1 && dropBuilds >= 1,
+      "first queries must have built the artifacts")
+    SparkEntry.queries("dedup_weights_persisted")(spark, sfDir).collect()
+    SparkEntry.queries("pipeline_prepare_clustered_persisted")(
+      spark, sfDir).collect()
+    assert(graft.dedup.DedupState.buildCount == pairBuilds &&
+      graft.text.Pipelines.dropsBuildCount == dropBuilds,
+      "subsequent queries must NOT rebuild the stored state")
+  }
+
+  test("stored label table covers every document exactly once, " +
+      "singletons cluster to themselves with size 1") {
+    val labels = graft.dedup.DedupState.readLabels(spark, sfDir)
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(labels.count() == nDocs)
+    assert(labels.select("doc_id").distinct().count() == nDocs)
+    val singles = labels.filter(col("cluster_size") === 1)
+    assert(singles.filter(col("doc_id") =!= col("cluster_id")).count() == 0,
+      "a size-1 cluster's only member must be its own representative")
+  }
+}
