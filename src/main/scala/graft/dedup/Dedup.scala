@@ -618,63 +618,6 @@ object Dedup {
         round(cos, 6).as("cosine"))
   }
 
-  /** Anchor-cone CANDIDATE generation for high-τ cosine near-dup — the
-    * IVF-multi-probe blocking tier with a PROVABLE recall radius
-    * (cone-cover argument; the "guaranteed multi-probe" counterpart of
-    * Lv et al., VLDB'07's heuristic probing):
-    *
-    *  - anchors = a deterministic id-mod sample of ~√n corpus vectors
-    *    (anchor QUALITY affects pruning only, never recall — any anchor
-    *    set satisfies the covering argument, so no Lloyd rounds and no
-    *    training loop floor);
-    *  - every vector probes each anchor within angle
-    *    `best + 2·arccos(τ)` of it (best = its nearest anchor);
-    *  - candidates = pairs co-probing an anchor.
-    *
-    * Recall proof: angles are a metric on the sphere. For any pair
-    * (a, b) with cos(a,b) ≥ τ (i.e. ∠ab ≤ Δ = arccos τ) and b's best
-    * anchor c_b: ∠(a,c_b) ≤ ∠(b,c_b) + Δ and ∠(b,c_b) ≤ ∠(b,c_a) ≤
-    * ∠(a,c_a) + Δ, so ∠(a,c_b) ≤ ∠(a,c_a) + 2Δ — a probes c_b, b
-    * probes it as its best, the pair collides. An ε on the radius
-    * absorbs float `acos` error; the exact-cosine verify stage keeps
-    * the emitted pair set IDENTICAL to the all-pairs grid, so the exact
-    * oracle gates the blocked query verbatim.
-    *
-    * Scale: assignment is n·√n broadcast cosines (the IVF posture —
-    * [[graft.sim.Knn]]'s nlist rule), probe sets are small when τ is
-    * high (2Δ ≈ 28° at τ = 0.97), and candidate volume is Σ|cell|² of
-    * data-adaptive cells — near-dup mass, not n². The LSH tier
-    * ([[embeddingLsh]]) stays the right tool at moderate τ; this is the
-    * τ→1 tier where sign-LSH's per-bit gap collapses (the measured
-    * mm_embed_neardup geometry).
-    */
-  private[graft] def anchorConeCandidates(vecs: DataFrame,
-      tau: Double): DataFrame = {
-    val n = vecs.count()
-    val m = math.max(1L, math.round(math.sqrt(n.toDouble)))
-    val r = math.max(1L, n / m)
-    var anchors = vecs.filter(pmod(col("vec_id"), lit(r)) === 0)
-      .select(col("vec_id").as("anchor_id"), col("v").as("av"))
-    if (anchors.limit(1).count() == 0)     // sparse/offset id space
-      anchors = vecs.orderBy("vec_id").limit(1)
-        .select(col("vec_id").as("anchor_id"), col("v").as("av"))
-    val cosA = graft.functions.CosineSim.cosineSim(col("v"), col("av"))
-    val ang = (c: Column) => acos(least(lit(1.0), greatest(lit(-1.0), c)))
-    val radius = 2.0 * math.acos(tau) + 1e-9
-    val w = Window.partitionBy("vec_id")
-    val probes = vecs.crossJoin(broadcast(anchors))
-      .select(col("vec_id"), col("anchor_id"), cosA.as("c"))
-      .withColumn("best", max(col("c")).over(w))
-      .filter(ang(col("c")) <= ang(col("best")) + lit(radius))
-      .select("anchor_id", "vec_id")
-      .transform(graft.Checkpoint.of)
-    probes.as("x").join(probes.as("y"),
-        col("x.anchor_id") === col("y.anchor_id")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
-  }
-
   private val embedding = Q(
     "dedup_embedding",
     (s, dir) =>

@@ -954,18 +954,11 @@ object Multimodal {
     }).toDF("vec_id", "v")
   }
 
-  private val embedNeardup = Q(
-    "mm_embed_neardup",
-    (s, dir) =>
-      graft.dedup.Dedup.blockedCosinePairs(
-        // checkpointed: the typed decode+encode lineage feeds BOTH grid
-        // self-join sides — without the barrier it runs once per side
-        // (and the gram histogram is the expensive stage, unlike
-        // dedup_embedding's plain column scan)
-        graft.Checkpoint.of(gramVectors(mediaFromDocuments(s, dir))),
-        MM_COS_TAU)
-        .orderBy("a_id", "b_id"),
-    Some(s"""WITH chars AS (
+  /** Exact all-pairs gram-cosine oracle at threshold `tau` — shared by
+    * the τ=0.97 reporting grid and the τ=[[MM_DEDUP_TAU]] dedup tier.
+    */
+  private def sqlEmbedPairs(tau: Double): String =
+    s"""WITH chars AS (
       SELECT doc_id, unnest(range(length(text) - 3)) AS i, text
       FROM documents WHERE length(text) >= 4),
     grams AS (
@@ -989,8 +982,102 @@ object Multimodal {
       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM vecs a, vecs b
     WHERE a.doc_id < b.doc_id
-      AND list_cosine_similarity(a.v, b.v) >= ($MM_COS_TAU - 5e-7)
-    ORDER BY a_id, b_id"""))
+      AND list_cosine_similarity(a.v, b.v) >= ($tau - 5e-7)
+    ORDER BY a_id, b_id"""
+
+  private val embedNeardup = Q(
+    "mm_embed_neardup",
+    (s, dir) =>
+      graft.dedup.Dedup.blockedCosinePairs(
+        // checkpointed: the typed decode+encode lineage feeds BOTH grid
+        // self-join sides — without the barrier it runs once per side
+        // (and the gram histogram is the expensive stage, unlike
+        // dedup_embedding's plain column scan)
+        graft.Checkpoint.of(gramVectors(mediaFromDocuments(s, dir))),
+        MM_COS_TAU)
+        .orderBy("a_id", "b_id"),
+    Some(sqlEmbedPairs(MM_COS_TAU)))
+
+  // ---------------------------------------------- mm_embed_neardup_ivf
+  /** The SCALE tier of [[embedNeardup]] — the media-embedding DEDUP
+    * path that never touches the pair grid: byte-4-gram MinHash-LSH
+    * candidates over the raw payload ([[byteGramShingles]] →
+    * [[graft.dedup.Dedup.bandBucketsFromShingles]], 24 bands × 6 rows)
+    * + exact raw-cosine verify at τ = [[MM_DEDUP_TAU]] = 0.98.
+    *
+    * Why the dedup radius is TIGHTER than the τ=0.97 reporting grid —
+    * the mm_phash_clusters precedent (tighten the decision radius to
+    * where the detector has margin), backed by round-12 measurements:
+    * the [0.97, 0.98) boundary pairs are 64-bucket HISTOGRAM-COLLISION
+    * coincidences of shared vocabulary, not near-identical content —
+    * their payload 4-gram jaccard reaches DOWN to 0.33 (8-gram: 0.046)
+    * against a shared-vocab background reaching UP past it, and on the
+    * vector side the geometry concentrates within ~25° of a common
+    * direction, so EVERY angular/metric blocking collapses (measured:
+    * sign-LSH 64×4 recalls only by candidating every pair; anchor-cone
+    * multi-probe at its provable 2·arccos τ ≈ 28° radius probes every
+    * cell; contraction strip-projections pass 12.27M of 12.5M pairs —
+    * per-direction residual σ ≈ 0.1 vs strip width 0.245). At τ ≥ 0.98
+    * every true pair on every gate sf has payload gram-jaccard ≥ 0.918
+    * (planted near-identical content), where 24×6 banding's miss
+    * probability is (1 − 0.918⁶)²⁴ ≈ 3·10⁻¹⁰ — recall with margin, and
+    * background (j ≈ 0.25) collides at ~0.6%, so candidates are
+    * near-dup-mass-proportional. The τ=0.97 exact grid stays as the
+    * pair-REPORTING / ground-truth query.
+    *
+    * Scale: shingle + 144-perm MinHash are one map-side codegen pass
+    * per media; the bucket self-join materializes colliding pairs only;
+    * verify touches candidates, never n². With a real CLIP encoder the
+    * content-fingerprint candidate tier composes unchanged (CDC /
+    * chromaprint-shaped), or swaps for [[graft.dedup.Dedup]]'s sign-LSH
+    * once the embedding geometry has per-bit gap.
+    */
+  private[graft] val MM_DEDUP_TAU = 0.98
+  private val MM_DEDUP_PERMS = 144
+  private val MM_DEDUP_BANDS = 24
+
+  /** Distinct byte-4-gram shingles per media payload (ISO-8859-1 is a
+    * lossless byte↔char bijection, so gram identity is byte identity) —
+    * the binary twin of [[graft.dedup.Dedup.shingles]].
+    */
+  def byteGramShingles(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val p = r.payload
+      val set = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i + 3 < p.length) {
+        set += new String(p, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        i += 1
+      }
+      (r.mediaId, set.toArray)
+    }).toDF("doc_id", "sh")
+  }
+
+  private val embedDedup = Q(
+    "mm_embed_dedup",
+    (s, dir) => {
+      val media = mediaFromDocuments(s, dir)
+      val buckets = graft.Checkpoint.of(
+        graft.dedup.Dedup.bandBucketsFromShingles(
+          byteGramShingles(media), MM_DEDUP_PERMS, MM_DEDUP_BANDS))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val vecs = graft.Checkpoint.of(gramVectors(media))
+      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+      cand
+        .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
+          "a_id")
+        .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")),
+          "b_id")
+        .filter(cos >= lit(MM_DEDUP_TAU - 5e-7))
+        .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(sqlEmbedPairs(MM_DEDUP_TAU)))
 
   // ----------------------------------------------------- mm_frame_dedup
   /** Cross-video FRAME-level exact dedup — the shot/segment dedup a
@@ -1053,5 +1140,6 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
-    phashClusters, embedNeardup, frameDedup, keyframeQ, audioVad)
+    phashClusters, embedNeardup, embedDedup, frameDedup, keyframeQ,
+    audioVad)
 }

@@ -145,4 +145,16 @@ class MultimodalSpec extends SparkSpec {
     val negatives = out.filter(p => p._1 != p._2)
     assert(negatives.nonEmpty)
   }
+
+  test("mm_embed_dedup (LSH-candidate scale tier) equals the exact " +
+      "all-pairs grid restricted to the dedup radius") {
+    val got = SparkEntry.queries("mm_embed_dedup")(spark, sfDir)
+      .collect().toSeq
+    val want = SparkEntry.queries("mm_embed_neardup")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("cosine") >= 0.9799995)
+      .collect().toSeq
+    assert(got.nonEmpty, "dedup tier must find the planted near-dups")
+    assert(got == want,
+      "LSH candidates + exact verify must equal the exact grid at tau=0.98")
+  }
 }
