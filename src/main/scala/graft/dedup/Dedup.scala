@@ -978,6 +978,112 @@ object Dedup {
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     ORDER BY d.doc_id"""))
 
+  // ----------------------------------------------- dedup_substring_apply
+  /** The APPLY half of [[substringDedup]] — Lee et al. 2022's output
+    * stage: emit the SCRUBBED corpus with duplicated ≥L-token runs
+    * removed, keeping the GLOBAL FIRST occurrence of each duplicated
+    * gram (min (doc_id, pos) across the corpus — deterministic, and at
+    * least one copy of every duplicated run survives in the earliest
+    * document that carries it).
+    *
+    * Shape: the positional-L-gram posting table of the detect stage
+    * (checkpointed — consumed by the multiplicity aggregate AND the
+    * position join), one hash aggregate per gram carrying BOTH the
+    * multiplicity and the argmin occurrence as a packed
+    * `doc_id·2³² + pos` key (partial-aggregatable min — no
+    * exchange+sort+window, the per-group-argmax rule; doc_id < 2³¹ is
+    * the packing bound), then every NON-first duplicated occurrence
+    * explodes its covered positions [pos, pos+L−1] and one LEFT ANTI
+    * join drops them from the positional token stream. Rebuild is one
+    * per-doc sort of the kept (pos, token) pairs — bounded by doc
+    * length, never corpus-wide. Scrubbed TEXT hash-gates against
+    * DuckDB's mirror string surgery (the text_pii_scrub precedent).
+    */
+  /** Scrubbed corpus for a `(doc_id, text)` frame — see the
+    * dedup_substring_apply docstring for shape and keep rule.
+    */
+  def substringScrub(docs: DataFrame, l: Int): DataFrame = {
+    val gramArr = org.apache.spark.sql.graft.Shim.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Shim.expression(col("text")), l,
+        distinct = false))
+    val key = col("doc_id") * lit(4294967296L) + col("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("gh"))
+      .transform(graft.Checkpoint.of)
+    val ag = grams.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min(key).as("first_key"))
+      .filter(col("cnt") >= 2)
+    val cover = grams.join(ag, "gh")
+      .filter(key =!= col("first_key"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("pos"))
+    val toksPos = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val scrub = toksPos
+      .join(cover, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("scrubbed_text"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
+  private val substringApply = Q(
+    "dedup_substring_apply",
+    (s, dir) =>
+      substringScrub(Tables(s, dir, "documents").select("doc_id", "text"),
+        SUB_L),
+    Some(s"""WITH toks AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') w
+      FROM documents),
+    grams AS MATERIALIZED (
+      SELECT doc_id, u.s.p AS pos,
+        ('0x' || substr(md5(u.s.g), 1, 15))::BIGINT AS gh
+      FROM toks, UNNEST([struct_pack(p := i, g := ${sqlGramExpr(SUB_L)})
+        for i in range(1, greatest(len(w) - ${SUB_L - 2}, 1))]) u(s)),
+    ag AS (
+      SELECT gh, COUNT(*) AS cnt,
+        MIN(doc_id * 4294967296 + pos) AS first_key
+      FROM grams GROUP BY gh),
+    cover AS (
+      SELECT g.doc_id, g.pos + unnest(range(0, ${SUB_L})) AS pos
+      FROM grams g JOIN ag USING (gh)
+      WHERE ag.cnt >= 2
+        AND g.doc_id * 4294967296 + g.pos <> ag.first_key),
+    tok2 AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+      FROM toks),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.w[t.pos] AS tok
+      FROM tok2 t
+      WHERE NOT EXISTS (SELECT 1 FROM cover c
+        WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+    sc AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS kept_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+      len(list_filter(string_split(d.text,' '), t -> t <> ''))::BIGINT
+        AS n_tokens,
+      COALESCE(sc.kept_tokens, 0)::BIGINT AS kept_tokens,
+      COALESCE(sc.scrubbed_text, '') AS scrubbed_text
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY d.doc_id"""))
+
   // ------------------------------------------------------ dedup_cross_bloom
   /** EXACT cross-corpus dedup with a Bloom prefilter — the content-hash
     * twin of [[cross]] (which is near-dup): is each incoming doc's
@@ -1699,6 +1805,6 @@ object Dedup {
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
       splitDedup, dedupRecall, recallCurve, gramNovelty, containment, keepBest, weights,
-      lexsem, clustersPersisted, keepBestPersisted, weightsPersisted,
+      lexsem, substringApply, clustersPersisted, keepBestPersisted, weightsPersisted,
       splitDedupPersisted, lexsemPersisted)
 }

@@ -351,4 +351,28 @@ class DedupSpec extends SparkSpec {
     // with/without-query variants must NOT merge
     assert(full.count(_._1.contains("?a=1&b=2")) == full.length / 2)
   }
+
+  test("substringScrub removes non-first duplicated runs, keeps the " +
+      "global first occurrence, coalesces overlapping spans") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 carries the run first — kept verbatim
+      (1L, "u1 u2 d1 d2 d3 d4 d5 d6 u3 u4"),
+      // doc 2 repeats the 6-token run mid-doc — run removed
+      (2L, "v1 v2 v3 d1 d2 d3 d4 d5 d6 v4"),
+      // doc 3: the run TWICE in one doc → overlapping covered spans
+      // coalesce; both occurrences are non-first (doc 1 owns the min
+      // key), so both vanish
+      (3L, "d1 d2 d3 d4 d5 d6 w1 d1 d2 d3 d4 d5 d6"),
+      // doc 4: unique text, untouched
+      (4L, "x1 x2 x3 x4 x5 x6 x7")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.substringScrub(docs, 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 10L, "u1 u2 d1 d2 d3 d4 d5 d6 u3 u4")))
+    assert(out(2L) == ((10L, 4L, "v1 v2 v3 v4")))
+    assert(out(3L) == ((13L, 1L, "w1")))
+    assert(out(4L) == ((7L, 7L, "x1 x2 x3 x4 x5 x6 x7")))
+  }
 }
