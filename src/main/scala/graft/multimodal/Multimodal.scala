@@ -761,6 +761,144 @@ object Multimodal {
         // SUM(run_len))::BIGINT AS voiced_m6
     FROM runs GROUP BY media_id ORDER BY media_id"""))
 
+  // ---------------------------------------------------- mm_audio_neardup
+  /** Audio NEAR-DUP detection — the audio twin of [[videoNearDup]],
+    * completing the per-modality near-dup grid (text: minhash; image:
+    * phash; video: frame sequences; audio: this). The chromaprint
+    * recipe re-expressed on the stub decoder: fingerprint the ENERGY
+    * CONTOUR, not the samples, so a re-leveled copy (gain change /
+    * DC offset — the classic re-encode artifacts) fingerprints
+    * identically:
+    *
+    *  - per 64-byte frame, energy = [[graft.functions.ByteSum]] (the
+    *    mm_audio_vad stub decoder);
+    *  - per consecutive frame pair, a DELTA SYMBOL: 1 iff the per-byte
+    *    mean energy strictly rises (`en·len_prev > en_prev·len` —
+    *    cross-multiplied pure integers; both gain (×g) and offset (+c)
+    *    shift every frame's mean identically, so the symbol stream is
+    *    invariant under re-leveling);
+    *  - 12 consecutive symbols pack into one POSITION-KEYED gram (11
+    *    lead columns riding ONE (media, idx) window exchange — the same
+    *    shuffle the lag already paid); the postings key is (pos, gram):
+    *    matching is OFFSET-0-ALIGNED, the contract for re-leveled /
+    *    tail-trimmed full-clip copies (arbitrary-offset containment is
+    *    the text tier's CDC-shingle job);
+    *  - postings self-join on (pos, gram) (the [[videoNearDup]]
+    *    postings shape — candidate volume Σdf², never media×media),
+    *    media under [[AUDIO_MIN_GRAMS]] grams excluded (a clip shorter
+    *    than ~4 gram spans can't be fingerprinted robustly — and a
+    *    1-gram clip would pass the fraction gate on a single random
+    *    collision), and the same shared-fraction gate:
+    *    matched·2 ≥ min(n_a, n_b).
+    *
+    * Scale: map-only energy kernel, one thin window exchange, one
+    * postings equi-join on (pos, gram); the 2¹² gram space × position
+    * key keeps random collisions at the per-pair ~10⁻⁶ level while a
+    * true aligned near-dup shares ~every gram. Deterministic integers
+    * end-to-end.
+    */
+  private val AUDIO_FRAME = 16
+  private val AUDIO_K = 12
+  private val AUDIO_MIN_GRAMS = 4
+
+  /** Position-keyed (media_id, pos, g) energy-contour grams for a media
+    * lake — shared by the query and the constructed-clip spec.
+    */
+  def audioGrams(ds: Dataset[MediaRecord]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("idx")
+    val fr = frameSample(ds, frameBytes = AUDIO_FRAME, everyN = 1).toDF()
+      .select(expr(s"mediaId DIV $FRAME_STRIDE").as("media_id"),
+        expr(s"mediaId % $FRAME_STRIDE").as("idx"),
+        org.apache.spark.sql.graft.Shim.column(
+          graft.functions.ByteSum(
+            org.apache.spark.sql.graft.Shim.expression(col("payload"))))
+          .as("en"),
+        length(col("payload")).cast("long").as("len"))
+    val sym = fr
+      .withColumn("pen", lag(col("en"), 1).over(w))
+      .withColumn("plen", lag(col("len"), 1).over(w))
+      .filter(col("pen").isNotNull)
+      .select(col("media_id"), col("idx"),
+        when(col("en") * col("plen") > col("pen") * col("len"), 1L)
+          .otherwise(0L).as("s"))
+    val packed = (0 until AUDIO_K).map { j =>
+      (if (j == 0) col("s") else lead(col("s"), j).over(w)) *
+        lit(1L << j)
+    }.reduce(_ + _)
+    sym.select(col("media_id"), col("idx").as("pos"), packed.as("g"))
+      .filter(col("g").isNotNull)
+  }
+
+  /** One packed gram as DuckDB arithmetic over the symbol list. */
+  private def sqlAudioGramExpr: String =
+    (0 until AUDIO_K).map(j =>
+      s"sl[i${if (j == 0) "" else s"+$j"}] * ${1L << j}").mkString(" + ")
+
+  private val audioNearDup = Q(
+    "mm_audio_neardup",
+    (s, dir) => {
+      val fp0 = graft.Checkpoint.of(audioGrams(mediaFromDocuments(s, dir)))
+      val nf = fp0.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= AUDIO_MIN_GRAMS)
+      val fp = fp0.join(nf.select("media_id"), "media_id")
+      fp.as("a").join(fp.as("b"),
+          col("a.pos") === col("b.pos") && col("a.g") === col("b.g")
+            && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("a_id"),
+          col("b.media_id").as("b_id"))
+        .agg(count(lit(1)).as("matched"))
+        .join(nf.select(col("media_id").as("a_id"), col("n").as("n_a")),
+          "a_id")
+        .join(nf.select(col("media_id").as("b_id"), col("n").as("n_b")),
+          "b_id")
+        .filter(col("matched") * 2 >= least(col("n_a"), col("n_b")))
+        .select("a_id", "b_id", "matched", "n_a", "n_b")
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH idxs AS (
+      SELECT doc_id, unnest(range((length(text) + ${AUDIO_FRAME - 1})
+        // $AUDIO_FRAME)) AS idx, text
+      FROM documents),
+    fr AS (SELECT doc_id AS media_id, idx,
+        substr(text, (idx * $AUDIO_FRAME + 1)::INT, $AUDIO_FRAME) AS frame
+      FROM idxs),
+    chars AS (SELECT media_id, idx,
+        unnest(range(length(frame))) AS j, frame
+      FROM fr),
+    en AS (SELECT media_id, idx,
+        SUM(ord(substr(frame, (j + 1)::INT, 1)))::BIGINT AS en,
+        COUNT(*)::BIGINT AS len
+      FROM chars GROUP BY media_id, idx),
+    sym AS (SELECT media_id, idx,
+        CASE WHEN en * LAG(len) OVER w > LAG(en) OVER w * len
+          THEN 1 ELSE 0 END AS s,
+        LAG(en) OVER w IS NOT NULL AS has_prev
+      FROM en WINDOW w AS (PARTITION BY media_id ORDER BY idx)),
+    lst AS (SELECT media_id, list(s ORDER BY idx) AS sl
+      FROM sym WHERE has_prev GROUP BY media_id),
+    grams AS (SELECT media_id,
+        unnest([struct_pack(p := i, g := $sqlAudioGramExpr)
+          for i in range(1, greatest(len(sl) - ${AUDIO_K - 2}, 1))]) AS u
+      FROM lst),
+    fp0 AS MATERIALIZED (SELECT media_id, u.p AS pos, u.g AS g
+      FROM grams),
+    nf AS MATERIALIZED (SELECT media_id, COUNT(*) AS n FROM fp0
+      GROUP BY media_id HAVING COUNT(*) >= $AUDIO_MIN_GRAMS),
+    fp AS MATERIALIZED (SELECT fp0.media_id, pos, g
+      FROM fp0 JOIN nf USING (media_id)),
+    pairs AS (SELECT a.media_id AS a_id, b.media_id AS b_id,
+        COUNT(*)::BIGINT AS matched
+      FROM fp a JOIN fp b ON a.pos = b.pos AND a.g = b.g
+        AND a.media_id < b.media_id
+      GROUP BY a.media_id, b.media_id)
+    SELECT a_id, b_id, matched, na.n::BIGINT AS n_a, nb.n::BIGINT AS n_b
+    FROM pairs
+    JOIN nf na ON na.media_id = a_id
+    JOIN nf nb ON nb.media_id = b_id
+    WHERE matched * 2 >= LEAST(na.n, nb.n)
+    ORDER BY a_id, b_id"""))
+
   // --------------------------------------------------- cross-modal pairs
   /** CLIP-style (media, caption) curation filter — the step an aligned
     * image-text corpus runs before training: score each candidate pair's
@@ -1141,5 +1279,5 @@ object Multimodal {
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
     phashClusters, embedNeardup, embedDedup, frameDedup, keyframeQ,
-    audioVad)
+    audioVad, audioNearDup)
 }

@@ -146,6 +146,30 @@ class MultimodalSpec extends SparkSpec {
     assert(negatives.nonEmpty)
   }
 
+  test("audioGrams: a re-leveled, tail-trimmed copy fingerprints " +
+      "identically on the shared prefix; an unrelated clip does not") {
+    import spark.implicits._
+    def clip(id: Long, bytes: Array[Byte]) =
+      MediaRecord(id, bytes, MediaMeta("audio", 0, 0, 0L))
+    val a = Array.tabulate(400)(i => ((i * 37) % 100 + 80).toByte)
+    val b = a.take(360).map(x => (x + 10).toByte)   // +10 gain, trimmed
+    val c = Array.tabulate(400)(i => ((i * 53) % 90 + 70).toByte)
+    val ds = Seq(clip(1L, a), clip(2L, b), clip(3L, c)).toDS()
+    val grams = Multimodal.audioGrams(ds).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, v) =>
+        k -> v.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    // every gram of the trimmed copy matches the original at its position
+    assert(grams(2L).nonEmpty && grams(2L).subsetOf(grams(1L)),
+      "re-leveled copy must share every aligned gram with the original")
+    // the gate fraction holds: matched = |B| >= min(|A|,|B|)/2
+    assert(grams(2L).size * 2 >= math.min(grams(1L).size, grams(2L).size))
+    // unrelated clip shares under half of the shorter fingerprint
+    val shared = grams(1L).intersect(grams(3L)).size
+    assert(shared * 2 < math.min(grams(1L).size, grams(3L).size),
+      s"unrelated clip shared $shared grams")
+  }
+
   test("mm_embed_dedup (LSH-candidate scale tier) equals the exact " +
       "all-pairs grid restricted to the dedup radius") {
     val got = SparkEntry.queries("mm_embed_dedup")(spark, sfDir)
