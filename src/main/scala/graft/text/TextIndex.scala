@@ -42,9 +42,17 @@ object TextIndex {
     */
   def buildTextIndex(docs: DataFrame, path: String,
       splits: Int = 32): Unit = {
+    // positions (0-based token offsets, sorted) ride the SAME postings
+    // table as a separate column: tf-only queries never select it, so
+    // parquet column pruning keeps their reads unchanged (ReadSchema
+    // excludes `positions` — TextIndexSpec asserts it), while the
+    // phrase query answers adjacency from the index alone
     val postings = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p0").cast("long"))).as("positions"))
       .withColumn("pb", termBucket(col("term")))
     // range-split + sort on (pb, term): each pb= directory gets files
     // covering DISJOINT term ranges with term-ordered row groups, so the
@@ -309,5 +317,52 @@ object TextIndex {
     FROM g WHERE g = '${PHRASE.mkString(" ")}'
     GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(search, searchRanked, searchPhrase)
+  // ------------------------------------------------ text_search_phrase_pos
+  /** Exact phrase search from the POSITIONS-BEARING index alone — zero
+    * corpus re-read (the Lucene-with-positions recipe, vs
+    * [[searchPhrase]]'s candidates-then-verify): each phrase term's
+    * postings explode their stored position arrays shifted by the
+    * term's offset in the phrase (`p − i`), and a |phrase|-way
+    * equi-join on (doc_id, shifted position) leaves exactly the phrase
+    * occurrences — overlap-correct by construction, same count as the
+    * non-distinct bigram verify. One DPP-pruned postings read (the
+    * [[search]] scan), no documents-table access (spec-asserted).
+    *
+    * Scale: at 100 TB the verify re-read of candidate docs is the
+    * phrase query's dominant cost once candidates stop being tiny
+    * (common-word phrases); the positional index answers from
+    * ≤ |phrase|/[[PBUCKETS]] of the postings regardless. The positions
+    * column adds ~tf longs per posting row — the standard positional-
+    * index size tradeoff. [[textIndexSink]]-built indexes carry no
+    * positions (streaming appends stay thin); phrase_pos needs a
+    * [[buildTextIndex]] index.
+    */
+  def queryTextIndexPhrase(s: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val distinctTerms = phrase.distinct
+    val t = s.read.parquet(s"$path/terms")
+      .filter(col("term").isin(distinctTerms: _*))
+    val postings = s.read.parquet(s"$path/postings")
+      .filter(col("term").isin(distinctTerms: _*))
+      .withColumn("pb", col("pb").cast("long"))
+      .join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
+        Seq("pb", "term"))
+    val streams = phrase.zipWithIndex.map { case (term, i) =>
+      postings.filter(col("term") === term)
+        .select(col("doc_id"), explode(col("positions")).as("p"))
+        .select(col("doc_id"), (col("p") - lit(i.toLong)).as("p0"))
+    }
+    streams.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  private val searchPhrasePos = Q(
+    "text_search_phrase_pos",
+    (s, dir) =>
+      queryTextIndexPhrase(s, cachedIndex(s, dir), PHRASE)
+        .orderBy("doc_id"),
+    searchPhrase.oracle)
+
+  val all: Seq[Q] = Seq(search, searchRanked, searchPhrase, searchPhrasePos)
 }

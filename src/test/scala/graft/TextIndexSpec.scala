@@ -212,4 +212,26 @@ class TextIndexSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("text_search_phrase_pos answers from the index alone (no " +
+      "documents scan), equals the verify-scan phrase query, and " +
+      "tf-only reads prune the positions column") {
+    val d = SparkEntry.queries("text_search_phrase_pos")(spark, sfDir)
+    val got = d.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = SparkEntry.queries("text_search_phrase")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == want,
+      "positional adjacency must equal the bigram verify count")
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "phrase_pos must not touch the documents table")
+    assert(plan.contains("dynamicpruning"),
+      "phrase_pos must keep the DPP-pruned postings read")
+    // the tf-only query's scan must NOT read the positions arrays
+    val s2 = SparkEntry.queries("text_search")(spark, sfDir)
+    s2.collect()
+    val scan = s2.queryExecution.executedPlan.toString
+    assert(!scan.contains("positions"),
+      "tf-only reads must column-prune the positions arrays")
+  }
 }
