@@ -964,6 +964,102 @@ object Multimodal {
     FROM cand JOIN cap USING (doc_id)
     ORDER BY media_id, doc_id"""))
 
+  // ------------------------------------------------ mm_caption_recall
+  /** Cross-modal retrieval EVAL CARD — recall@k of caption→media
+    * retrieval, the number a CLIP-style curation loop reads (the
+    * [[graft.sim.Knn]] knn_recall protocol applied cross-modally):
+    * each of the [[MM_RECALL_NQ]] query captions (id-bounded
+    * deterministic query set — the knn probe-side rule) ranks EVERY
+    * media by the stub cross-modal score (distinct caption tokens ∩
+    * media token set, [[captionFilter]]'s feature space), tie-break
+    * media_id ascending, and the card reports the fraction of captions
+    * whose ALIGNED media lands in the top k ∈ {1, 5, 10} — exact
+    * integer millionths.
+    *
+    * The aligned media always scores the maximum (its caption is its
+    * own prefix), so recall < 1 exactly where another media TIES at
+    * full coverage with a smaller id — template families sharing their
+    * opening tokens; the card measures caption distinctiveness, which
+    * is what a real CLIP eval's recall@k degrades on too.
+    *
+    * Scale: the query set is FIXED-SIZE (broadcast |NQ| captions ×
+    * one corpus scan — linear, the knn_bruteforce posture), and the
+    * aligned-media rank needs NO sort and NO top-k window: rank =
+    * 1 + count(better-scoring media), one aggregate over the scored
+    * stream against the broadcast aligned scores.
+    */
+  private[graft] val MM_RECALL_NQ = 100L
+
+  private val captionRecall = Q(
+    "mm_caption_recall",
+    (s, dir) => {
+      val toks = graft.text.TextOps.tokens(col("text"))
+      val d = Tables(s, dir, "documents")
+      val media = d.select(col("doc_id").as("media_id"),
+        array_distinct(toks).as("mw"))
+      val caps = d.filter(col("doc_id") < MM_RECALL_NQ)
+        .select(col("doc_id").as("q_id"),
+          array_distinct(slice(toks, 1, CAPTION_TOKENS)).as("cw"))
+      // checkpointed: the scored stream feeds the aligned-score lookup
+      // AND the rank aggregate (the 2-consumer AQE trap)
+      val scored = graft.Checkpoint.of(
+        media.crossJoin(broadcast(caps))
+          .select(col("q_id"), col("media_id"),
+            size(array_intersect(col("cw"), col("mw"))).cast("long")
+              .as("score")))
+      val aligned = scored.filter(col("media_id") === col("q_id"))
+        .select(col("q_id"), col("score").as("a_score"))
+      val ranks = scored.join(broadcast(aligned), "q_id")
+        .groupBy("q_id")
+        .agg((sum(when(col("score") > col("a_score") ||
+            (col("score") === col("a_score")
+              && col("media_id") < col("q_id")), 1L)
+          .otherwise(0L)) + 1L).as("rnk"))
+      ranks.agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rnk") <= 1, 1L).otherwise(0L)).as("h1"),
+          sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("h5"),
+          sum(when(col("rnk") <= 10, 1L).otherwise(0L)).as("h10"))
+        .select(col("n_queries"),
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("h1 * 1000000 DIV n_queries"))
+            .as("recall_at_1_micro"),
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("h5 * 1000000 DIV n_queries"))
+            .as("recall_at_5_micro"),
+          when(col("n_queries") === 0, lit(0L))
+            .otherwise(expr("h10 * 1000000 DIV n_queries"))
+            .as("recall_at_10_micro"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') w
+      FROM documents),
+    media AS (SELECT doc_id AS media_id, list_distinct(w) AS mw FROM d),
+    cap AS (SELECT doc_id AS q_id,
+        list_distinct(w[1:$CAPTION_TOKENS]) AS cw
+      FROM d WHERE doc_id < $MM_RECALL_NQ),
+    scored AS MATERIALIZED (
+      SELECT q_id, media_id,
+        len(list_intersect(cw, mw))::BIGINT AS score
+      FROM cap, media),
+    al AS (SELECT q_id, score AS a_score FROM scored
+      WHERE media_id = q_id),
+    rk AS (SELECT s.q_id,
+        1 + SUM(CASE WHEN s.score > a.a_score
+            OR (s.score = a.a_score AND s.media_id < s.q_id)
+          THEN 1 ELSE 0 END) AS rnk
+      FROM scored s JOIN al a USING (q_id) GROUP BY s.q_id)
+    SELECT COUNT(*)::BIGINT AS n_queries,
+      (CASE WHEN COUNT(*) = 0 THEN 0
+        ELSE SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) END)::BIGINT AS recall_at_1_micro,
+      (CASE WHEN COUNT(*) = 0 THEN 0
+        ELSE SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) END)::BIGINT AS recall_at_5_micro,
+      (CASE WHEN COUNT(*) = 0 THEN 0
+        ELSE SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) END)::BIGINT AS recall_at_10_micro
+    FROM rk"""))
+
   // ------------------------------------------------- mm_phash_clusters
   /** Perceptual near-dup CLUSTERS — the media twin of dedup_clusters:
     * roll the [[perceptualPairs]] edge list up to connected components
@@ -1279,5 +1375,5 @@ object Multimodal {
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
     phashClusters, embedNeardup, embedDedup, frameDedup, keyframeQ,
-    audioVad, audioNearDup)
+    audioVad, audioNearDup, captionRecall)
 }

@@ -66,6 +66,7 @@ class PlanSpec extends SparkSpec {
   private val intendedNestedLoop = Set(
     "knn_bruteforce",   // broadcast query set vs corpus (no equi key exists)
     "knn_radius",       // same broadcast query set, τ filter in the scan
+    "mm_caption_recall", // broadcast NQ-caption query set vs corpus scan
     "knn_ivf",          // broadcast 16-centroid codebook
     "knn_ivf_quantized", // same broadcast codebook argmax as knn_ivf
     "knn_ivf_persisted", // same broadcast codebook (train + probe)
