@@ -248,10 +248,10 @@ object Dq {
           // the driver HAS regenerated tables mid-round — a shipdate
           // split can legitimately go one-sided).
           expr(s"CASE WHEN coalesce(n_ref_$m, 0) = 0 THEN NULL " +
-            s"ELSE s_ref_$m DIV n_ref_$m END").cast("long")
+            s"ELSE s_ref_$m DIV n_ref_$m END").cast("double")
             .as("ref_mean_micro"),
           expr(s"CASE WHEN coalesce(n_new_$m, 0) = 0 THEN NULL " +
-            s"ELSE s_new_$m DIV n_new_$m END").cast("long")
+            s"ELSE s_new_$m DIV n_new_$m END").cast("double")
             .as("new_mean_micro"))
       }.reduce(_ unionByName _)
         .withColumn("diff_micro",
@@ -286,12 +286,12 @@ object Dq {
     SELECT metric, COALESCE(n_ref, 0)::BIGINT AS n_ref,
       COALESCE(n_new, 0)::BIGINT AS n_new,
       (CASE WHEN COALESCE(n_ref, 0) = 0 THEN NULL
-        ELSE s_ref // n_ref END)::BIGINT AS ref_mean_micro,
+        ELSE s_ref // n_ref END)::DOUBLE AS ref_mean_micro,
       (CASE WHEN COALESCE(n_new, 0) = 0 THEN NULL
-        ELSE s_new // n_new END)::BIGINT AS new_mean_micro,
+        ELSE s_new // n_new END)::DOUBLE AS new_mean_micro,
       (CASE WHEN COALESCE(n_ref, 0) = 0 OR COALESCE(n_new, 0) = 0
         THEN NULL
-        ELSE (s_new // n_new) - (s_ref // n_ref) END)::BIGINT
+        ELSE (s_new // n_new) - (s_ref // n_ref) END)::DOUBLE
         AS diff_micro
     FROM (
       SELECT 'l_discount' AS metric, s_ref_disc AS s_ref,

@@ -2406,8 +2406,12 @@ object Relational {
     * active-day) pair COVERS the 7 report days it contributes to, so
     * WAU(d) = |distinct (user, cover_day = d)| — one bounded ×7
     * map-side explode of the thin distinct pair frame, one distinct,
-    * one count. Report days with no trailing activity simply don't
-    * appear; days whose 7-day window starts before the corpus report
+    * one count. The report is driven from the WAU frame with DAU
+    * left-joined (zero-coalesced), so a TOTAL-OUTAGE day — zero
+    * same-day actives but a live trailing window — reports DAU 0,
+    * stickiness 0 instead of vanishing (the dq_volume_anomaly spine
+    * argument); days with no trailing activity at all don't appear,
+    * and days whose 7-day window starts before the corpus report
     * honestly over the truncated window (both engines identically).
     *
     * Scale: ONE distinct over (user, day) epoch-day pairs (map-side
@@ -2430,9 +2434,10 @@ object Relational {
         .distinct()
         .groupBy(col("cover_day").as("day"))
         .agg(count(lit(1)).as("wau"))
-      dau.join(wau, "day")
-        .select(col("day"), col("dau"), col("wau"),
-          expr("dau * 1000000 DIV wau").as("stickiness_m6"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau"),
+          expr("coalesce(dau, 0) * 1000000 DIV wau").as("stickiness_m6"))
         .orderBy("day")
     },
     Some("""WITH pairs AS MATERIALIZED (
@@ -2444,9 +2449,9 @@ object Relational {
       FROM pairs, (SELECT UNNEST(range(7)) AS d) g),
     wau AS (SELECT cover_day AS day, COUNT(*)::BIGINT AS wau
       FROM cover GROUP BY cover_day)
-    SELECT day::BIGINT AS day, dau, wau,
-      (dau * 1000000 // wau)::BIGINT AS stickiness_m6
-    FROM dau JOIN wau USING (day)
+    SELECT day::BIGINT AS day, COALESCE(dau, 0)::BIGINT AS dau, wau,
+      (COALESCE(dau, 0) * 1000000 // wau)::BIGINT AS stickiness_m6
+    FROM wau LEFT JOIN dau USING (day)
     ORDER BY day"""))
 
   // ---------------------------------------------------------------- q64

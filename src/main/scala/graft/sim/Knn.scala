@@ -1888,8 +1888,8 @@ object Knn {
     * different-label, plus the raw margin `pos_cos − neg_cos` (the
     * quantity the loss clamps; emitted UNROUNDED — both operands are
     * already bit-identical rounded doubles, and re-rounding a value
-    * sitting ON the 6-dp grid is the round-trip trap CLAUDE'd in
-    * kmeans_train).
+    * sitting ON the 6-dp grid is the round-trip trap kmeans_train hit
+    * — see SURVEY §5).
     *
     * One corpus pass vs broadcast anchors; BOTH extremes ride a single
     * window partitioned by (anchor, is_pos) ordered by the sign-folded

@@ -371,8 +371,20 @@ object Streaming {
     */
   private def dedupOnDeclaredIds(batch: DataFrame, idCols: Seq[String],
       sink: String): DataFrame = {
-    if (idCols.isEmpty) batch
-    else {
+    if (idCols.isEmpty) {
+      // The default flipped from Seq("doc_id") to Nil in round 11
+      // (identity is caller-declared — driver tables carry no
+      // guaranteed keys). The flip is invisible at compile time, so
+      // surface it: a stream that DOES carry doc_id but declared no
+      // identity is exactly the call shape the old default covered.
+      if (batch.columns.contains("doc_id"))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$sink: batch carries doc_id but idCols is empty (the " +
+            "pre-r11 default deduped on doc_id) — duplicated rows " +
+            "under at-least-once delivery will double-count; pass " +
+            "idCols = Seq(\"doc_id\") to restore the replay guard")
+      batch
+    } else {
       val missing = idCols.filterNot(batch.columns.contains(_))
       require(missing.isEmpty,
         s"$sink idCols ${missing.mkString(",")} absent from batch " +
