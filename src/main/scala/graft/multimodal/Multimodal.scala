@@ -995,11 +995,17 @@ object Multimodal {
     (s, dir) => {
       val toks = graft.text.TextOps.tokens(col("text"))
       val d = Tables(s, dir, "documents")
-      val media = d.select(col("doc_id").as("media_id"),
-        array_distinct(toks).as("mw"))
-      val caps = d.filter(col("doc_id") < MM_RECALL_NQ)
-        .select(col("doc_id").as("q_id"),
-          array_distinct(slice(toks, 1, CAPTION_TOKENS)).as("cw"))
+      // both sides CHECKPOINTED before the crossJoin: CollapseProject
+      // would otherwise inline tokenize+distinct into the post-join
+      // projection and re-evaluate them once PER PAIR (measured 3×
+      // the query cost at sf0.1 — the post-explode re-evaluation trap)
+      val media = graft.Checkpoint.of(
+        d.select(col("doc_id").as("media_id"),
+          array_distinct(toks).as("mw")))
+      val caps = graft.Checkpoint.of(
+        d.filter(col("doc_id") < MM_RECALL_NQ)
+          .select(col("doc_id").as("q_id"),
+            array_distinct(slice(toks, 1, CAPTION_TOKENS)).as("cw")))
       // checkpointed: the scored stream feeds the aligned-score lookup
       // AND the rank aggregate (the 2-consumer AQE trap)
       val scored = graft.Checkpoint.of(
