@@ -212,11 +212,7 @@ object TextIndex {
   private val builtIndexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def indexRoot(s: SparkSession): String =
-    s.conf.getOption("spark.graft.indexDir")
-      .orElse(s.conf.getOption(graft.Checkpoint.CONF_KEY))
-      .filter(_.nonEmpty)
-      .getOrElse(sys.props("java.io.tmpdir"))
+  private def indexRoot(s: SparkSession): String = graft.Indexes.root(s)
 
   private[graft] def cachedIndex(s: SparkSession, dir: String): String =
     builtIndexes.getOrElseUpdate(dir, {

@@ -365,7 +365,10 @@ class DedupSpec extends SparkSpec {
       // key), so both vanish
       (3L, "d1 d2 d3 d4 d5 d6 w1 d1 d2 d3 d4 d5 d6"),
       // doc 4: unique text, untouched
-      (4L, "x1 x2 x3 x4 x5 x6 x7")
+      (4L, "x1 x2 x3 x4 x5 x6 x7"),
+      // doc 5: NOTHING but a non-first duplicated run — scrubs to the
+      // empty string but must still report (totality)
+      (5L, "d1 d2 d3 d4 d5 d6")
     ).toDF("doc_id", "text")
     val out = graft.dedup.Dedup.substringScrub(docs, 6)
       .collect().map(r => r.getLong(0) ->
@@ -374,5 +377,7 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((10L, 4L, "v1 v2 v3 v4")))
     assert(out(3L) == ((13L, 1L, "w1")))
     assert(out(4L) == ((7L, 7L, "x1 x2 x3 x4 x5 x6 x7")))
+    assert(out(5L) == ((6L, 0L, "")),
+      "a fully-duplicated doc must report with an empty scrubbed text")
   }
 }
