@@ -50,7 +50,15 @@ object Dedup {
     * barrier becomes a reliable `checkpoint()` task retries can re-read.
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    shingleTable(Tables(s, dir, "documents").select("doc_id", "text"))
+
+  /** The checkpointed (doc_id, sh, nsh) shingle frame for ANY
+    * (doc_id, text) docs frame — [[docShingles]] generalized so the
+    * persisted-state build/append path ([[DedupState]]) shares the
+    * exact pipeline.
+    */
+  private[dedup] def shingleTable(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), shingles(col("text"), K).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .transform(graft.Checkpoint.of)
@@ -243,7 +251,7 @@ object Dedup {
     * candidates only pairing docs that produced index entries, so the
     * denominator `na + nb - inter ≥ max(na, nb) > 0`.
     */
-  private def verifyJaccard(cand: DataFrame, shingleTable: DataFrame,
+  private[dedup] def verifyJaccard(cand: DataFrame, shingleTable: DataFrame,
       tau: Double): DataFrame =
     cand
       .join(shingleTable.select(col("doc_id").as("a_id"),

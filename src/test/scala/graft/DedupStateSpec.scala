@@ -35,6 +35,32 @@ class DedupStateSpec extends SparkSpec {
       "subsequent queries must NOT rebuild the stored state")
   }
 
+  test("appendDedupState: incremental slice ingest equals a " +
+      "from-scratch build over the union, bit-exactly") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val slice = docs.filter(col("doc_id") % 2 =!= 0)
+    val incr = java.nio.file.Files.createTempDirectory("graft-ds-incr")
+    val full = java.nio.file.Files.createTempDirectory("graft-ds-full")
+    try {
+      graft.dedup.DedupState.buildDedupStateFrom(docs, full.toString)
+      graft.dedup.DedupState.buildDedupStateFrom(base, incr.toString)
+      graft.dedup.DedupState.appendDedupState(spark, incr.toString,
+        base, slice)
+      def rows(p: String) = spark.read.parquet(p).collect().toSet
+      assert(rows(s"$incr/pairs").nonEmpty)
+      assert(rows(s"$incr/pairs") == rows(s"$full/pairs"),
+        "appended pair table must equal the from-scratch build's")
+      assert(rows(s"$incr/labels") == rows(s"$full/labels"),
+        "recomputed labels must equal the from-scratch build's")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(incr.toFile); rm(full.toFile)
+    }
+  }
+
   test("stored label table covers every document exactly once, " +
       "singletons cluster to themselves with size 1") {
     val labels = graft.dedup.DedupState.readLabels(spark, sfDir)
