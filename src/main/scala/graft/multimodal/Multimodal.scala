@@ -797,9 +797,9 @@ object Multimodal {
     * true aligned near-dup shares ~every gram. Deterministic integers
     * end-to-end.
     */
-  private val AUDIO_FRAME = 16
-  private val AUDIO_K = 12
-  private val AUDIO_MIN_GRAMS = 4
+  private[graft] val AUDIO_FRAME = 16
+  private[graft] val AUDIO_K = 12
+  private[graft] val AUDIO_MIN_GRAMS = 4
 
   /** Position-keyed (media_id, pos, g) energy-contour grams for a media
     * lake — shared by the query and the constructed-clip spec.

@@ -627,6 +627,74 @@ object Streaming {
       } finally rows.unpersist()
   }
 
+  /** Streaming AUDIO near-dup detection — the audio twin of
+    * [[phashDedupSink]], the online mirror of the batch
+    * `mm_audio_neardup` query for clips arriving as a stream of
+    * (media_id, payload: binary) rows: each micro-batch's
+    * position-keyed energy-contour grams
+    * ([[graft.multimodal.Multimodal.audioGrams]] — the ONE shared
+    * fingerprint pipeline, so frame size / gram width / min-gram floor
+    * cannot drift from the batch query) join the persisted gram
+    * history and the batch itself on (pos, gram); a clip flags when
+    * the batch gate holds against ANY earlier clip: matched·2 ≥
+    * min(n_new, n_base), both sides ≥ the
+    * [[graft.multimodal.Multimodal.AUDIO_MIN_GRAMS]] floor. Per-media
+    * gram counts ride the state rows DENORMALIZED (constant per
+    * media), so the gate needs no second pass over history.
+    *
+    * State = thin (media_id, pos, g, n) rows for floor-passing media
+    * only (sub-floor clips can never match — same exclusion as the
+    * batch query), under the [[BatchState]] replay/compaction
+    * contract: a replayed batch reads strictly older partitions and
+    * recomputes identical flags.
+    */
+  def audioDedupSink(stateDir: String, compactEvery: Int = 16,
+      retentionBatches: Option[Long] = None)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val media = batch.select("media_id", "payload")
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) => graft.multimodal.MediaRecord(id, p,
+          graft.multimodal.MediaMeta("audio", 0, 0, 0L)) }
+      val g0 = graft.multimodal.Multimodal.audioGrams(media)
+      val counts = g0.groupBy("media_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= graft.multimodal.Multimodal.AUDIO_MIN_GRAMS)
+      val rows = g0.join(counts, "media_id")
+        .select("media_id", "pos", "g", "n").localCheckpoint()
+      try {
+        val st = new BatchState(spark, stateDir,
+          org.apache.spark.sql.types.StructType(rows.schema.fields),
+          compactEvery, retentionBatches)
+        val state = st.visible(batchId)
+          .select(col("pos"), col("g"), col("media_id").as("base_id"),
+            col("n").as("n_base"))
+        val vsState = rows.join(state, Seq("pos", "g"))
+          .groupBy(col("media_id"), col("base_id"), col("n"),
+            col("n_base"))
+          .agg(count(lit(1)).as("matched"))
+          .filter(col("matched") * 2 >= least(col("n"), col("n_base")))
+          .select("media_id")
+        val vsBatch = rows.as("x").join(rows.as("y"),
+            col("x.pos") === col("y.pos") && col("x.g") === col("y.g")
+              && col("x.media_id") > col("y.media_id"))
+          .groupBy(col("x.media_id").as("media_id"),
+            col("y.media_id").as("base_id"),
+            col("x.n").as("n_a"), col("y.n").as("n_b"))
+          .agg(count(lit(1)).as("matched"))
+          .filter(col("matched") * 2 >= least(col("n_a"), col("n_b")))
+          .select("media_id")
+        val dups = vsState.union(vsBatch).distinct()
+        out(batch.select("media_id")
+          .join(dups.withColumn("is_neardup", lit(true)),
+            Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("is_neardup"), lit(false)).as("is_neardup")))
+        st.commit(rows, batchId)
+      } finally rows.unpersist()
+    }
+
   /** Streaming benchmark decontamination — the online mirror of the
     * batch `decontam_ngram` query for a corpus arriving as a stream: per
     * micro-batch, every document's n-grams are checked against the FIXED

@@ -764,6 +764,41 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must not see its own state")
   }
 
+  test("audioDedupSink flags re-leveled clips against history and " +
+      "within batches, replays idempotently") {
+    // the MultimodalSpec clip family: deterministic varied-energy
+    // patterns; relevel(+10) preserves the delta-sign contour exactly
+    def clip(m: Int): Array[Byte] =
+      Array.tabulate(400)(i => ((i * (37 + m * 16)) % 100 + 80).toByte)
+    def relevel(b: Array[Byte]): Array[Byte] =
+      b.take(360).map(x => (x + 10).toByte)
+    def batchOf(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("media_id", "payload")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_aud").toString
+    var lastFlags = Map.empty[Long, Boolean]
+    val sink = Streaming.audioDedupSink(s"$tmp/state") { out =>
+      lastFlags = out.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    // distinct clips: no flags
+    sink(batchOf(Seq(0L -> clip(0), 1L -> clip(1))), 0L)
+    assert(lastFlags == Map(0L -> false, 1L -> false), s"got $lastFlags")
+    // within-batch copy flags the later id only
+    sink(batchOf(Seq(10L -> clip(2), 11L -> relevel(clip(2)))), 1L)
+    assert(lastFlags == Map(10L -> false, 11L -> true), s"got $lastFlags")
+    // vs-history: a re-leveled copy of an indexed clip flags; a fresh
+    // pattern does not; a sub-floor tiny clip can never flag
+    val probes = batchOf(Seq(100L -> relevel(clip(0)), 101L -> clip(3),
+      102L -> clip(0).take(80)))
+    sink(probes, 2L)
+    assert(lastFlags ==
+      Map(100L -> true, 101L -> false, 102L -> false), s"got $lastFlags")
+    val atFirstRun = lastFlags
+    sink(probes, 2L) // replay after a failure post-state-write
+    assert(lastFlags == atFirstRun,
+      "replayed batch must not see its own state")
+  }
+
   test("minhashDedupSink tolerates a zero-shingle first batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nde").toString
