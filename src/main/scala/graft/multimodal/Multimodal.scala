@@ -1197,30 +1197,30 @@ object Multimodal {
   /** Exact all-pairs gram-cosine oracle at threshold `tau` — shared by
     * the τ=0.97 reporting grid and the τ=[[MM_DEDUP_TAU]] dedup tier.
     */
-  private def sqlEmbedPairs(tau: Double): String =
-    s"""WITH chars AS (
+  private def sqlEmbedPairs(tau: Double, pfx: String = ""): String =
+    s"""WITH ${pfx}chars AS (
       SELECT doc_id, unnest(range(length(text) - 3)) AS i, text
       FROM documents WHERE length(text) >= 4),
-    grams AS (
+    ${pfx}grams AS (
       SELECT doc_id,
         (ord(substr(text, i+1, 1)) * 29791 + ord(substr(text, i+2, 1)) * 961
           + ord(substr(text, i+3, 1)) * 31 + ord(substr(text, i+4, 1)))
           % $GRAM_D AS bucket
-      FROM chars),
-    bins AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS c
-      FROM grams GROUP BY doc_id, bucket),
-    grid AS (
+      FROM ${pfx}chars),
+    ${pfx}bins AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS c
+      FROM ${pfx}grams GROUP BY doc_id, bucket),
+    ${pfx}grid AS (
       SELECT d.doc_id, r.bucket
-      FROM (SELECT DISTINCT doc_id FROM bins) d
+      FROM (SELECT DISTINCT doc_id FROM ${pfx}bins) d
       CROSS JOIN (SELECT unnest(range($GRAM_D)) AS bucket) r),
-    vecs AS MATERIALIZED (
+    ${pfx}vecs AS MATERIALIZED (
       SELECT g.doc_id, list(COALESCE(c, 0)::DOUBLE ORDER BY g.bucket) AS v
-      FROM grid g LEFT JOIN bins
-        ON bins.doc_id = g.doc_id AND bins.bucket = g.bucket
+      FROM ${pfx}grid g LEFT JOIN ${pfx}bins
+        ON ${pfx}bins.doc_id = g.doc_id AND ${pfx}bins.bucket = g.bucket
       GROUP BY g.doc_id)
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM vecs a, vecs b
+    FROM ${pfx}vecs a, ${pfx}vecs b
     WHERE a.doc_id < b.doc_id
       AND list_cosine_similarity(a.v, b.v) >= ($tau - 5e-7)
     ORDER BY a_id, b_id"""
@@ -1319,6 +1319,40 @@ object Multimodal {
     },
     Some(sqlEmbedPairs(MM_DEDUP_TAU)))
 
+  // -------------------------------------------------- mm_embed_recall
+  /** The HONESTY CARD for the radius-tightened dedup tier — recall of
+    * [[embedDedup]] (τ=0.98 LSH tier) against [[embedNeardup]]'s
+    * τ=0.97 exact reporting grid (the knn_recall / dedup_recall
+    * composition shape: the eval query runs the ground truth by
+    * definition, so it inherits the grid's cost — that IS the
+    * protocol). `n_boundary` counts exactly the [0.97, 0.98) pairs the
+    * tightened decision radius declines to dedup (the measured
+    * histogram-collision vocabulary coincidences — see [[embedDedup]]);
+    * precision is structurally 1 (both tiers exact-verify the same raw
+    * cosine, and the dedup threshold dominates), so the card reports
+    * the recall side only, exact floor-millionths, zero-guarded.
+    */
+  private val embedRecall = Q(
+    "mm_embed_recall",
+    (s, dir) => {
+      val nt = embedNeardup.fn(s, dir).agg(count(lit(1)).as("n_truth"))
+      val nf = embedDedup.fn(s, dir).agg(count(lit(1)).as("n_found"))
+      nt.crossJoin(broadcast(nf))
+        .select(col("n_truth"), col("n_found"),
+          (col("n_truth") - col("n_found")).as("n_boundary"),
+          when(col("n_truth") === 0, lit(0L))
+            .otherwise(expr("n_found * 1000000 DIV n_truth"))
+            .as("recall_micro"))
+    },
+    Some(s"""SELECT n_truth, n_found,
+      (n_truth - n_found)::BIGINT AS n_boundary,
+      (CASE WHEN n_truth = 0 THEN 0
+        ELSE n_found * 1000000 // n_truth END)::BIGINT AS recall_micro
+    FROM (SELECT COUNT(*)::BIGINT AS n_truth
+        FROM (${sqlEmbedPairs(MM_COS_TAU, "t97_")}) t),
+      (SELECT COUNT(*)::BIGINT AS n_found
+        FROM (${sqlEmbedPairs(MM_DEDUP_TAU, "t98_")}) f)"""))
+
   // ----------------------------------------------------- mm_frame_dedup
   /** Cross-video FRAME-level exact dedup — the shot/segment dedup a
     * video pipeline runs below [[videoNearDup]]'s sequence tier:
@@ -1381,5 +1415,5 @@ object Multimodal {
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
     phashClusters, embedNeardup, embedDedup, frameDedup, keyframeQ,
-    audioVad, audioNearDup, captionRecall)
+    audioVad, audioNearDup, captionRecall, embedRecall)
 }

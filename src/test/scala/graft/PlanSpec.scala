@@ -98,6 +98,7 @@ class PlanSpec extends SparkSpec {
     "sample_budget",       // same broadcast scalars + budget arithmetic
     "dedup_recall",        // broadcast 1-row n_truth/n_found/n_correct
     "dedup_recall_curve",  // same 1-row counter broadcasts, τ-grid form
+    "mm_embed_recall",     // same 1-row counter broadcast composition
     "decontam_embedding",  // broadcast benchmark vectors vs corpus scan
     "knn_hamming",         // broadcast query sigs vs corpus (bruteforce shape)
     "knn_mips",            // broadcast query set vs corpus (bruteforce shape)
