@@ -834,7 +834,7 @@ object Dedup {
     * when small enough. The oracle is the ground-truth exact-jaccard
     * cross-pair set, so a green row proves full cross-corpus recall.
     */
-  private val NEW_SOURCES = Seq("src0", "src1")
+  private[dedup] val NEW_SOURCES = Seq("src0", "src1")
 
   private val cross = Q(
     "dedup_cross",
@@ -1753,6 +1753,23 @@ object Dedup {
         .orderBy("doc_id"),
     clusters.oracle)
 
+  /** The INCREMENTAL ingest path under the driver's hash gate: labels
+    * from build-on-base + append-slice ([[DedupState
+    * .readLabelsIncremental]] — base/slice split = dedup_cross's
+    * NEW_SOURCES) must equal the full derive-in-query clustering, so
+    * the SAME dedup_clusters oracle gates the whole append machinery
+    * (bucket-history candidates, per-candidate base re-shingle, pair
+    * append, label recompute) end-to-end.
+    */
+  private val clustersIncremental = Q(
+    "dedup_clusters_incremental",
+    (s, dir) =>
+      DedupState.readLabelsIncremental(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") =!= col("cluster_id")).as("is_dup"))
+        .orderBy("doc_id"),
+    clusters.oracle)
+
   private val keepBestPersisted = Q(
     "dedup_keep_best_persisted",
     (s, dir) => {
@@ -1813,6 +1830,6 @@ object Dedup {
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
       splitDedup, dedupRecall, recallCurve, gramNovelty, containment, keepBest, weights,
-      lexsem, substringApply, clustersPersisted, keepBestPersisted, weightsPersisted,
+      lexsem, substringApply, clustersPersisted, clustersIncremental, keepBestPersisted, weightsPersisted,
       splitDedupPersisted, lexsemPersisted)
 }

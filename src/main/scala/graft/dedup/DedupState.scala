@@ -152,6 +152,35 @@ object DedupState {
       path)
   }
 
+  private val builtIncr =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Labels produced by the INCREMENTAL path over the driver corpus:
+    * build on the base sources, then [[appendDedupState]] the
+    * [[Dedup.NEW_SOURCES]] slice — the production ingest split
+    * `dedup_cross` uses. By the append-equals-rebuild contract
+    * (DedupStateSpec proves it bit-exactly) the result is the full
+    * build's label table, so the derive-in-query `dedup_clusters`
+    * oracle gates the WHOLE incremental path end-to-end at the driver.
+    * Session-cached per corpus dir (builtIndexes contract).
+    */
+  def readLabelsIncremental(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(builtIncr.getOrElseUpdate(dir, {
+      val name =
+        "graft-dedupstate-incr-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path =
+        new org.apache.hadoop.fs.Path(graft.Indexes.root(s), name).toString
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val isNew = col("source").isin(Dedup.NEW_SOURCES: _*)
+      buildDedupStateFrom(
+        docs.filter(!isNew).select("doc_id", "text"), path)
+      appendDedupState(s, path,
+        docs.filter(!isNew).select("doc_id", "text"),
+        docs.filter(isNew).select("doc_id", "text"))
+      path
+    }) + "/labels")
+
   private def cached(s: SparkSession, dir: String): String =
     built.getOrElseUpdate(dir, {
       val name = "graft-dedupstate-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
