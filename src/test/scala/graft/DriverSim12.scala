@@ -16,7 +16,7 @@ object DriverSim12 {
       "dedup_lexsem_persisted", "pipeline_prepare_clustered_persisted",
       "dedup_substring_apply", "mm_embed_dedup", "mm_audio_neardup",
       "text_search_phrase_pos", "mm_caption_recall", "q63_dau_wau",
-      "dq_drift")
+      "dq_drift", "mm_embed_recall", "dedup_clusters_incremental")
     for (n <- names) {
       val c = SparkEntry.queries(n)(spark, dir).count()
       println(s"DRIVER_SIM12 $n rows=$c")
