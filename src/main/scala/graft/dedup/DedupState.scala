@@ -17,14 +17,17 @@ import graft.Tables
   * is three THIN tables (~1/1000th of the corpus bytes):
   *
   *   - `path/pairs`   = (a_id, b_id, jaccard) — the verified ≥τ pair
-  *     list ([[Dedup.minhashPairs]]'s rows, raw doubles).
+  *     list ([[Dedup.minhashPairs]]'s rows, raw doubles), PARTITIONED
+  *     BY the ingesting slice's `ingest_id` (0 = base build) so a
+  *     replayed append overwrites itself.
   *   - `path/labels`  = (doc_id, cluster_id, cluster_size) — full
   *     corpus coverage (singletons cluster to themselves, size 1),
   *     cluster id = component-min doc_id.
   *   - `path/buckets` = (doc_id, band, bh) MinHash band buckets — the
   *     append-side candidate state (the [[MinhashIndex]] layout), so
   *     an incoming slice pairs against ALL history without re-reading
-  *     base text except for the few candidate docs the verify touches.
+  *     base text except for the few candidate docs the verify touches;
+  *     `ingest_id`-partitioned like pairs.
   *
   * Every downstream policy — hard keep-min ([[Dedup]] `dedup_clusters`),
   * keep-longest (`dedup_keep_best`), soft weights (`dedup_weights`),
@@ -85,16 +88,23 @@ object DedupState {
     * any prior state there. The label pass runs
     * [[Dedup.connectedComponents]] over the pairs READ BACK from
     * storage — CC's iterative joins consume plain parquet attributes,
-    * never the live shingle/bucket lineage.
+    * never the live shingle/bucket lineage. Buckets and pairs land in
+    * `ingest_id=0` partitions; [[appendDedupState]] slices take ids
+    * > 0 (the [[graft.sim.Knn.appendIvfIndex]] layout, so a replayed
+    * append dynamically overwrites itself instead of duplicating rows).
     */
   def buildDedupStateFrom(docs: DataFrame, path: String): Unit = {
     buildCount += 1
     val s = docs.sparkSession
     val ds = Dedup.shingleTable(docs)
     val buckets = graft.Checkpoint.of(Dedup.bandBucketsFromShingles(ds))
-    buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    buckets.withColumn("ingest_id", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_id")
+      .parquet(s"$path/buckets")
     Dedup.verifyJaccard(selfCandidates(buckets), ds, Dedup.TAU)
-      .write.mode("overwrite").parquet(s"$path/pairs")
+      .withColumn("ingest_id", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_id")
+      .parquet(s"$path/pairs")
     writeLabels(s, docs.select("doc_id"), path)
   }
 
@@ -103,10 +113,75 @@ object DedupState {
     buildDedupStateFrom(
       Tables(s, dir, "documents").select("doc_id", "text"), path)
 
+  /** Count of docs the last append's label pass actually relabeled —
+    * spec hook proving the relabel is affected-components-only.
+    */
+  private[graft] var lastRelabelDocs: Long = -1L
+
+  /** Relabel ONLY the components an append's new pairs touched — the
+    * full-history CC recompute [[writeLabels]] runs at build time is
+    * replaced by a bounded pass at append time:
+    *
+    *   1. the clusters containing a new-pair endpoint are the only
+    *      ones whose labels can change (old pairs never cross old
+    *      cluster boundaries — clusters are closed under the stored
+    *      pair set), so affected docs = members of touched clusters ∪
+    *      the slice's docs;
+    *   2. the CC fixpoint runs over the stored pairs RESTRICTED to
+    *      affected docs (both endpoints of every such pair are
+    *      affected, by the same closure argument) — the iterative
+    *      rounds never see unaffected history;
+    *   3. unaffected label rows are carried over byte-identically
+    *      (their cluster membership and size cannot have changed).
+    *
+    * Equals [[writeLabels]]'s full recompute bit-exactly
+    * (DedupStateSpec pins it) at slice-collision-mass CC cost; the
+    * only history-sized work left is one thin columnar scan of the
+    * pair/label tables to cut the subgraph.
+    */
+  private def relabelAffected(s: SparkSession, path: String,
+      newDocIds: DataFrame, newPairs: DataFrame): Unit = {
+    val old = graft.Checkpoint.of(s.read.parquet(s"$path/labels")
+      .select("doc_id", "cluster_id", "cluster_size"))
+    val endIds = newPairs.select(col("a_id").as("doc_id"))
+      .unionByName(newPairs.select(col("b_id").as("doc_id"))).distinct()
+    val affClusters = old.join(endIds, "doc_id")
+      .select("cluster_id").distinct()
+    val affDocs = graft.Checkpoint.of(
+      old.join(affClusters, "cluster_id").select("doc_id")
+        .unionByName(newDocIds.select("doc_id")).distinct())
+    lastRelabelDocs = affDocs.count()
+    val sub = s.read.parquet(s"$path/pairs")
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .join(affDocs.withColumnRenamed("doc_id", "u"), Seq("u"),
+        "left_semi")
+    val labels = Dedup.connectedComponents(sub)
+    val assigned = affDocs
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    old.join(affDocs, Seq("doc_id"), "left_anti")
+      .unionByName(assigned.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size"))
+      .write.mode("overwrite").parquet(s"$path/labels")
+  }
+
   /** Append an incoming SLICE to an existing artifact — the production
-    * ingest loop (doc_ids must be globally unique and the slice must
-    * not have been appended before; the [[MinhashIndex.append]] /
-    * textIndexSink contract):
+    * ingest loop. `ingestId` must be > 0 (0 = the base build) and
+    * unique per slice (the streaming batchId contract): the slice's
+    * buckets and pairs land in their own `ingest_id` partitions via
+    * DYNAMIC overwrite, so a crash-retry with the same id replaces
+    * itself instead of duplicating rows, and the label pass re-derives
+    * the same fixpoint — replaying an append is a byte-level no-op
+    * (DedupStateSpec pins it). doc_ids must be globally unique across
+    * slices; the append FAILS FAST (one thin semi-join against the
+    * stored buckets, the slice's own partition excluded so replays
+    * pass) if a slice id was already ingested under a different
+    * `ingestId` — silent duplicate identities corrupt pair counts and
+    * labels (the r10 "identity must be declared and checked" lesson).
     *
     *   1. the slice's band buckets join the STORED bucket history
     *      (slice×base) and themselves (slice×slice) — candidate volume
@@ -115,10 +190,10 @@ object DedupState {
     *      docs (a thin id semi-join against `baseDocs` — candidates
     *      are a vanishing corpus fraction, so base text is touched
     *      per-candidate, never per-slice);
-    *   3. the verified pairs and the slice's buckets APPEND (thin
-    *      rows); labels are recomputed from the stored pair table —
-    *      thin (id, label) CC rounds, the only non-incremental stage,
-    *      over pair-mass not corpus-mass.
+    *   3. the verified pairs and the slice's buckets land in the
+    *      slice's partitions; labels are refreshed by
+    *      [[relabelAffected]] — CC rounds over the touched components
+    *      only, never full history.
     *
     * The result is IDENTICAL to a from-scratch build over base∪slice
     * (same candidate union, same verify arithmetic, same CC fixpoint —
@@ -126,11 +201,23 @@ object DedupState {
     * consumer keeps its oracle after every append.
     */
   def appendDedupState(s: SparkSession, path: String, baseDocs: DataFrame,
-      newDocs: DataFrame): Unit = {
+      newDocs: DataFrame, ingestId: Long = 1L): Unit = {
+    require(ingestId > 0,
+      s"ingestId must be > 0 (0 = base build), got $ingestId")
     appendCount += 1
+    val priorIds = s.read.parquet(s"$path/buckets")
+      .filter(col("ingest_id") =!= ingestId)
+      .select("doc_id")
+    val clash = newDocs.select("doc_id").distinct()
+      .join(priorIds, Seq("doc_id"), "left_semi").limit(1).count()
+    require(clash == 0,
+      "appendDedupState: slice doc_ids overlap an already-ingested " +
+        "slice under a different ingestId — identities must be " +
+        "globally unique (replay the SAME ingestId to retry a slice)")
     val dsNew = Dedup.shingleTable(newDocs)
     val bNew = graft.Checkpoint.of(Dedup.bandBucketsFromShingles(dsNew))
     val bBase = s.read.parquet(s"$path/buckets")
+      .filter(col("ingest_id") =!= ingestId)
     val cross = bNew.as("x").join(bBase.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
@@ -144,12 +231,17 @@ object DedupState {
     val dsBase = Dedup.shingleTable(
       baseDocs.select("doc_id", "text").join(candIds, "doc_id"))
     val dsAll = dsNew.unionByName(dsBase)
-    Dedup.verifyJaccard(cand, dsAll, Dedup.TAU)
-      .write.mode("append").parquet(s"$path/pairs")
-    bNew.write.mode("append").parquet(s"$path/buckets")
-    writeLabels(s,
-      baseDocs.select("doc_id").unionByName(newDocs.select("doc_id")),
-      path)
+    val newPairs = graft.Checkpoint.of(
+      Dedup.verifyJaccard(cand, dsAll, Dedup.TAU))
+    newPairs.withColumn("ingest_id", lit(ingestId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_id").parquet(s"$path/pairs")
+    bNew.withColumn("ingest_id", lit(ingestId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_id").parquet(s"$path/buckets")
+    relabelAffected(s, path, newDocs.select("doc_id"), newPairs)
   }
 
   private val builtIncr =
@@ -190,9 +282,12 @@ object DedupState {
       path
     })
 
-  /** The stored verified pair list (a_id, b_id, jaccard). */
+  /** The stored verified pair list (a_id, b_id, jaccard) — the
+    * ingest_id bookkeeping partition column stays internal.
+    */
   def readPairs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(cached(s, dir) + "/pairs")
+      .select("a_id", "b_id", "jaccard")
 
   /** The stored full-coverage label table
     * (doc_id, cluster_id, cluster_size).

@@ -275,6 +275,29 @@ object Knn {
       .drop("cs")
   }
 
+  /** [[probe]] with the probe RANK retained (`prank` 1 = the query's own
+    * assignment cell — [[assign]] is the same argmax): the stored form
+    * [[buildKnnGraphIndexFrom]] persists so [[appendKnnGraph]] can (a)
+    * reverse-probe which existing queries see a slice's cells and (b)
+    * read an affected query's own cell without re-probing the corpus.
+    * Same zero-exchange posexplode of the codegen'd
+    * [[graft.functions.NearestCentroids]] top-k array — array order IS
+    * rank order (KernelSpec pins it against the window form).
+    */
+  private[graft] def probeRanked(q: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("cs"))
+    q.crossJoin(broadcast(centArr))
+      .select(col("*"), posexplode(org.apache.spark.sql.graft.Shim.column(
+        graft.functions.NearestCentroids(
+          org.apache.spark.sql.graft.Shim.expression(col("qv")),
+          org.apache.spark.sql.graft.Shim.expression(col("cs")), nprobe))))
+      .withColumn("prank", (col("pos") + 1).cast("long"))
+      .withColumnRenamed("col", "cent_id")
+      .drop("pos", "cs")
+  }
+
   /** Seeded-sample + Lloyd codebook (16 rows, checkpointed per iteration
     * so downstream plans see plain attributes, not ITER nested lineages).
     */
@@ -302,14 +325,18 @@ object Knn {
     s"CAST(SUM(CAST(round(v[$i],6) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*)")
     .mkString("[", ",\n          ", "]")
 
-  /** One Lloyd iteration in SQL: assign to `prev`, group means. */
-  private[sim] def sqlLloyd(prev: String, a: String, c: String): String =
+  /** One Lloyd iteration in SQL: assign to `prev`, group means.
+    * `src` = the training CTE (aliased `e` inside) — defaults to the
+    * full corpus; the incremental-graph oracle trains on a base slice.
+    */
+  private[sim] def sqlLloyd(prev: String, a: String, c: String,
+      src: String = "e"): String =
     s"""$a AS (SELECT vec_id, v, cent_id FROM (
         SELECT e.vec_id, e.v, c.cent_id,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
             AS rk
-        FROM e, $prev c) WHERE rk = 1),
+        FROM $src e, $prev c) WHERE rk = 1),
     $c AS (SELECT cent_id, $sqlMeanList AS cv FROM $a GROUP BY cent_id)"""
 
   /** The full trained-IVF pipeline as a reusable CTE chain ending in
@@ -777,7 +804,16 @@ object Knn {
     */
   private def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = codebook(e)
+    knnGraphFrom(e, codebook(e))
+  }
+
+  /** [[knnGraph]] against a CALLER-SUPPLIED (possibly frozen) codebook —
+    * the body [[buildKnnGraphIndexFrom]] persists and the reference
+    * semantics [[appendKnnGraph]]'s incremental maintenance must
+    * reproduce (KnnGraphAppendSpec pins build+append ≡ this over the
+    * union corpus with the frozen codebook).
+    */
+  private[graft] def knnGraphFrom(e: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = assign(e, cents)
     val probes = probe(
       e.select(col("vec_id").as("query_id"), col("v").as("qv")),
@@ -1278,19 +1314,189 @@ object Knn {
     * the persisted queries verbatim.
     */
   def buildKnnGraphIndex(s: SparkSession, dir: String,
-      path: String): Unit = {
+      path: String): Unit =
+    buildKnnGraphIndexFrom(emb(s, dir), path)
+
+  /** Build the persisted graph artifact at `path` from any
+    * (`vec_id`, `v: array<double>`) frame, overwriting prior state.
+    * Layout (every table thin except `lists`, which holds the vectors):
+    *
+    *   - `cents`  = the trained codebook, FROZEN across appends (the
+    *     [[appendIvfIndex]] / FAISS add-after-train contract);
+    *   - `lists`  = [[assign]]'s (vec_id, v, cent_id) rows PARTITIONED
+    *     BY (cent_id, ingest_id) — candidate reads are directory-pruned
+    *     to probed cells, and each append dynamically overwrites only
+    *     its own slice partitions (replay-idempotent);
+    *   - `probes` = (query_id, prank, cent_id) PARTITIONED BY
+    *     (cent_id, ingest_id) — the REVERSE-PROBE index: which existing
+    *     queries probe a given cell (so an append touches exactly the
+    *     queries a slice's cells can re-rank, never the corpus), and
+    *     each query's prank=1 own cell (so its vector is a pruned
+    *     directory read away);
+    *   - `edges`  = the (query_id, neighbor_id, rank, cosine) kNN edge
+    *     list every graph analytic reads — [[knnGraphFrom]]'s rows
+    *     verbatim (doubles round-trip parquet bit-exactly), so the
+    *     non-persisted oracles gate the persisted queries unchanged.
+    */
+  def buildKnnGraphIndexFrom(e: DataFrame, path: String): Unit = {
     graphBuildCount += 1
-    knnGraph(s, dir).write.mode("overwrite").parquet(path)
+    val cents = codebook(e)
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    assign(e, cents).withColumn("ingest_id", lit(0L))
+      .write.mode("overwrite").partitionBy("cent_id", "ingest_id")
+      .parquet(s"$path/lists")
+    probeRanked(e.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        cents, NPROBE)
+      .select(col("query_id"), col("prank"), col("cent_id"))
+      .withColumn("ingest_id", lit(0L))
+      .write.mode("overwrite").partitionBy("cent_id", "ingest_id")
+      .parquet(s"$path/probes")
+    knnGraphFrom(e, cents).write.mode("overwrite").parquet(s"$path/edges")
+  }
+
+  /** Incrementally ingest a vector slice into a persisted kNN-graph
+    * artifact — the graph twin of [[appendIvfIndex]] /
+    * [[graft.dedup.DedupState.appendDedupState]], closing the one
+    * build-once artifact that had no append path. The codebook stays
+    * FROZEN (retraining would move every cell boundary and re-derive
+    * the whole graph; refresh = [[buildKnnGraphIndexFrom]] anew), and
+    * under that contract the result is EXACTLY [[knnGraphFrom]] over
+    * the union corpus (KnnGraphAppendSpec pins bit-equality):
+    *
+    *   1. the slice assigns + probes against the frozen codebook and
+    *      lands in its own (cent_id, ingest_id) partitions — a replay
+    *      with the same `ingestId` dynamically overwrites itself;
+    *   2. NEW-node edges score the slice's queries against ONLY their
+    *      probed cells' inverted lists (a directory-pruned read of the
+    *      union lists — never slice×corpus);
+    *   3. EXISTING nodes whose top-k can change are found by REVERSE
+    *      PROBE: stored `probes` rows in the slice's cells name exactly
+    *      the queries that can see a slice vector. Each affected query
+    *      merges its STORED top-k edges (a superset of every union
+    *      winner outside the slice — the stored list is the exact base
+    *      top-k under the same total order) with the slice vectors in
+    *      its probe∩slice cells, and re-ranks. Unaffected queries are
+    *      untouched by construction.
+    *
+    * Work is collision-mass-bounded: probed/own-cell list reads are
+    * directory-pruned (the touched-cell lists are collected — bounded
+    * by NLIST, the Sources touched-bucket contract), the refresh joins
+    * are slice-mass × probe-fan thin rows, and the only full-table pass
+    * is the final thin-edge rewrite (n·k longs — the writeLabels
+    * analog, ~1/1000th of corpus bytes).
+    */
+  def appendKnnGraph(s: SparkSession, path: String, e: DataFrame,
+      ingestId: Long): Unit = {
+    require(ingestId > 0,
+      s"ingestId must be > 0 (0 = base build), got $ingestId")
+    graphAppendCount += 1
+    val cents = s.read.parquet(s"$path/cents")
+    val sa = graft.Checkpoint.of(assign(e, cents))
+    sa.withColumn("ingest_id", lit(ingestId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id", "ingest_id").parquet(s"$path/lists")
+    val sliceProbes = graft.Checkpoint.of(probeRanked(
+      e.select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cents, NPROBE))
+    sliceProbes.select(col("query_id"), col("prank"), col("cent_id"))
+      .withColumn("ingest_id", lit(ingestId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id", "ingest_id").parquet(s"$path/probes")
+
+    // partition directory names infer as int — re-cast to long
+    val lists = s.read.parquet(s"$path/lists")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .withColumn("ingest_id", col("ingest_id").cast("long"))
+    val probesStore = s.read.parquet(s"$path/probes")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .withColumn("ingest_id", col("ingest_id").cast("long"))
+    // touched-cell id lists: bounded by NLIST (index parameter, never
+    // corpus-sized) — the Sources touched-bucket collect contract
+    val sliceCells = sa.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val probedCells = sliceProbes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+    val cos = cosineSim(col("qv"), col("v"))
+    // new-node edges: slice queries × their probed union lists —
+    // identical ordering contract to knnGraphFrom (rounded cosine
+    // desc, vec_id asc)
+    val wNew = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val newEdges = lists.filter(col("cent_id").isin(probedCells: _*))
+      .join(sliceProbes.select(col("query_id"), col("qv"), col("cent_id")),
+        "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
+      .withColumn("rank", row_number().over(wNew).cast("long"))
+      .filter(col("rank") <= JOIN_K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+
+    // reverse probe: existing queries whose probe set meets the
+    // slice's cells (ingest_id filter keeps a replayed slice out of
+    // its own refresh — its rows are fully recomputed as new nodes)
+    val affProbes = graft.Checkpoint.of(probesStore
+      .filter(col("ingest_id") =!= ingestId
+        && col("cent_id").isin(sliceCells: _*))
+      .select(col("query_id"), col("cent_id")))
+    val affIds = affProbes.select("query_id").distinct()
+    // affected queries' vectors: pruned read of their prank=1 own cells
+    val ownCells = probesStore
+      .filter(col("prank") === 1 && col("ingest_id") =!= ingestId)
+      .select(col("query_id"), col("cent_id"))
+      .join(affIds, "query_id")
+    val ownCellList = ownCells.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qvs = lists
+      .filter(col("cent_id").isin(ownCellList: _*)
+        && col("ingest_id") =!= ingestId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(affIds, "query_id")
+    // new candidates for affected queries: slice vectors in their
+    // probe∩slice cells, scored with the shared rounding contract
+    val oldCand = affProbes
+      .join(sa.select(col("cent_id"), col("vec_id"), col("v")), "cent_id")
+      .join(qvs, "query_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cos, 6).as("cosine"))
+
+    // merge stored top-k with the new candidates and re-rank; distinct
+    // absorbs a replay (recomputed candidates == stored rows)
+    val edgesCur = graft.Checkpoint.of(s.read.parquet(s"$path/edges"))
+    val wRef = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val refreshed = edgesCur.join(affIds, "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .unionByName(oldCand).distinct()
+      .withColumn("rank", row_number().over(wRef).cast("long"))
+      .filter(col("rank") <= JOIN_K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+
+    val sliceIds = sa.select(col("vec_id").as("query_id")).distinct()
+    edgesCur
+      .join(affIds.unionByName(sliceIds).distinct(),
+        Seq("query_id"), "left_anti")
+      .unionByName(refreshed).unionByName(newEdges)
+      .write.mode("overwrite").parquet(s"$path/edges")
   }
 
   private[graft] var graphBuildCount = 0
+  private[graft] var graphAppendCount = 0
 
   private val builtGraphs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def cachedGraph(s: SparkSession, dir: String): String =
     builtGraphs.getOrElseUpdate(dir, {
-      val name = "graft-knngraph-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      // v2: the artifact became a cents/lists/probes/edges directory —
+      // the name bump keeps a long-lived JVM's pre-append flat layout
+      // from shadowing it
+      val name = "graft-knngraph2-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
       val path = new org.apache.hadoop.fs.Path(indexRoot(s), name).toString
       buildKnnGraphIndex(s, dir, path)
       path
@@ -1298,7 +1504,36 @@ object Knn {
 
   /** The stored edge list (query_id, neighbor_id, rank, cosine). */
   def readKnnGraph(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(cachedGraph(s, dir))
+    s.read.parquet(cachedGraph(s, dir) + "/edges")
+
+  private val builtIncrGraphs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The slice of the driver corpus the INCREMENTAL ingest appends —
+    * a deterministic 25% by vec_id, mirrored verbatim in the oracle.
+    */
+  private[graft] val INCR_SLICE_MOD = 4L
+
+  /** Edge list produced by the INCREMENTAL path over the driver corpus:
+    * build on the 75% base split, then [[appendKnnGraph]] the rest —
+    * the production ingest loop. The append-equals-rebuild contract
+    * (KnnGraphAppendSpec proves it bit-exactly) makes this
+    * [[knnGraphFrom]] over the full corpus with the BASE-trained
+    * codebook, which `graph_components_incremental`'s oracle mirrors
+    * (base-trained Lloyd, full-corpus assignment). Session-cached per
+    * corpus dir (builtIndexes contract).
+    */
+  def readKnnGraphIncremental(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(builtIncrGraphs.getOrElseUpdate(dir, {
+      val name =
+        "graft-knngraph-incr-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = new org.apache.hadoop.fs.Path(indexRoot(s), name).toString
+      val e = emb(s, dir)
+      val isSlice = col("vec_id") % INCR_SLICE_MOD === INCR_SLICE_MOD - 1
+      buildKnnGraphIndexFrom(e.filter(!isSlice), path)
+      appendKnnGraph(s, path, e.filter(isSlice), 1L)
+      path
+    }) + "/edges")
 
   private val trianglePersistedQ = Q(
     "graph_triangles_persisted",
@@ -1654,7 +1889,10 @@ object Knn {
         .orderBy("vec_id")
   }
 
-  private val sqlComponents: String = s"""WITH RECURSIVE $sqlKnnEdgesCte,
+  /** The recursive-closure components body over any `edges(u, v_id)`
+    * CTE — shared by the full-corpus and incremental oracles.
+    */
+  private val sqlComponentsTail: String = """
     sym AS (SELECT u, v_id AS v FROM edges
       UNION SELECT v_id, u FROM edges),
     reach(u, v) AS (
@@ -1671,6 +1909,52 @@ object Knn {
     SELECT vec_id, component_id, component_size
     FROM lab JOIN sz USING (component_id) ORDER BY vec_id"""
 
+  private val sqlComponents: String =
+    s"WITH RECURSIVE $sqlKnnEdgesCte,$sqlComponentsTail"
+
+  /** [[sqlKnnEdgesCte]] with the codebook trained on the 75% BASE split
+    * only (seeds + both Lloyd rounds over `eb`) and assignment/probing
+    * over the FULL corpus — exactly [[readKnnGraphIncremental]]'s
+    * frozen-codebook contract, mirrored in SQL.
+    */
+  private def sqlKnnEdgesIncrCte: String =
+    s"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    eb AS MATERIALIZED (SELECT vec_id, v FROM e
+      WHERE vec_id % $INCR_SLICE_MOD < ${INCR_SLICE_MOD - 1}),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM eb
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        vec_id
+      LIMIT $NLIST),
+    ${sqlLloyd("c0", "a1", "c1", "eb")},
+    ${sqlLloyd("c1", "a2", "c2", "eb")},
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, c2 c) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM e, c2 c) WHERE rk <= $NPROBE),
+    edges AS (
+      SELECT query_id AS u, neighbor_id AS v_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+              a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE p.query_id <> a.vec_id)
+      WHERE rank <= $JOIN_K)"""
+
+  private val sqlComponentsIncr: String =
+    s"WITH RECURSIVE $sqlKnnEdgesIncrCte,$sqlComponentsTail"
+
   private val componentsQ = Q(
     "graph_components",
     (s, dir) => componentsReport(s, dir,
@@ -1682,6 +1966,23 @@ object Knn {
     (s, dir) => componentsReport(s, dir,
       readKnnGraph(s, dir).select("query_id", "neighbor_id")),
     Some(sqlComponents))
+
+  /** The incremental graph-ingest loop gated END-TO-END at the driver:
+    * [[buildKnnGraphIndexFrom]] on the base split +
+    * [[appendKnnGraph]]'s reverse-probe refresh of the 25% slice, then
+    * the components report over the stored edges — the
+    * dedup_clusters_incremental precedent for the kNN graph. The
+    * oracle re-derives the same frozen-codebook graph (base-trained
+    * Lloyd, full-corpus assignment) and its component fixpoint from
+    * scratch, so a green row proves the whole append path: slice
+    * assignment, new-node scoring, affected-node re-rank, and the
+    * edge rewrite.
+    */
+  private val componentsIncrementalQ = Q(
+    "graph_components_incremental",
+    (s, dir) => componentsReport(s, dir,
+      readKnnGraphIncremental(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlComponentsIncr))
 
   // --------------------------------------------------------- knn_hamming
   /** Binary-sketch ANN — 1-bit scalar quantization: each vector collapses
@@ -1997,6 +2298,7 @@ object Knn {
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, labelpropQ,
     embeddednessQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
+    componentsIncrementalQ,
     pagerankPersistedQ, mmrSelect, recallCurveQ, kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }

@@ -47,12 +47,39 @@ class DedupStateSpec extends SparkSpec {
       graft.dedup.DedupState.buildDedupStateFrom(base, incr.toString)
       graft.dedup.DedupState.appendDedupState(spark, incr.toString,
         base, slice)
+      // pairs compared on content columns — ingest_id is bookkeeping
+      // (0 in the one-shot build, 0/1 across the incremental path)
+      def pairs(p: String) = spark.read.parquet(s"$p/pairs")
+        .select("a_id", "b_id", "jaccard").collect().toSet
       def rows(p: String) = spark.read.parquet(p).collect().toSet
-      assert(rows(s"$incr/pairs").nonEmpty)
-      assert(rows(s"$incr/pairs") == rows(s"$full/pairs"),
+      assert(pairs(incr.toString).nonEmpty)
+      assert(pairs(incr.toString) == pairs(full.toString),
         "appended pair table must equal the from-scratch build's")
       assert(rows(s"$incr/labels") == rows(s"$full/labels"),
         "recomputed labels must equal the from-scratch build's")
+      assert(graft.dedup.DedupState.lastRelabelDocs < docs.count(),
+        "append's label pass must relabel only affected components, " +
+          "not the full corpus")
+
+      // replay: same slice, same ingest id — every table unchanged
+      def counts() = Seq("pairs", "buckets", "labels")
+        .map(t => t -> spark.read.parquet(s"$incr/$t").count()).toMap
+      val before = counts()
+      val labelsBefore = rows(s"$incr/labels")
+      graft.dedup.DedupState.appendDedupState(spark, incr.toString,
+        base, slice)
+      assert(counts() == before,
+        "a replayed slice must not change any table's row count")
+      assert(rows(s"$incr/labels") == labelsBefore,
+        "a replayed slice must not change labels")
+
+      // identity guard: re-appending the same docs under a DIFFERENT
+      // ingest id must fail fast, not silently duplicate state
+      val err = intercept[IllegalArgumentException] {
+        graft.dedup.DedupState.appendDedupState(spark, incr.toString,
+          base, slice, ingestId = 2L)
+      }
+      assert(err.getMessage.contains("ingestId"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

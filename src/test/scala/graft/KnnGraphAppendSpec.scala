@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.sim.Knn
+
+/** Incremental kNN-graph maintenance ([[graft.sim.Knn.appendKnnGraph]])
+  * — the one persisted artifact that was build-only until round 13.
+  * Contract: with the codebook FROZEN at build time, build(base) +
+  * append(slice) must hold EXACTLY the edges of a from-scratch
+  * [[Knn.knnGraphFrom]] over the union corpus against that codebook
+  * (new-node edges AND the reverse-probe refresh of affected existing
+  * nodes), and a replayed slice must be a byte-level no-op.
+  */
+class KnnGraphAppendSpec extends SparkSpec {
+
+  private def emb() = Tables(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("appendKnnGraph: build(base) + append(slice) equals the " +
+      "frozen-codebook graph over the union, bit-exactly; replay is " +
+      "a no-op") {
+    val e = emb()
+    val isSlice = col("vec_id") % 4 === 3
+    val base = e.filter(!isSlice)
+    val slice = e.filter(isSlice)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kg-incr")
+    try {
+      val path = dir.toString
+      Knn.buildKnnGraphIndexFrom(base, path)
+      val cents = spark.read.parquet(s"$path/cents")
+      // reference: from-scratch graph over the union with the SAME
+      // frozen (base-trained) codebook
+      val want = Knn.knnGraphFrom(e, cents).collect().toSet
+
+      Knn.appendKnnGraph(spark, path, slice, 1L)
+      def edges() = spark.read.parquet(s"$path/edges").collect().toSet
+      val got = edges()
+      assert(got == want,
+        "appended edge list must equal the frozen-codebook rebuild")
+
+      // replay: same slice, same ingest id — every table unchanged
+      def counts() = Seq("lists", "probes", "edges")
+        .map(t => t -> spark.read.parquet(s"$path/$t").count()).toMap
+      val before = counts()
+      Knn.appendKnnGraph(spark, path, slice, 1L)
+      assert(counts() == before,
+        "a replayed slice must not change any table's row count")
+      assert(edges() == want, "a replayed slice must not change edges")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("appendKnnGraph: two successive slices equal one union append " +
+      "(associative ingest), and unaffected queries keep their rows") {
+    val e = emb()
+    val m = col("vec_id") % 5
+    val base = e.filter(m < 3)
+    val s1 = e.filter(m === 3)
+    val s2 = e.filter(m === 4)
+    val two = java.nio.file.Files.createTempDirectory("graft-kg-two")
+    val one = java.nio.file.Files.createTempDirectory("graft-kg-one")
+    try {
+      Knn.buildKnnGraphIndexFrom(base, two.toString)
+      Knn.appendKnnGraph(spark, two.toString, s1, 1L)
+      Knn.appendKnnGraph(spark, two.toString, s2, 2L)
+      Knn.buildKnnGraphIndexFrom(base, one.toString)
+      Knn.appendKnnGraph(spark, one.toString, s1.unionByName(s2), 1L)
+      def edges(p: java.nio.file.Path) =
+        spark.read.parquet(s"$p/edges").collect().toSet
+      assert(edges(two) == edges(one),
+        "slice-at-a-time ingest must equal the one-shot union append")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(two.toFile); rm(one.toFile)
+    }
+  }
+
+  test("graph_components_incremental: gated query runs, covers every " +
+      "vector, and reuses the session-cached artifact") {
+    val out = SparkEntry.queries("graph_components_incremental")(
+      spark, sfDir).collect()
+    assert(out.length == emb().count(),
+      "component report must cover the full corpus")
+    val builds = Knn.graphBuildCount
+    val appends = Knn.graphAppendCount
+    SparkEntry.queries("graph_components_incremental")(spark, sfDir)
+      .collect()
+    assert(Knn.graphBuildCount == builds &&
+      Knn.graphAppendCount == appends,
+      "second invocation must reuse the cached incremental artifact")
+  }
+}
