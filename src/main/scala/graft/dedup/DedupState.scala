@@ -244,6 +244,76 @@ object DedupState {
     relabelAffected(s, path, newDocs.select("doc_id"), newPairs)
   }
 
+  /** Count of docs the last [[removeDocs]] relabel pass touched —
+    * spec hook proving deletes relabel only affected components.
+    */
+  private[graft] var lastRemoveRelabelDocs: Long = -1L
+
+  /** TAKEDOWN: remove documents from the artifact — the retraction
+    * path a real ingest loop needs (DMCA/robots re-reads) that
+    * append-only state can't express. Semantics are exactly
+    * "as if never ingested": delete(x) ∘ build(A) ≡ build(A∖x) on
+    * buckets, pairs, and labels (DedupStateSpec pins it bit-exactly on
+    * content columns; `ingest_id` bookkeeping may differ):
+    *
+    *   1. the docs' bucket rows and INCIDENT pairs are dropped — two
+    *      thin anti-join rewrites that preserve the `ingest_id`
+    *      partition layout (the tables are ~1/1000th of corpus bytes;
+    *      emptied partitions simply disappear from the rewrite);
+    *   2. labels: removing a doc can SPLIT its component (cut vertex),
+    *      so the components that contained a removed doc re-run CC
+    *      over their REMAINING members and pairs — the
+    *      [[relabelAffected]] bound applied to deletes; every other
+    *      label row carries over byte-identically.
+    *
+    * A removed doc_id may be re-ingested later (the identity guard
+    * checks the CURRENT bucket state). Removing an unknown id is a
+    * no-op for state and labels.
+    */
+  def removeDocs(s: SparkSession, path: String, docIds: DataFrame): Unit = {
+    val ids = graft.Checkpoint.of(docIds.select("doc_id").distinct())
+    val bKeep = graft.Checkpoint.of(s.read.parquet(s"$path/buckets")
+      .join(ids, Seq("doc_id"), "left_anti"))
+    bKeep.select("doc_id", "band", "bh", "ingest_id")
+      .write.mode("overwrite").partitionBy("ingest_id")
+      .parquet(s"$path/buckets")
+    val pKeep = graft.Checkpoint.of(s.read.parquet(s"$path/pairs")
+      .join(ids.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti"))
+    pKeep.select("a_id", "b_id", "jaccard", "ingest_id")
+      .write.mode("overwrite").partitionBy("ingest_id")
+      .parquet(s"$path/pairs")
+
+    val old = graft.Checkpoint.of(s.read.parquet(s"$path/labels")
+      .select("doc_id", "cluster_id", "cluster_size"))
+    val affClusters = old.join(ids, "doc_id")
+      .select("cluster_id").distinct()
+    // remaining members of the touched components — CC re-runs over
+    // them only (their internal pairs survive the incident-pair drop
+    // with both endpoints remaining, so the semi-join on one endpoint
+    // is closure-safe)
+    val remaining = graft.Checkpoint.of(
+      old.join(affClusters, "cluster_id").select("doc_id")
+        .join(ids, Seq("doc_id"), "left_anti"))
+    lastRemoveRelabelDocs = remaining.count()
+    val sub = pKeep.select(col("a_id").as("u"), col("b_id").as("v"))
+      .join(remaining.withColumnRenamed("doc_id", "u"), Seq("u"),
+        "left_semi")
+    val labels = Dedup.connectedComponents(sub)
+    val assigned = remaining
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    old.join(affClusters, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .unionByName(assigned.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size"))
+      .write.mode("overwrite").parquet(s"$path/labels")
+  }
+
   private val builtIncr =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

@@ -48,6 +48,19 @@ object MinhashIndex {
     Dedup.bandBuckets(docs, perms, bands)
       .write.mode("append").parquet(s"$path/buckets")
 
+  /** TAKEDOWN: drop documents from the index — delete(x) ∘ build(A) ≡
+    * build(A∖x) on the stored buckets (MinhashIndexSpec pins it): one
+    * thin anti-join rewrite of the signature rows (the index never
+    * stores text, so ~24 longs per doc move). Removing an unknown id
+    * is a no-op; a removed id may be re-appended later.
+    */
+  def remove(s: SparkSession, path: String, docIds: DataFrame): Unit = {
+    val keep = graft.Checkpoint.of(s.read.parquet(s"$path/buckets")
+      .join(docIds.select("doc_id").distinct(), Seq("doc_id"),
+        "left_anti"))
+    keep.write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
   /** Check (doc_id, text) rows against the indexed history: one row per
     * input doc with `is_candidate` (shares ANY band bucket with an
     * indexed doc) and `candidate_of` (smallest matching indexed

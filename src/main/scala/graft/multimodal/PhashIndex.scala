@@ -55,6 +55,18 @@ object PhashIndex {
   def append(hashes: DataFrame, path: String, bands: Int = BANDS): Unit =
     bandRows(hashes, bands).write.mode("append").parquet(s"$path/bands")
 
+  /** TAKEDOWN: drop media from the index — delete(x) ∘ build(A) ≡
+    * build(A∖x) on the stored band rows (PhashIndexSpec pins it): one
+    * thin anti-join rewrite ([[BANDS]] longs per media). Removing an
+    * unknown id is a no-op; a removed id may be re-appended later.
+    */
+  def remove(s: SparkSession, path: String, mediaIds: DataFrame): Unit = {
+    val keep = graft.Checkpoint.of(s.read.parquet(s"$path/bands")
+      .join(mediaIds.select("media_id").distinct(), Seq("media_id"),
+        "left_anti"))
+    keep.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
   /** Check (media_id, phash) rows against the indexed history: one row
     * per input media with `is_neardup` (∃ indexed media within `hamMax`
     * hamming) and `neardup_of` (smallest such indexed media_id, null when

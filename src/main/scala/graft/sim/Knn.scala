@@ -584,6 +584,56 @@ object Knn {
       .partitionBy("cent_id", "ingest_id").parquet(s"$path/lists")
   }
 
+  /** Drop `vec_id` rows from a (cent_id, ingest_id)-partitioned vector
+    * table by rewriting ONLY the partitions that contain them — the
+    * lists hold the corpus vectors, so a takedown must never become a
+    * full-table rewrite. Dynamic overwrite replaces the affected
+    * partitions; a partition left EMPTY gets no rows written (dynamic
+    * overwrite cannot express "now empty"), so its directory is
+    * removed explicitly. Affected-partition and leftover-dir lists are
+    * collected — bounded by the removal's cell fan-out, never corpus-
+    * sized (the Sources touched-bucket contract).
+    */
+  private def deleteFromLists(s: SparkSession, listsPath: String,
+      ids: DataFrame): Unit = {
+    val lists = s.read.parquet(listsPath)
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .withColumn("ingest_id", col("ingest_id").cast("long"))
+    val aff = lists.join(ids, Seq("vec_id"), "left_semi")
+      .select("cent_id", "ingest_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (aff.isEmpty) return
+    val keyCol = concat_ws("/", col("cent_id"), col("ingest_id"))
+    val affKeys = aff.map { case (c, i) => s"$c/$i" }.toSeq
+    val keep = graft.Checkpoint.of(
+      lists.filter(keyCol.isin(affKeys: _*))
+        .join(ids, Seq("vec_id"), "left_anti"))
+    keep.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id", "ingest_id").parquet(listsPath)
+    val wrote = keep.select("cent_id", "ingest_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs = new org.apache.hadoop.fs.Path(listsPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for ((c, i) <- aff if !wrote((c, i)))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$listsPath/cent_id=$c/ingest_id=$i"), true)
+  }
+
+  /** TAKEDOWN: remove vectors from a persisted IVF index — the
+    * retraction path next to [[appendIvfIndex]]'s ingest: delete(x) ∘
+    * build(A) answers exactly like an index whose lists were assigned
+    * from A∖x against the SAME frozen codebook (KnnSpec pins it; the
+    * codebook keeps the FAISS add/remove-after-train contract, so
+    * other vectors' list membership cannot move). Cost is bounded by
+    * the removed vectors' partition fan-out via [[deleteFromLists]];
+    * a removed id may be re-ingested later by [[appendIvfIndex]].
+    */
+  def removeFromIvfIndex(s: SparkSession, path: String,
+      vecIds: DataFrame): Unit =
+    deleteFromLists(s, s"$path/lists",
+      graft.Checkpoint.of(vecIds.select("vec_id").distinct()))
+
   /** Query a persisted IVF index: exact top-`k` cosine neighbors of each
     * (`query_id`, `qv`) row of `q` among the `nprobe` nearest inverted
     * lists. Because cent_id is a partition column of `path/lists` and
@@ -1485,8 +1535,80 @@ object Knn {
       .write.mode("overwrite").parquet(s"$path/edges")
   }
 
+  /** TAKEDOWN: remove vectors from a persisted kNN-graph artifact —
+    * the retraction path next to [[appendKnnGraph]]'s ingest, same
+    * frozen-codebook contract: afterwards the artifact holds EXACTLY
+    * [[knnGraphFrom]] over the remaining corpus (KnnGraphAppendSpec
+    * pins bit-equality — component splits in downstream analytics
+    * included, since they just read the edges).
+    *
+    *   1. the removed vectors leave `lists` partition-pruned
+    *      ([[deleteFromLists]]) and `probes`/`edges` by thin rewrites;
+    *   2. surviving queries whose stored top-k CONTAINED a removed
+    *      neighbor lost a candidate and need a replacement, so they
+    *      re-score against their full probe cells (post-delete lists,
+    *      directory-pruned reads — the [[appendKnnGraph]] refresh
+    *      machinery run in reverse). A query whose top-k had no
+    *      removed neighbor cannot change: shrinking the candidate set
+    *      below rank k never reorders the top k.
+    */
+  def removeFromKnnGraph(s: SparkSession, path: String,
+      vecIds: DataFrame): Unit = {
+    graphRemoveCount += 1
+    val ids = graft.Checkpoint.of(vecIds.select("vec_id").distinct())
+    val qid = ids.select(col("vec_id").as("query_id"))
+    val edgesCur = graft.Checkpoint.of(s.read.parquet(s"$path/edges"))
+    val affQ = graft.Checkpoint.of(edgesCur
+      .join(ids.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .select("query_id").distinct()
+      .join(qid, Seq("query_id"), "left_anti"))
+
+    deleteFromLists(s, s"$path/lists", ids)
+    val probesKeep = graft.Checkpoint.of(
+      s.read.parquet(s"$path/probes")
+        .withColumn("cent_id", col("cent_id").cast("long"))
+        .withColumn("ingest_id", col("ingest_id").cast("long"))
+        .join(qid, Seq("query_id"), "left_anti"))
+    probesKeep.select("query_id", "prank", "cent_id", "ingest_id")
+      .write.mode("overwrite").partitionBy("cent_id", "ingest_id")
+      .parquet(s"$path/probes")
+
+    // full re-score of the affected queries against their probed
+    // (post-delete) lists — cell lists bounded by NLIST
+    val affProbes = probesKeep.join(affQ, Seq("query_id"), "left_semi")
+    val probeCells = affProbes.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val ownCells = affProbes.filter(col("prank") === 1)
+      .select("cent_id").distinct().collect().map(_.getLong(0)).toSeq
+    val lists = s.read.parquet(s"$path/lists")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val qvs = lists.filter(col("cent_id").isin(ownCells: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(affQ, "query_id")
+    val cos = cosineSim(col("qv"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val refreshed = lists.filter(col("cent_id").isin(probeCells: _*))
+      .join(affProbes.select(col("query_id"), col("cent_id")), "cent_id")
+      .join(qvs, "query_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= JOIN_K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+
+    edgesCur
+      .join(affQ.unionByName(qid).distinct(), Seq("query_id"),
+        "left_anti")
+      .unionByName(refreshed)
+      .write.mode("overwrite").parquet(s"$path/edges")
+  }
+
   private[graft] var graphBuildCount = 0
   private[graft] var graphAppendCount = 0
+  private[graft] var graphRemoveCount = 0
 
   private val builtGraphs =
     scala.collection.concurrent.TrieMap.empty[String, String]

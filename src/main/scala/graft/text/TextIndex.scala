@@ -94,8 +94,10 @@ object TextIndex {
     val postings = s.read.parquet(s"$path/postings")
       .filter(col("term").isin(distinctTerms: _*))
       .withColumn("pb", col("pb").cast("long"))
-    postings.join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
-        Seq("pb", "term"))
+    alive(s, path,
+        postings.join(
+          broadcast(t.withColumn("pb", col("pb").cast("long"))),
+          Seq("pb", "term")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_matched"), sum("tf").as("total_tf"))
       .filter(col("n_terms_matched") === distinctTerms.size)
@@ -122,8 +124,10 @@ object TextIndex {
     val postings = s.read.parquet(s"$path/postings")
       .filter(col("term").isin(distinctTerms: _*))
       .withColumn("pb", col("pb").cast("long"))
-    postings.join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
-        Seq("pb", "term"))
+    alive(s, path,
+        postings.join(
+          broadcast(t.withColumn("pb", col("pb").cast("long"))),
+          Seq("pb", "term")))
       .withColumn("contrib", expr("tf * 1000000 DIV df"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_matched"),
@@ -192,15 +196,107 @@ object TextIndex {
     }
   }
 
-  /** (Re)build the term dictionary from the accumulated postings —
-    * after streaming ingest, or whenever df staleness matters. One
-    * vocab-bounded aggregate over the postings.
+  /** The tombstone set at `path/deleted`, if any takedowns happened. */
+  private def deletedDocs(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  /** Drop tombstoned docs from a postings-derived frame — one thin
+    * broadcast anti-join, a no-op when no takedowns happened.
     */
-  def finalizeTextIndex(s: SparkSession, path: String): Unit =
-    s.read.parquet(s"$path/postings")
-      .withColumn("pb", col("pb").cast("long"))
+  private def alive(s: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    deletedDocs(s, path).fold(df)(d =>
+      df.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+
+  /** (Re)build the term dictionary from the accumulated postings —
+    * after streaming ingest, after a takedown, or whenever df staleness
+    * matters. One vocab-bounded aggregate over the (live, tombstones
+    * excluded) postings.
+    *
+    * `positionsFrom`: hand the ingested corpus back in to BACKFILL the
+    * `positions` column [[textIndexSink]]'s thin appends do not carry —
+    * one corpus tokenize pass joined onto the stored (doc_id, term)
+    * rows, preserving the partition layout, after which a sink-built
+    * index answers [[queryTextIndexPhrase]] exactly like a
+    * [[buildTextIndex]] one (TextIndexSpec pins it). Fails fast if the
+    * frame does not cover every ingested doc (a silent miss would just
+    * drop the doc from phrase results). Idempotent — an existing
+    * positions column is recomputed, not duplicated.
+    */
+  def finalizeTextIndex(s: SparkSession, path: String,
+      positionsFrom: Option[DataFrame] = None): Unit = {
+    positionsFrom.foreach { docs =>
+      val cur = graft.Checkpoint.of(
+        s.read.parquet(s"$path/postings").drop("positions"))
+      val parts = Seq("pb") ++
+        (if (cur.columns.contains("batch_id")) Seq("batch_id") else Nil)
+      val pos = docs
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "term")))
+        .groupBy("doc_id", "term")
+        .agg(sort_array(collect_list(col("p0").cast("long")))
+          .as("positions"))
+      require(cur.join(pos, Seq("doc_id", "term"), "left_anti")
+          .limit(1).count() == 0,
+        "positionsFrom must cover every ingested (doc_id, term) — a " +
+          "partial corpus would silently drop docs from phrase results")
+      cur.join(pos, Seq("doc_id", "term"), "left")
+        .write.mode("overwrite").partitionBy(parts: _*)
+        .parquet(s"$path/postings")
+    }
+    alive(s, path, s.read.parquet(s"$path/postings")
+        .withColumn("pb", col("pb").cast("long")))
       .groupBy("term", "pb").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/terms")
+  }
+
+  /** TAKEDOWN: remove documents from the index — the Lucene
+    * tombstone-then-compact recipe, sized for a corpus-scale postings
+    * table where a physical rewrite per takedown would re-shuffle the
+    * whole artifact: the ids land in a thin `path/deleted` set every
+    * query anti-joins (a broadcast against takedown-sized data), and
+    * the dictionary is refinalized so df stops counting the removed
+    * docs. Query results equal a fresh build over the remaining corpus
+    * from that point on (TextIndexSpec pins AND/ranked/phrase_pos);
+    * [[compactTextIndex]] makes the removal physical. Idempotent —
+    * re-removing a doc is a no-op.
+    */
+  def removeDocs(s: SparkSession, path: String, docIds: DataFrame): Unit = {
+    val merged = graft.Checkpoint.of(
+      deletedDocs(s, path)
+        .fold(docIds.select("doc_id"))(d =>
+          d.select("doc_id").unionByName(docIds.select("doc_id")))
+        .distinct())
+    merged.write.mode("overwrite").parquet(s"$path/deleted")
+    finalizeTextIndex(s, path)
+  }
+
+  /** Apply accumulated tombstones physically: rewrite the postings
+    * minus deleted docs (restoring [[buildTextIndex]]'s term-range
+    * file split inside each partition, so footer-stat pruning survives
+    * compaction) and clear the tombstone set. The maintenance pass a
+    * production index runs off the ingest path; query results are
+    * unchanged (TextIndexSpec pins it).
+    */
+  def compactTextIndex(s: SparkSession, path: String,
+      splits: Int = 32): Unit = {
+    val del = deletedDocs(s, path).getOrElse(return)
+    val cur = s.read.parquet(s"$path/postings")
+    val parts = Seq("pb") ++
+      (if (cur.columns.contains("batch_id")) Seq("batch_id") else Nil)
+    val keep = graft.Checkpoint.of(
+      cur.join(broadcast(del.select("doc_id")), Seq("doc_id"),
+        "left_anti"))
+    keep.repartitionByRange(splits, col("pb"), col("term"))
+      .sortWithinPartitions("pb", "term")
+      .write.mode("overwrite").partitionBy(parts: _*)
+      .parquet(s"$path/postings")
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Build count since JVM start — spec hook proving query reuse. */
   private[graft] var buildCount = 0
@@ -330,8 +426,9 @@ object TextIndex {
     * ≤ |phrase|/[[PBUCKETS]] of the postings regardless. The positions
     * column adds ~tf longs per posting row — the standard positional-
     * index size tradeoff. [[textIndexSink]]-built indexes carry no
-    * positions (streaming appends stay thin); phrase_pos needs a
-    * [[buildTextIndex]] index.
+    * positions while streaming (appends stay thin); one
+    * `finalizeTextIndex(s, path, positionsFrom = Some(docs))` pass
+    * backfills them, after which this query answers identically.
     */
   def queryTextIndexPhrase(s: SparkSession, path: String,
       phrase: Seq[String]): DataFrame = {
@@ -339,11 +436,11 @@ object TextIndex {
     val distinctTerms = phrase.distinct
     val t = s.read.parquet(s"$path/terms")
       .filter(col("term").isin(distinctTerms: _*))
-    val postings = s.read.parquet(s"$path/postings")
+    val postings = alive(s, path, s.read.parquet(s"$path/postings")
       .filter(col("term").isin(distinctTerms: _*))
       .withColumn("pb", col("pb").cast("long"))
       .join(broadcast(t.withColumn("pb", col("pb").cast("long"))),
-        Seq("pb", "term"))
+        Seq("pb", "term")))
     val streams = phrase.zipWithIndex.map { case (term, i) =>
       postings.filter(col("term") === term)
         .select(col("doc_id"), explode(col("positions")).as("p"))

@@ -88,6 +88,45 @@ class DedupStateSpec extends SparkSpec {
     }
   }
 
+  test("removeDocs: takedown equals a from-scratch build over the " +
+      "remaining corpus, relabeling only affected components") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val gone = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val keep = docs.join(gone, Seq("doc_id"), "left_anti")
+    val full = java.nio.file.Files.createTempDirectory("graft-ds-del")
+    val rest = java.nio.file.Files.createTempDirectory("graft-ds-rest")
+    try {
+      graft.dedup.DedupState.buildDedupStateFrom(docs, full.toString)
+      graft.dedup.DedupState.buildDedupStateFrom(keep, rest.toString)
+      graft.dedup.DedupState.removeDocs(spark, full.toString, gone)
+      def buckets(p: java.nio.file.Path) = spark.read
+        .parquet(s"$p/buckets").select("doc_id", "band", "bh")
+        .collect().toSet
+      def pairs(p: java.nio.file.Path) = spark.read
+        .parquet(s"$p/pairs").select("a_id", "b_id", "jaccard")
+        .collect().toSet
+      def labels(p: java.nio.file.Path) = spark.read
+        .parquet(s"$p/labels").collect().toSet
+      assert(buckets(full) == buckets(rest),
+        "takedown buckets must equal the remaining-corpus build's")
+      assert(pairs(full) == pairs(rest),
+        "takedown pairs must equal the remaining-corpus build's")
+      assert(labels(full) == labels(rest),
+        "takedown labels must equal the remaining-corpus build's " +
+          "(component splits included)")
+      assert(graft.dedup.DedupState.lastRemoveRelabelDocs < keep.count(),
+        "delete's label pass must relabel only affected components")
+      // idempotent: removing already-gone ids changes nothing
+      graft.dedup.DedupState.removeDocs(spark, full.toString, gone)
+      assert(labels(full) == labels(rest))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(full.toFile); rm(rest.toFile)
+    }
+  }
+
   test("stored label table covers every document exactly once, " +
       "singletons cluster to themselves with size 1") {
     val labels = graft.dedup.DedupState.readLabels(spark, sfDir)

@@ -82,6 +82,38 @@ class KnnGraphAppendSpec extends SparkSpec {
     }
   }
 
+  test("removeFromKnnGraph: takedown equals the frozen-codebook graph " +
+      "over the remaining corpus, bit-exactly") {
+    val e = emb()
+    val gone = e.filter(col("vec_id") % 6 === 1)
+    val keep = e.join(gone.select("vec_id"), Seq("vec_id"), "left_anti")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kg-del")
+    try {
+      val path = dir.toString
+      Knn.buildKnnGraphIndexFrom(e, path)
+      val cents = spark.read.parquet(s"$path/cents")
+      val want = Knn.knnGraphFrom(keep, cents).collect().toSet
+      Knn.removeFromKnnGraph(spark, path, gone.select("vec_id"))
+      def edges() = spark.read.parquet(s"$path/edges").collect().toSet
+      assert(edges() == want,
+        "takedown edge list must equal the frozen-codebook rebuild " +
+          "over the remaining corpus")
+      // idempotent: removing already-gone ids changes nothing
+      Knn.removeFromKnnGraph(spark, path, gone.select("vec_id"))
+      assert(edges() == want)
+      // append after takedown keeps the union contract (a removed id
+      // re-ingested is just a new vector)
+      Knn.appendKnnGraph(spark, path, gone, 7L)
+      assert(edges() == Knn.knnGraphFrom(e, cents).collect().toSet,
+        "re-ingesting removed vectors must restore the full graph")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("graph_components_incremental: gated query runs, covers every " +
       "vector, and reuses the session-cached artifact") {
     val out = SparkEntry.queries("graph_components_incremental")(

@@ -357,6 +357,46 @@ class KnnSpec extends SparkSpec {
     rm(new java.io.File(dir))
   }
 
+  test("removeFromIvfIndex: takedown equals assigning the remaining " +
+      "corpus to the frozen codebook; partition-pruned rewrite") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val gone = e.filter(col("vec_id") % 6 === 1).select("vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del")
+      .toString
+    try {
+      graft.sim.Knn.buildIvfIndex(e, dir)
+      graft.sim.Knn.removeFromIvfIndex(spark, dir, gone)
+      def listsOf() = spark.read.parquet(s"$dir/lists")
+        .select(col("vec_id"), col("cent_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = graft.sim.Knn
+        .assign(e.join(gone, Seq("vec_id"), "left_anti"),
+          spark.read.parquet(s"$dir/cents"))
+        .select("vec_id", "cent_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(listsOf() == direct,
+        "takedown lists must equal the remaining corpus assigned to " +
+          "the frozen codebook")
+      // queries stop seeing the removed vectors, with no API change
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val res = graft.sim.Knn.queryIvfIndex(spark, dir, q)
+        .collect().map(_.getLong(1)).toSet
+      assert(!res.exists(_ % 6 == 1),
+        "removed vectors must stop surfacing as neighbors")
+      // idempotent: removing already-gone ids changes nothing
+      graft.sim.Knn.removeFromIvfIndex(spark, dir, gone)
+      assert(listsOf() == direct)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("emb_covariance: diagonal equals emb_stats variance exactly; " +
       "off-diagonals obey Cauchy-Schwarz") {
     val cov = SparkEntry.queries("emb_covariance")(spark, sfDir)

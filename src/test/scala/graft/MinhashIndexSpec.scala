@@ -69,4 +69,28 @@ class MinhashIndexSpec extends SparkSpec {
       assert(MinhashIndex.check(spark, inc, c.limit(0)).collect().isEmpty)
     } finally rm(dir)
   }
+
+  test("remove(x) after build(A) answers exactly like build(A minus x)") {
+    val a = docs("source NOT IN ('src0','src1')")
+    val gone = a.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val keep = a.join(gone, Seq("doc_id"), "left_anti")
+    val probe = docs("source IN ('src0','src1')")
+    val dir = Files.createTempDirectory("graft-mh-del").toFile
+    try {
+      val full = dir.getAbsolutePath + "/full"
+      val rest = dir.getAbsolutePath + "/rest"
+      MinhashIndex.build(a, full)
+      MinhashIndex.build(keep, rest)
+      MinhashIndex.remove(spark, full, gone)
+      def buckets(p: String) =
+        spark.read.parquet(s"$p/buckets").collect().toSet
+      assert(buckets(full) == buckets(rest),
+        "takedown buckets must equal the remaining-corpus build's")
+      assert(resultMap(MinhashIndex.check(spark, full, probe)) ==
+        resultMap(MinhashIndex.check(spark, rest, probe)))
+      // idempotent; removing unknown ids is a no-op
+      MinhashIndex.remove(spark, full, gone)
+      assert(buckets(full) == buckets(rest))
+    } finally rm(dir)
+  }
 }

@@ -69,6 +69,33 @@ class PhashIndexSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("remove(x) after build(A) answers exactly like build(A minus x)") {
+    val bases = (0 until 6).map(i => (i.toLong, base(i)))
+    val probes = Seq((100L, nearOf(base(2))), (101L, nearOf(base(4))))
+    val dir = Files.createTempDirectory("graft-ph-del").toFile
+    try {
+      val full = dir.getAbsolutePath + "/full"
+      val rest = dir.getAbsolutePath + "/rest"
+      PhashIndex.build(hashed(bases), full)
+      PhashIndex.build(hashed(bases.filterNot(_._1 == 2L)), rest)
+      PhashIndex.remove(spark, full,
+        Seq(2L).toDF("media_id"))
+      def bands(p: String) =
+        spark.read.parquet(s"$p/bands").collect().toSet
+      assert(bands(full) == bands(rest),
+        "takedown bands must equal the remaining-corpus build's")
+      val got = resultMap(PhashIndex.check(spark, full, hashed(probes)))
+      assert(got == resultMap(PhashIndex.check(spark, rest, hashed(probes))))
+      assert(got(100L).isEmpty,
+        "a probe matching only the removed media must stop matching")
+      assert(got(101L).contains(4L),
+        "probes of remaining media must keep matching")
+      // idempotent; removing unknown ids is a no-op
+      PhashIndex.remove(spark, full, Seq(2L, 999L).toDF("media_id"))
+      assert(bands(full) == bands(rest))
+    } finally rm(dir)
+  }
+
   test("videoNearDups pairs media sharing sampled frames and skips " +
     "disjoint ones") {
     // frames are 64-byte slices (every 2nd kept). Noise-like frames (so

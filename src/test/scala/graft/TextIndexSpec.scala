@@ -88,6 +88,98 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("positions backfill: a sink-built index + finalize(positionsFrom) " +
+      "answers phrase_pos exactly like a batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsDf = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val docs = docsDf.as[(Long, String)].collect().sortBy(_._1)
+    val slices = docs.grouped(math.max(1, docs.length / 3)).toSeq
+    val dir = Files.createTempDirectory("graft-text-pos").toFile
+    try {
+      val streamed = dir.getAbsolutePath + "/streamed"
+      val batch = dir.getAbsolutePath + "/batch"
+      val mem = MemoryStream[(Long, String)]
+      val sink = graft.text.TextIndex.textIndexSink(streamed)
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(sink).start()
+      try {
+        slices.foreach { s => mem.addData(s.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // partial corpus must fail fast, not silently drop docs
+      val err = intercept[IllegalArgumentException] {
+        graft.text.TextIndex.finalizeTextIndex(spark, streamed,
+          positionsFrom = Some(docsDf.limit(5)))
+      }
+      assert(err.getMessage.contains("positionsFrom"))
+      graft.text.TextIndex.finalizeTextIndex(spark, streamed,
+        positionsFrom = Some(docsDf))
+      graft.text.TextIndex.buildTextIndex(docsDf, batch)
+      def phrase(path: String) = graft.text.TextIndex
+        .queryTextIndexPhrase(spark, path, graft.text.TextIndex.PHRASE)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = phrase(streamed)
+      assert(got.nonEmpty && got == phrase(batch),
+        "backfilled streaming index must answer phrase_pos exactly " +
+          "like the batch build")
+      // backfill is idempotent (re-finalize, same answers)
+      graft.text.TextIndex.finalizeTextIndex(spark, streamed,
+        positionsFrom = Some(docsDf))
+      assert(phrase(streamed) == got)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("takedown: removeDocs answers every query like a fresh build on " +
+      "the remaining corpus; compact makes it physical") {
+    val docsDf = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val gone = docsDf.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val keepDf = docsDf.join(gone, Seq("doc_id"), "left_anti")
+    val dir = Files.createTempDirectory("graft-text-del").toFile
+    try {
+      val full = dir.getAbsolutePath + "/full"
+      val rest = dir.getAbsolutePath + "/rest"
+      graft.text.TextIndex.buildTextIndex(docsDf, full)
+      graft.text.TextIndex.buildTextIndex(keepDf, rest)
+      graft.text.TextIndex.removeDocs(spark, full, gone)
+      def results(path: String) = (
+        graft.text.TextIndex.queryTextIndex(spark, path,
+          graft.text.TextIndex.QUERY_TERMS)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        graft.text.TextIndex.queryTextIndexRanked(spark, path,
+          graft.text.TextIndex.RANKED_TERMS, graft.text.TextIndex.RANKED_K)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq,
+        graft.text.TextIndex.queryTextIndexPhrase(spark, path,
+          graft.text.TextIndex.PHRASE)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val want = results(rest)
+      assert(results(full) == want,
+        "tombstoned index must answer AND/ranked(df-refreshed)/" +
+          "phrase_pos like a fresh build on the remaining corpus")
+      // idempotent re-remove
+      graft.text.TextIndex.removeDocs(spark, full, gone)
+      assert(results(full) == want)
+      graft.text.TextIndex.compactTextIndex(spark, full)
+      assert(results(full) == want, "compaction must not change results")
+      assert(!new java.io.File(s"$full/deleted").exists(),
+        "compaction must clear the tombstone set")
+      assert(spark.read.parquet(s"$full/postings")
+        .join(gone, Seq("doc_id"), "left_semi").count() == 0,
+        "compaction must physically drop the removed docs' postings")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming sink fails fast on a buildTextIndex single-level layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-text-mixed").toFile
