@@ -1273,8 +1273,8 @@ object Multimodal {
     * once the embedding geometry has per-bit gap.
     */
   private[graft] val MM_DEDUP_TAU = 0.98
-  private val MM_DEDUP_PERMS = 144
-  private val MM_DEDUP_BANDS = 24
+  private[multimodal] val MM_DEDUP_PERMS = 144
+  private[multimodal] val MM_DEDUP_BANDS = 24
 
   /** Distinct byte-4-gram shingles per media payload (ISO-8859-1 is a
     * lossless byte↔char bijection, so gram identity is byte identity) —
@@ -1317,6 +1317,18 @@ object Multimodal {
         .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
         .orderBy("a_id", "b_id")
     },
+    Some(sqlEmbedPairs(MM_DEDUP_TAU)))
+
+  /** The embedding-dedup tier read from the PERSISTED artifact
+    * ([[EmbedState]]) — stored pairs instead of a per-invocation
+    * decode→shingle→MinHash→verify re-derive; same rows by
+    * construction (doubles round-trip parquet bit-exactly), so the
+    * [[embedDedup]] oracle gates this twin verbatim — the
+    * dedup_clusters_persisted precedent for the media tier.
+    */
+  private val embedDedupPersisted = Q(
+    "mm_embed_dedup_persisted",
+    (s, dir) => EmbedState.readPairs(s, dir).orderBy("a_id", "b_id"),
     Some(sqlEmbedPairs(MM_DEDUP_TAU)))
 
   // -------------------------------------------------- mm_embed_recall
@@ -1414,6 +1426,7 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
     phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
-    phashClusters, embedNeardup, embedDedup, frameDedup, keyframeQ,
+    phashClusters, embedNeardup, embedDedup, embedDedupPersisted,
+    frameDedup, keyframeQ,
     audioVad, audioNearDup, captionRecall, embedRecall)
 }
