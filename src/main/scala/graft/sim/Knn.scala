@@ -1657,6 +1657,80 @@ object Knn {
       path
     }) + "/edges")
 
+  // --------------------------------------------------- graph_nndescent
+  /** One NN-DESCENT refinement round (Dong, Moses & Li, WWW'11) over
+    * the persisted kNN graph — the classic ANN-graph improvement move:
+    * a neighbor's neighbor is likely a neighbor, so each node re-ranks
+    * its CURRENT top-k against its 2-hop candidate set (symmetric
+    * closure wedges — in- and out-neighbors both generate, as in the
+    * paper's general-join formulation) and keeps the best k. Lifts the
+    * IVF-join graph's recall where probe sets missed a cell (KnnSpec
+    * measures the strict improvement vs brute force); output is the
+    * refined edge list under the same (rounded-cosine desc, id) order
+    * contract, so every downstream graph analytic can consume it
+    * unchanged.
+    *
+    * Scale: the wedge join is the [[linkpredReport]] machinery —
+    * Σ deg² ≤ n·(2k)² thin candidate rows, never all-pairs; scoring
+    * joins the candidate list against the vector table twice (thin
+    * keys, map-side combine into the WindowGroupLimit-bounded top-k).
+    * Iterating the round converges like the paper; one round is the
+    * oracle-bounded operator (the kmeans fixed-round precedent).
+    */
+  private def nnDescentReport(s: SparkSession, dir: String,
+      rawEdges: DataFrame): DataFrame = {
+    val e0 = graft.Checkpoint.of(rawEdges
+      .select(col("query_id").as("u"), col("neighbor_id").as("v")))
+    val sym = graft.Checkpoint.of(e0
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct())
+    val wedges = sym.as("a").join(sym.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("u"), col("b.v").as("x"))
+      .filter(col("u") =!= col("x"))
+    val cand = wedges
+      .unionByName(e0.select(col("u"), col("v").as("x")))
+      .distinct()
+    val vecs = emb(s, dir)
+    val cos = cosineSim(col("uv"), col("xv"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("cosine").desc, col("x"))
+    cand
+      .join(vecs.select(col("vec_id").as("u"), col("v").as("uv")), "u")
+      .join(vecs.select(col("vec_id").as("x"), col("v").as("xv")), "x")
+      .select(col("u"), col("x"), round(cos, 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= JOIN_K)
+      .select(col("u").as("query_id"), col("x").as("neighbor_id"),
+        col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val sqlNnDescent: String = s"""WITH $sqlKnnEdgesCte,
+    sym AS MATERIALIZED (SELECT u, v_id AS v FROM edges
+      UNION SELECT v_id, u FROM edges),
+    cand AS (
+      SELECT a.u AS u, b.v AS x FROM sym a JOIN sym b ON a.v = b.u
+      WHERE a.u <> b.v
+      UNION
+      SELECT u, v_id FROM edges),
+    scored AS (
+      SELECT c.u, c.x,
+        round(list_cosine_similarity(eu.v, ex.v), 6) AS cosine,
+        row_number() OVER (PARTITION BY c.u
+          ORDER BY round(list_cosine_similarity(eu.v, ex.v), 6) DESC,
+            c.x) AS rank
+      FROM cand c
+      JOIN e eu ON eu.vec_id = c.u
+      JOIN e ex ON ex.vec_id = c.x)
+    SELECT u AS query_id, x AS neighbor_id, rank::BIGINT AS rank, cosine
+    FROM scored WHERE rank <= $JOIN_K ORDER BY query_id, rank"""
+
+  private val nnDescentQ = Q(
+    "graph_nndescent",
+    (s, dir) => nnDescentReport(s, dir,
+      readKnnGraph(s, dir).select("query_id", "neighbor_id")),
+    Some(sqlNnDescent))
+
   private val trianglePersistedQ = Q(
     "graph_triangles_persisted",
     (s, dir) => triangleReport(s, dir,
@@ -2420,7 +2494,7 @@ object Knn {
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, labelpropQ,
     embeddednessQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
-    componentsIncrementalQ,
+    componentsIncrementalQ, nnDescentQ,
     pagerankPersistedQ, mmrSelect, recallCurveQ, kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }

@@ -114,6 +114,48 @@ class KnnGraphAppendSpec extends SparkSpec {
     }
   }
 
+  test("graph_nndescent: one refinement round strictly improves " +
+      "recall@k vs brute force and keeps the edge-list contract") {
+    val vecs = emb().collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos6(a: Array[Double], b: Array[Double]): BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    // brute-force top-k ground truth under the shared order contract
+    val truth = vecs.map { case (u, uv) =>
+      u -> vecs.filter(_._1 != u)
+        .map { case (x, xv) => (x, cos6(uv, xv)) }
+        .sortBy { case (x, c) => (-c, x) }
+        .take(3).map(_._1).toSet
+    }.toMap
+    def recallOf(edges: Set[(Long, Long)]): Double = {
+      val byQ = edges.groupBy(_._1)
+      val hits = truth.map { case (u, t) =>
+        byQ.getOrElse(u, Set.empty).count(e => t(e._2))
+      }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val before = Knn.readKnnGraph(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = SparkEntry.queries("graph_nndescent")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (rb, ra) = (recallOf(before), recallOf(after))
+    assert(ra > rb,
+      s"one NN-Descent round must strictly improve recall@k " +
+        s"(before $rb, after $ra)")
+    assert(after != before, "the refinement must change edges")
+    // contract: still exactly JOIN_K (or fewer) ranked edges per node,
+    // full coverage
+    val perQ = after.groupBy(_._1).values.map(_.size)
+    assert(perQ.max <= 3 && after.map(_._1) == truth.keySet)
+  }
+
   test("graph_components_incremental: gated query runs, covers every " +
       "vector, and reuses the session-cached artifact") {
     val out = SparkEntry.queries("graph_components_incremental")(
