@@ -1015,7 +1015,18 @@ object Dedup {
       graft.functions.WordShingles(
         org.apache.spark.sql.graft.Shim.expression(col("text")), l,
         distinct = false))
-    val key = col("doc_id") * lit(4294967296L) + col("pos")
+    // doc_id ∈ [0, 2³¹) is the packing bound of the doc_id·2³²+pos
+    // argmin key — enforce it per row (the frameSample mediaId-range
+    // precedent): past the bound Spark silently WRAPS the multiply
+    // (wrong first-occurrence keep) while DuckDB raises on BIGINT
+    // overflow, so the engines would diverge instead of failing fast
+    val guarded = when(
+      col("doc_id") < 0 || col("doc_id") >= lit(2147483648L),
+      raise_error(concat(lit("substringScrub: doc_id "),
+        col("doc_id").cast("string"),
+        lit(" outside [0, 2^31) — the packed argmin key would overflow"))))
+      .otherwise(col("doc_id"))
+    val key = guarded * lit(4294967296L) + col("pos")
     val grams = docs
       .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),

@@ -770,8 +770,8 @@ object Multimodal {
     * DC offset — the classic re-encode artifacts) fingerprints
     * identically:
     *
-    *  - per 64-byte frame, energy = [[graft.functions.ByteSum]] (the
-    *    mm_audio_vad stub decoder);
+    *  - per [[AUDIO_FRAME]]-byte (16) frame, energy =
+    *    [[graft.functions.ByteSum]] (the mm_audio_vad stub decoder);
     *  - per consecutive frame pair, a DELTA SYMBOL: 1 iff the per-byte
     *    mean energy strictly rises (`en·len_prev > en_prev·len` —
     *    cross-multiplied pure integers; both gain (×g) and offset (+c)

@@ -369,6 +369,10 @@ object Streaming {
     * with no signal — exactly the corruption idCols exists to
     * prevent); Nil = exactly-once rows, no identity assumed.
     */
+  /** Sinks already warned about an undeclared-identity doc_id batch. */
+  private val warnedNoIdSinks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def dedupOnDeclaredIds(batch: DataFrame, idCols: Seq[String],
       sink: String): DataFrame = {
     if (idCols.isEmpty) {
@@ -377,7 +381,9 @@ object Streaming {
       // guaranteed keys). The flip is invisible at compile time, so
       // surface it: a stream that DOES carry doc_id but declared no
       // identity is exactly the call shape the old default covered.
-      if (batch.columns.contains("doc_id"))
+      // Once per sink, not per micro-batch — a long-running stream
+      // that intentionally declares no identity must not flood logs.
+      if (batch.columns.contains("doc_id") && warnedNoIdSinks.add(sink))
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"$sink: batch carries doc_id but idCols is empty (the " +
             "pre-r11 default deduped on doc_id) — duplicated rows " +

@@ -380,4 +380,19 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((6L, 0L, "")),
       "a fully-duplicated doc must report with an empty scrubbed text")
   }
+
+  test("substringScrub fails fast when doc_id exceeds the packed-key " +
+      "bound instead of silently wrapping the argmin key") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2147483648L, "a b c d e f g")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      graft.dedup.Dedup.substringScrub(docs, 6).collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("2^31") ||
+        Option(err.getCause).exists(_.getMessage.contains("2^31"))),
+      s"expected the packed-key bound error, got: ${err.getMessage}")
+  }
 }
