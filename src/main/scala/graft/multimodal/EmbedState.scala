@@ -39,10 +39,10 @@ object EmbedState {
   private val built =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def tau = Multimodal.MM_DEDUP_TAU
+  private[graft] def tau = Multimodal.MM_DEDUP_TAU
 
   /** Banded byte-gram buckets for a media slice. */
-  private def bucketsOf(media: Dataset[MediaRecord]): DataFrame =
+  private[graft] def bucketsOf(media: Dataset[MediaRecord]): DataFrame =
     graft.dedup.Dedup.bandBucketsFromShingles(
       Multimodal.byteGramShingles(media),
       Multimodal.MM_DEDUP_PERMS, Multimodal.MM_DEDUP_BANDS)
@@ -51,7 +51,7 @@ object EmbedState {
     * (doc_id, v) feature frame — the `mm_embed_dedup` verify stage,
     * identical rounding/boundary contract.
     */
-  private def verify(cand: DataFrame, vecs: DataFrame): DataFrame = {
+  private[graft] def verify(cand: DataFrame, vecs: DataFrame): DataFrame = {
     val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
     cand
       .join(vecs.select(col("doc_id").as("a_id"), col("v").as("va")),

@@ -594,7 +594,7 @@ object Knn {
     * collected — bounded by the removal's cell fan-out, never corpus-
     * sized (the Sources touched-bucket contract).
     */
-  private def deleteFromLists(s: SparkSession, listsPath: String,
+  private[sim] def deleteFromLists(s: SparkSession, listsPath: String,
       ids: DataFrame): Unit = {
     val lists = s.read.parquet(listsPath)
       .withColumn("cent_id", col("cent_id").cast("long"))

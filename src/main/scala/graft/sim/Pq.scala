@@ -125,12 +125,13 @@ object Pq {
     * the kernel's strict-> scan reproduces (cos DESC, code ASC)) off the
     * jointly-trained table — M tiny filters of one checkpointed frame.
     */
-  private def cbArrays(e: DataFrame): Seq[DataFrame] = {
-    val cbs = subCodebooks(e)
+  private def cbArraysOf(cbs: DataFrame): Seq[DataFrame] =
     (0 until M).map(m => cbs.filter(col("m") === m).agg(
       array_sort(collect_list(
         struct(col("code").as("cent_id"), col("cv")))).as(s"cs$m")))
-  }
+
+  private def cbArrays(e: DataFrame): Seq[DataFrame] =
+    cbArraysOf(subCodebooks(e))
 
   private val pq = Q(
     "knn_pq",
@@ -485,5 +486,153 @@ object Pq {
       WHERE rank <= $K ORDER BY query_id, rank"""
     })
 
-  val all: Seq[Q] = Seq(pq, pqDistortion, ivfpq)
+  // ------------------------------------------------ knn_ivfpq_persisted
+  /** The IVFPQ index PERSISTED — the production FAISS `IndexIVFPQ`
+    * lifecycle next to [[Knn.buildIvfIndex]]'s flat-IVF one: train
+    * once, store `{cents, subcents, codes}`, query many. What survives
+    * on storage is the NLIST-row coarse codebook, the M·KSUB-row
+    * residual sub-codebooks, and the codes table — (vec_id, cent_id,
+    * k0..k3) longs PARTITIONED BY (cent_id, ingest_id), 64× thinner
+    * than the vectors it stands for; queries DPP-prune it to their
+    * probed cells. The exact re-rank reads survivor rows from a
+    * caller-supplied vector table (the FAISS refine-index shape — raw
+    * vectors live beside, not inside, the compressed index).
+    *
+    * Codebooks (coarse AND sub) stay FROZEN across appends — the
+    * add-after-train contract [[Knn.appendIvfIndex]] documents; floats
+    * round-trip parquet bit-exactly and codes are longs, so
+    * `knn_ivfpq_persisted` is gated by knn_ivfpq's oracle verbatim.
+    */
+  def buildIvfPqIndex(e: DataFrame, path: String): Unit = {
+    pqBuildCount += 1
+    val cents = Knn.codebook(e)
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    val res = Knn.assign(e, cents)
+      .join(broadcast(cents), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        vecSub(col("v"), col("cv")).as("v"))
+      .transform(graft.Checkpoint.of)
+    val subs = subCodebooks(res)
+    subs.write.mode("overwrite").parquet(s"$path/subcents")
+    encode(res, cbArraysOf(subs)).withColumn("ingest_id", lit(0L))
+      .write.mode("overwrite").partitionBy("cent_id", "ingest_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Residual-encode an assigned (vec_id, cent_id, v=residual) frame
+    * against per-subspace codebook arrays → (vec_id, cent_id, k0..kM).
+    */
+  private def encode(res: DataFrame, cbArrs: Seq[DataFrame]): DataFrame =
+    cbArrs.zipWithIndex.foldLeft(res) { case (df, (cb, m)) =>
+      df.crossJoin(broadcast(cb))
+        .withColumn(s"k$m", nc(sub(m, col("v")), col(s"cs$m")))
+        .drop(s"cs$m")
+    }.select(col("vec_id") +: col("cent_id") +:
+      (0 until M).map(m => col(s"k$m")): _*)
+
+  /** Incrementally ingest a vector slice: assign + residual-encode
+    * against the FROZEN stored codebooks, land in the slice's own
+    * (cent_id, ingest_id) partitions — replay-idempotent, associative
+    * (each code depends only on frozen state; PqSpec pins append ≡
+    * encoding the union).
+    */
+  def appendIvfPqIndex(s: SparkSession, path: String, e: DataFrame,
+      ingestId: Long): Unit = {
+    require(ingestId > 0,
+      s"ingestId must be > 0 (0 = base build), got $ingestId")
+    val cents = s.read.parquet(s"$path/cents")
+    val subs = s.read.parquet(s"$path/subcents")
+    val res = Knn.assign(e, cents)
+      .join(broadcast(cents), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        vecSub(col("v"), col("cv")).as("v"))
+    encode(res, cbArraysOf(subs)).withColumn("ingest_id", lit(ingestId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_id", "ingest_id").parquet(s"$path/codes")
+  }
+
+  /** TAKEDOWN: drop vectors from the codes table — partition-pruned
+    * ([[Knn.deleteFromLists]] on the thin codes layout); codebooks
+    * frozen, other codes can't move.
+    */
+  def removeFromIvfPqIndex(s: SparkSession, path: String,
+      vecIds: DataFrame): Unit =
+    Knn.deleteFromLists(s, s"$path/codes",
+      graft.Checkpoint.of(vecIds.select("vec_id").distinct()))
+
+  /** Query the persisted index: probe → per-(query, probed-cell)
+    * residual LUTs → ADC over the DPP-pruned codes partitions → exact
+    * re-rank of the top-[[RERANK]] survivors against `vectors`
+    * (vec_id, v — the raw corpus table). Mirrors [[ivfpq]]'s plan with
+    * storage reads replacing the train/encode stages.
+    */
+  def queryIvfPqIndex(s: SparkSession, path: String, q: DataFrame,
+      vectors: DataFrame, k: Int = K, nprobe: Int = Knn.NPROBE,
+      rerank: Int = RERANK): DataFrame = {
+    val cents = s.read.parquet(s"$path/cents")
+    val cbArrs = cbArraysOf(s.read.parquet(s"$path/subcents"))
+    val codes = s.read.parquet(s"$path/codes")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val qres = Knn.probe(q, cents, nprobe)
+      .join(broadcast(cents), "cent_id")
+      .select(col("query_id"), col("cent_id"),
+        vecSub(col("qv"), col("cv")).as("qv"))
+    // NOT checkpointed (unlike ivfpq's LUT over live training lineage):
+    // here the LUT derives from stored parquet + the filtered query
+    // scan, and a checkpoint would replace that file-scan lineage with
+    // a LogicalRDD — erasing the selective predicate DPP needs to plan
+    // the probe set as a partition filter on the codes read (the
+    // literal-LocalRelation trap)
+    val qlut = cbArrs.zipWithIndex.foldLeft(qres) { case (df, (cb, m)) =>
+      df.crossJoin(broadcast(cb))
+        .withColumn(s"lut$m", transform(col(s"cs$m"),
+          c => dotProduct(sub(m, col("qv")), c.getField("cv"))))
+        .drop(s"cs$m")
+    }.drop("qv")
+    val score = (0 until M).map(m =>
+      element_at(col(s"lut$m"), col(s"k$m").cast("int"))).reduceLeft(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(score.desc, col("vec_id"))
+    val topr = codes.join(broadcast(qlut), "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("rr", row_number().over(wA))
+      .filter(col("rr") <= rerank)
+      .select("query_id", "vec_id")
+    val cos = cosineSim(col("qv"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(cos.desc, col("vec_id"))
+    topr.join(vectors, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(cos, 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] var pqBuildCount = 0
+
+  private val builtPq =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cachedPq(s: SparkSession, dir: String): String =
+    builtPq.getOrElseUpdate(dir, {
+      val name = "graft-ivfpq-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = new org.apache.hadoop.fs.Path(
+        graft.Indexes.root(s), name).toString
+      buildIvfPqIndex(emb(s, dir), path)
+      path
+    })
+
+  private val ivfpqPersisted = Q(
+    "knn_ivfpq_persisted",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      queryIvfPqIndex(s, cachedPq(s, dir), q, e)
+    },
+    ivfpq.oracle)
+
+  val all: Seq[Q] = Seq(pq, pqDistortion, ivfpq, ivfpqPersisted)
 }

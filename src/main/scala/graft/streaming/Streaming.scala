@@ -701,6 +701,70 @@ object Streaming {
       } finally rows.unpersist()
     }
 
+  /** Streaming media-embedding near-dup detection — the online mirror
+    * of the batch `mm_embed_dedup` tier for media arriving as a stream
+    * of (media_id, payload: binary) rows, completing the per-modality
+    * dedup-sink grid (text: [[minhashDedupSink]]; image:
+    * [[phashDedupSink]]; audio: [[audioDedupSink]]; embedding: this).
+    * Each micro-batch shares ONE pipeline definition with the batch
+    * query and the [[graft.multimodal.EmbedState]] artifact
+    * (`bucketsOf` candidates, `verify` exact gram-cosine at the same
+    * τ — the duplicated-literal twin trap): the batch's byte-gram band
+    * buckets join the persisted bucket history and themselves, and
+    * candidates verify against the stored FEATURE vectors (ingested
+    * payloads are never re-decoded — the EmbedState posture). Emits
+    * the verified (a_id, b_id, cosine) pairs the batch discovered;
+    * the union of all batches' emissions over any corpus slicing
+    * equals the batch query's pair set bit-exactly (StreamingSpec).
+    *
+    * State = TWO [[BatchState]] tables under `stateDir` (thin bucket
+    * rows + ~0.5 KB feature rows per media), both under the shared
+    * replay/compaction contract: a replayed batch reads strictly older
+    * partitions and recomputes identical pairs.
+    */
+  def embedDedupSink(stateDir: String, compactEvery: Int = 16,
+      retentionBatches: Option[Long] = None)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val media = batch.select("media_id", "payload")
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) => graft.multimodal.MediaRecord(id, p,
+          graft.multimodal.MediaMeta("image", 0, 0, 0L)) }
+      val bNew = graft.multimodal.EmbedState.bucketsOf(media)
+        .localCheckpoint()
+      val vNew = graft.multimodal.Multimodal.gramVectors(media)
+        .select(col("vec_id").as("doc_id"), col("v")).localCheckpoint()
+      try {
+        val stB = new BatchState(spark, s"$stateDir/buckets",
+          org.apache.spark.sql.types.StructType(bNew.schema.fields),
+          compactEvery, retentionBatches)
+        val stV = new BatchState(spark, s"$stateDir/vecs",
+          org.apache.spark.sql.types.StructType(vNew.schema.fields),
+          compactEvery, retentionBatches)
+        val cross = bNew.as("x")
+          .join(stB.visible(batchId)
+            .select("doc_id", "band", "bh").as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+          .filter(col("a_id") =!= col("b_id"))
+          .distinct()
+        val self = bNew.as("x").join(bNew.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val cand = cross.unionByName(self).distinct()
+        val vAll = vNew.unionByName(
+          stV.visible(batchId).select("doc_id", "v"))
+        out(graft.multimodal.EmbedState.verify(cand, vAll))
+        stB.commit(bNew, batchId)
+        stV.commit(vNew, batchId)
+      } finally { bNew.unpersist(); vNew.unpersist() }
+    }
+
   /** Streaming benchmark decontamination — the online mirror of the
     * batch `decontam_ngram` query for a corpus arriving as a stream: per
     * micro-batch, every document's n-grams are checked against the FIXED

@@ -799,6 +799,42 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must not see its own state")
   }
 
+  test("embedDedupSink: union of per-batch emitted pairs over a 3-slice " +
+      "corpus equals the batch mm_embed_dedup tier; replay idempotent") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal
+      .mediaFromDocuments(spark, sfDir)
+      .map(r => (r.mediaId, r.payload))
+      .toDF("media_id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val slices = media.grouped(math.max(1, media.length / 3)).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eds").toString
+    var emitted = Set.empty[(Long, Long, Double)]
+    var lastOut = Set.empty[(Long, Long, Double)]
+    val sink = Streaming.embedDedupSink(s"$tmp/state") { out =>
+      lastOut = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      emitted ++= lastOut
+    }
+    slices.zipWithIndex.foreach { case (s, i) =>
+      sink(s.toSeq.toDF("media_id", "payload"), i.toLong)
+    }
+    val want = SparkEntry.queries("mm_embed_dedup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(emitted.nonEmpty && emitted == want,
+      "streamed pair discoveries must union to the batch tier's pairs")
+    // replay the LAST batch (crash between state write and checkpoint
+    // commit): identical emission, no self-collision through state
+    val before = lastOut
+    sink(slices.last.toSeq.toDF("media_id", "payload"),
+      (slices.size - 1).toLong)
+    assert(lastOut == before,
+      "a replayed batch must re-emit exactly its original pairs")
+  }
+
   test("minhashDedupSink tolerates a zero-shingle first batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nde").toString
