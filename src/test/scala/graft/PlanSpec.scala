@@ -73,6 +73,8 @@ class PlanSpec extends SparkSpec {
     "knn_join",         // same broadcast codebook (corpus-wide probes)
     "knn_recall",       // composes knn_bruteforce + knn_ivf (both above)
     "knn_pq",           // broadcast sub-codebooks + broadcast query LUTs
+    "knn_ivfpq_persisted", // same broadcast codebooks/LUTs, read from
+                           // storage (un-checkpointed so DPP survives)
     "kmeans_train",     // same broadcast codebook argmax (Lloyd iterations)
     "kmeans_assign",    // same broadcast codebook argmax
     "q18_corr_scalar",  // broadcast 1-row aggregate threshold
