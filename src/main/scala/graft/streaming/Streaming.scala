@@ -765,6 +765,46 @@ object Streaming {
       } finally { bNew.unpersist(); vNew.unpersist() }
     }
 
+  /** Streaming vector ingest into a persisted kNN-GRAPH artifact — the
+    * online mirror of [[graft.sim.Knn.appendKnnGraph]] for embeddings
+    * arriving as a stream of (vec_id, v: array<double>) rows: each
+    * micro-batch appends against the FROZEN build-time codebook
+    * (slice-assign + reverse-probe refresh of exactly the existing
+    * nodes the slice's cells can re-rank — never slice×corpus) and
+    * emits the BATCH'S OWN nodes' top-k edges as of ingest (the
+    * neighbors-on-arrival lookup an online ANN pipeline consumes;
+    * a node's stored edges can still be refreshed by LATER slices —
+    * read the artifact for the current view). After any prefix of the
+    * stream the artifact holds exactly the frozen-codebook graph over
+    * the vectors ingested so far (StreamingSpec pins it), so all six
+    * graph analytics can run mid-stream.
+    *
+    * Replay-idempotent WITHOUT a separate state table: the append
+    * itself keys every write by `ingest_id = batchId + 1` (dynamic
+    * self-overwrite; 0 is the base build). The artifact must exist
+    * (built by [[graft.sim.Knn.buildKnnGraphIndexFrom]] on the
+    * training snapshot — the FAISS add-after-train contract); the
+    * first batch fails fast otherwise.
+    */
+  def knnGraphSink(indexPath: String)(
+      out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val cents = new org.apache.hadoop.fs.Path(s"$indexPath/cents")
+      require(cents.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(cents),
+        s"knnGraphSink: no kNN-graph artifact at $indexPath — build one " +
+          "from a training snapshot first (buildKnnGraphIndexFrom); " +
+          "streaming ingest appends against its frozen codebook")
+      val slice = batch.select("vec_id", "v").localCheckpoint()
+      try {
+        graft.sim.Knn.appendKnnGraph(spark, indexPath, slice, batchId + 1)
+        out(spark.read.parquet(s"$indexPath/edges")
+          .join(slice.select(col("vec_id").as("query_id")), "query_id")
+          .select("query_id", "neighbor_id", "rank", "cosine"))
+      } finally slice.unpersist()
+    }
+
   /** Streaming benchmark decontamination — the online mirror of the
     * batch `decontam_ngram` query for a corpus arriving as a stream: per
     * micro-batch, every document's n-grams are checked against the FIXED

@@ -91,4 +91,45 @@ class RobustnessSpec extends SparkSpec {
       "pre-evolution row must surface the new column as null")
     assert(rows(1).getLong(rows(1).fieldIndex("v2")) == 9L)
   }
+
+  test("every persisted-artifact append/remove tolerates an EMPTY " +
+      "slice — the idle-batch shape of a real ingest loop") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, sfDir)
+    val p = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    try {
+      graft.sim.Knn.buildKnnGraphIndexFrom(e, s"$p/g")
+      val edges0 = spark.read.parquet(s"$p/g/edges").count()
+      graft.sim.Knn.appendKnnGraph(spark, s"$p/g", e.limit(0), 1L)
+      graft.sim.Knn.removeFromKnnGraph(spark, s"$p/g",
+        e.limit(0).select("vec_id"))
+      assert(spark.read.parquet(s"$p/g/edges").count() == edges0,
+        "empty graph append/remove must leave edges unchanged")
+      graft.sim.Pq.buildIvfPqIndex(e, s"$p/pq")
+      val codes0 = spark.read.parquet(s"$p/pq/codes").count()
+      graft.sim.Pq.appendIvfPqIndex(spark, s"$p/pq", e.limit(0), 1L)
+      graft.sim.Pq.removeFromIvfPqIndex(spark, s"$p/pq",
+        e.limit(0).select("vec_id"))
+      assert(spark.read.parquet(s"$p/pq/codes").count() == codes0)
+      graft.multimodal.EmbedState.buildEmbedStateFrom(media, s"$p/es")
+      val pairs0 = spark.read.parquet(s"$p/es/pairs").count()
+      graft.multimodal.EmbedState.appendEmbedState(spark, s"$p/es",
+        media.limit(0), 1L)
+      assert(spark.read.parquet(s"$p/es/pairs").count() == pairs0)
+      graft.dedup.DedupState.buildDedupStateFrom(docs, s"$p/ds")
+      val labels0 = spark.read.parquet(s"$p/ds/labels").count()
+      graft.dedup.DedupState.appendDedupState(spark, s"$p/ds", docs,
+        docs.limit(0), 1L)
+      assert(spark.read.parquet(s"$p/ds/labels").count() == labels0,
+        "an empty dedup append must preserve full label coverage")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(p))
+    }
+  }
 }

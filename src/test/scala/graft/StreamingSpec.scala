@@ -835,6 +835,42 @@ class StreamingSpec extends SparkSpec {
       "a replayed batch must re-emit exactly its original pairs")
   }
 
+  test("knnGraphSink: streamed slices leave the artifact holding the " +
+      "frozen-codebook graph over everything ingested; emissions are " +
+      "each batch's own edges; replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val base = e.filter(col("vec_id") % 3 === 0)
+    val s1 = e.filter(col("vec_id") % 3 === 1)
+    val s2 = e.filter(col("vec_id") % 3 === 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kgs").toString
+    graft.sim.Knn.buildKnnGraphIndexFrom(base, s"$tmp/g")
+    val cents = spark.read.parquet(s"$tmp/g/cents")
+    var lastOut = Set.empty[(Long, Long)]
+    val sink = Streaming.knnGraphSink(s"$tmp/g") { o =>
+      lastOut = o.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    sink(s1.toDF(), 0L)
+    assert(lastOut.nonEmpty && lastOut.map(_._1) ==
+      s1.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "batch emission must cover exactly the batch's own nodes")
+    sink(s2.toDF(), 1L)
+    def edges() = spark.read.parquet(s"$tmp/g/edges").collect().toSet
+    val want = graft.sim.Knn.knnGraphFrom(e, cents).collect().toSet
+    assert(edges() == want,
+      "after the stream the artifact must hold the frozen-codebook " +
+        "graph over base + both slices")
+    val out2 = lastOut
+    sink(s2.toDF(), 1L) // crash-retry replay of the last batch
+    assert(edges() == want && lastOut == out2,
+      "a replayed batch must change nothing and re-emit its edges")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(tmp))
+  }
+
   test("minhashDedupSink tolerates a zero-shingle first batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nde").toString
