@@ -1781,6 +1781,53 @@ object Dedup {
         .orderBy("doc_id"),
     clusters.oracle)
 
+  /** The TAKEDOWN path under the driver's hash gate: labels from
+    * build-on-full + [[DedupState.removeDocs]] of the NEW_SOURCES docs
+    * must equal a from-scratch clustering of the remaining corpus —
+    * the oracle re-derives exactly that (same shingle/jaccard/closure
+    * chain over the filtered documents), so a green row proves the
+    * bucket/incident-pair drop AND the affected-component relabel
+    * (component splits included) end-to-end.
+    */
+  private val clustersTakedown = Q(
+    "dedup_clusters_takedown",
+    (s, dir) =>
+      DedupState.readLabelsTakedown(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") =!= col("cluster_id")).as("is_dup"))
+        .orderBy("doc_id"),
+    Some {
+      val keep =
+        s"source NOT IN (${NEW_SOURCES.map(x => s"'$x'").mkString(",")})"
+      s"""WITH RECURSIVE dkeep AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE $keep),
+      d AS (SELECT doc_id,
+          list_filter(string_split(text,' '), t -> t <> '') w
+        FROM dkeep),
+      s AS (SELECT doc_id,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in range(1, greatest(len(w)-1, 1))]) sh
+        FROM d),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= $TAU),
+      e AS (SELECT a_id AS u, b_id AS v FROM p
+        UNION SELECT b_id, a_id FROM p),
+      reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+      cmin AS (SELECT u AS doc_id, MIN(v) AS m FROM reach GROUP BY u)
+      SELECT d2.doc_id AS doc_id,
+        COALESCE(LEAST(c.m, d2.doc_id), d2.doc_id) AS cluster_id,
+        COALESCE(LEAST(c.m, d2.doc_id), d2.doc_id) <> d2.doc_id AS is_dup
+      FROM dkeep d2 LEFT JOIN cmin c ON d2.doc_id = c.doc_id
+      ORDER BY d2.doc_id"""
+    })
+
   private val keepBestPersisted = Q(
     "dedup_keep_best_persisted",
     (s, dir) => {
@@ -1841,6 +1888,7 @@ object Dedup {
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
       splitDedup, dedupRecall, recallCurve, gramNovelty, containment, keepBest, weights,
-      lexsem, substringApply, clustersPersisted, clustersIncremental, keepBestPersisted, weightsPersisted,
+      lexsem, substringApply, clustersPersisted, clustersIncremental,
+      clustersTakedown, keepBestPersisted, weightsPersisted,
       splitDedupPersisted, lexsemPersisted)
 }

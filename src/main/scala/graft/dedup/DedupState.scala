@@ -343,6 +343,34 @@ object DedupState {
       path
     }) + "/labels")
 
+  private val builtTakedown =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Labels produced by the TAKEDOWN path over the driver corpus:
+    * build on the FULL corpus, then [[removeDocs]] the
+    * [[Dedup.NEW_SOURCES]] docs — the retraction mirror of
+    * [[readLabelsIncremental]]. By the delete-equals-rebuild contract
+    * (DedupStateSpec proves it bit-exactly) the result is the
+    * remaining corpus's clustering, so a remaining-corpus oracle gates
+    * the WHOLE takedown machinery (bucket/incident-pair drop +
+    * affected-component relabel, splits included) end-to-end at the
+    * driver. Session-cached per corpus dir.
+    */
+  def readLabelsTakedown(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(builtTakedown.getOrElseUpdate(dir, {
+      val name =
+        "graft-dedupstate-takedown-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path =
+        new org.apache.hadoop.fs.Path(graft.Indexes.root(s), name).toString
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      buildDedupStateFrom(docs.select("doc_id", "text"), path)
+      removeDocs(s, path,
+        docs.filter(col("source").isin(Dedup.NEW_SOURCES: _*))
+          .select("doc_id"))
+      path
+    }) + "/labels")
+
   private def cached(s: SparkSession, dir: String): String =
     built.getOrElseUpdate(dir, {
       val name = "graft-dedupstate-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")

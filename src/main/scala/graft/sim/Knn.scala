@@ -2064,7 +2064,8 @@ object Knn {
     * — shared by [[componentsQ]] and `graph_components_persisted`.
     */
   private def componentsReport(s: SparkSession, dir: String,
-      rawEdges: DataFrame): DataFrame = {
+      rawEdges: DataFrame,
+      coverage: Option[DataFrame] = None): DataFrame = {
       // materialized BEFORE the CC loop: connectedComponents unions both
       // edge orientations, and without the barrier each union branch
       // re-runs the whole edge lineage (for the in-query derivation
@@ -2073,7 +2074,7 @@ object Knn {
       val edges = graft.Checkpoint.of(rawEdges
         .select(col("query_id").as("u"), col("neighbor_id").as("v")))
       val labels = graft.dedup.Dedup.connectedComponents(edges)
-      val lab = emb(s, dir).select(col("vec_id"))
+      val lab = coverage.getOrElse(emb(s, dir)).select(col("vec_id"))
         .join(labels.select(col("id").as("vec_id"), col("label")),
           Seq("vec_id"), "left")
         .select(col("vec_id"),
@@ -2086,9 +2087,10 @@ object Knn {
   }
 
   /** The recursive-closure components body over any `edges(u, v_id)`
-    * CTE — shared by the full-corpus and incremental oracles.
+    * CTE — shared by the full-corpus, incremental and takedown oracles;
+    * `cov` = the CTE whose vec_ids the report covers.
     */
-  private val sqlComponentsTail: String = """
+  private def sqlComponentsTail(cov: String = "e"): String = s"""
     sym AS (SELECT u, v_id AS v FROM edges
       UNION SELECT v_id, u FROM edges),
     reach(u, v) AS (
@@ -2099,14 +2101,14 @@ object Knn {
       FROM reach GROUP BY u),
     lab AS (SELECT e.vec_id,
         COALESCE(c.component_id, e.vec_id) AS component_id
-      FROM e LEFT JOIN cmin c USING (vec_id)),
+      FROM $cov e LEFT JOIN cmin c USING (vec_id)),
     sz AS (SELECT component_id, COUNT(*)::BIGINT AS component_size
       FROM lab GROUP BY component_id)
     SELECT vec_id, component_id, component_size
     FROM lab JOIN sz USING (component_id) ORDER BY vec_id"""
 
   private val sqlComponents: String =
-    s"WITH RECURSIVE $sqlKnnEdgesCte,$sqlComponentsTail"
+    s"WITH RECURSIVE $sqlKnnEdgesCte,${sqlComponentsTail()}"
 
   /** [[sqlKnnEdgesCte]] with the codebook trained on the 75% BASE split
     * only (seeds + both Lloyd rounds over `eb`) and assignment/probing
@@ -2149,7 +2151,49 @@ object Knn {
       WHERE rank <= $JOIN_K)"""
 
   private val sqlComponentsIncr: String =
-    s"WITH RECURSIVE $sqlKnnEdgesIncrCte,$sqlComponentsTail"
+    s"WITH RECURSIVE $sqlKnnEdgesIncrCte,${sqlComponentsTail()}"
+
+  /** The takedown mirror of [[sqlKnnEdgesIncrCte]]: codebook trained
+    * on the FULL corpus (exactly [[readKnnGraphTakedown]]'s frozen
+    * state), assignment/probing/coverage over the REMAINING vectors.
+    */
+  private def sqlKnnEdgesTakedownCte: String =
+    s"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    er AS MATERIALIZED (SELECT vec_id, v FROM e
+      WHERE vec_id % $INCR_SLICE_MOD <> ${INCR_SLICE_MOD - 1}),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        vec_id
+      LIMIT $NLIST),
+    ${sqlLloyd("c0", "a1", "c1")},
+    ${sqlLloyd("c1", "a2", "c2")},
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM er e, c2 c) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+            AS rk
+        FROM er e, c2 c) WHERE rk <= $NPROBE),
+    edges AS (
+      SELECT query_id AS u, neighbor_id AS v_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+              a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE p.query_id <> a.vec_id)
+      WHERE rank <= $JOIN_K)"""
+
+  private val sqlComponentsTakedown: String =
+    s"WITH RECURSIVE $sqlKnnEdgesTakedownCte,${sqlComponentsTail("er")}"
 
   private val componentsQ = Q(
     "graph_components",
@@ -2179,6 +2223,41 @@ object Knn {
     (s, dir) => componentsReport(s, dir,
       readKnnGraphIncremental(s, dir).select("query_id", "neighbor_id")),
     Some(sqlComponentsIncr))
+
+  private val builtTakedownGraphs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Edge list produced by the TAKEDOWN path: build on the full corpus,
+    * then [[removeFromKnnGraph]] the 25% vec_id slice — the retraction
+    * mirror of [[readKnnGraphIncremental]]. Session-cached per dir.
+    */
+  def readKnnGraphTakedown(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(builtTakedownGraphs.getOrElseUpdate(dir, {
+      val name =
+        "graft-knngraph-takedown-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = new org.apache.hadoop.fs.Path(indexRoot(s), name).toString
+      val e = emb(s, dir)
+      val isSlice = col("vec_id") % INCR_SLICE_MOD === INCR_SLICE_MOD - 1
+      buildKnnGraphIndexFrom(e, path)
+      removeFromKnnGraph(s, path, e.filter(isSlice).select("vec_id"))
+      path
+    }) + "/edges")
+
+  /** The graph TAKEDOWN path under the driver's hash gate: edges from
+    * build-on-full + [[removeFromKnnGraph]] of the 25% slice must hold
+    * the frozen (FULL-corpus-trained) codebook's graph over the
+    * remaining vectors — the oracle re-derives exactly that (full-
+    * trained Lloyd, remaining-only assignment/probing/coverage), so a
+    * green row proves the partition-pruned list delete AND the
+    * reverse re-score of queries that lost a neighbor end-to-end.
+    */
+  private val componentsTakedownQ = Q(
+    "graph_components_takedown",
+    (s, dir) => componentsReport(s, dir,
+      readKnnGraphTakedown(s, dir).select("query_id", "neighbor_id"),
+      coverage = Some(emb(s, dir).filter(
+        col("vec_id") % INCR_SLICE_MOD =!= INCR_SLICE_MOD - 1))),
+    Some(sqlComponentsTakedown))
 
   // --------------------------------------------------------- knn_hamming
   /** Binary-sketch ANN — 1-bit scalar quantization: each vector collapses
@@ -2494,7 +2573,7 @@ object Knn {
     knnJoin, pagerank, triangleQ, componentsQ, linkpredQ, labelpropQ,
     embeddednessQ,
     trianglePersistedQ, linkpredPersistedQ, componentsPersistedQ,
-    componentsIncrementalQ, nnDescentQ,
+    componentsIncrementalQ, componentsTakedownQ, nnDescentQ,
     pagerankPersistedQ, mmrSelect, recallCurveQ, kmeansTrain, kmeansAssign,
     recallQ, hamming, hardNegatives, mips, knnClassify, triplets)
 }

@@ -13,7 +13,8 @@ object DriverSim13 {
     val dir = "/root/testdata/sf0.001"
     val names = Seq(
       "graph_components_incremental", "graph_nndescent",
-      "mm_embed_dedup_persisted")
+      "mm_embed_dedup_persisted", "knn_ivfpq_persisted",
+      "dedup_clusters_takedown", "graph_components_takedown")
     for (n <- names) {
       val c = SparkEntry.queries(n)(spark, dir).count()
       println(s"DRIVER_SIM13 $n rows=$c")
