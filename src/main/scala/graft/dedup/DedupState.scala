@@ -392,4 +392,17 @@ object DedupState {
     */
   def readLabels(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(cached(s, dir) + "/labels")
+
+  /** Maintenance: fold appended ingest slices into the base partitions
+    * of both ingest-partitioned tables (buckets, pairs) —
+    * [[graft.sources.Sources.foldIngestPartitions]]; labels are
+    * unpartitioned and untouched, every consumer's answers unchanged.
+    */
+  def compactDedupState(s: SparkSession, path: String): (Int, Int) = {
+    val (bb, ba) = graft.sources.Sources
+      .foldIngestPartitions(s, s"$path/buckets")
+    val (pb, pa) = graft.sources.Sources
+      .foldIngestPartitions(s, s"$path/pairs")
+    (bb + pb, ba + pa)
+  }
 }

@@ -24,7 +24,23 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   *    releases the façade, leaves the underlying cluster up (session is
   *    only stopped if this handler created it AND `stopOnClose=true`).
   *  - `DEFAULT_MAX_THREADS` (:15) → [[defaultBatchSize]] =
-  *    `sparkContext.defaultParallelism`.
+  *    `sparkContext.defaultParallelism`. The reference defaults to
+  *    `cpu_count * 5` — a thread-OVERSUBSCRIPTION hedge for IO-bound
+  *    `f`s on the local-threads backend. Spark schedules one task per
+  *    core, so the analog is not more threads but SMALLER batches:
+  *    an IO-bound map should pass `batchSize = n / (5 *
+  *    defaultBatchSize)`-ish so ~5 task waves overlap their IO waits
+  *    (and genuinely async IO belongs in `mapPartitions` with a
+  *    batched client call, not per-item threads).
+  *
+  * Declared NON-mappings (no Spark per-call equivalent exists):
+  *  - `client.map(..., **kwargs)` (:94,:121) passes dask scheduler
+  *    options per call (`pure=`, `priority=`, `resources=`, ...).
+  *    Spark has no per-map-call scheduler knobs; the analogs are
+  *    session/pool-level confs (`spark.scheduler.pool` fair-scheduler
+  *    pools for priority, stage-level `ResourceProfile`s for
+  *    resources, determinism is the default in lieu of `pure`). Set
+  *    them on the session around the call, not through this façade.
   */
 final class DistributedHandler private (
     val spark: SparkSession,
@@ -114,6 +130,22 @@ final class DistributedHandler private (
 
   /** Block until resolved, return results (reference `gather`, :146). */
   def gather[B](ds: Dataset[B]): Seq[B] = ds.collect().toSeq
+
+  /** Gather results from SEVERAL map calls in one shot — the reference's
+    * `client.gather(list_of_futures)` where the list mixes futures from
+    * different `map` invocations (distributed_handler.py:146). Spark's
+    * futures handle is a Dataset, so a mixed gather is the union of the
+    * handles; results come back in input order (per-Dataset order
+    * preserved, lists concatenated — the same order `gather` on each
+    * Dataset then concatenating would give), materialized in ONE job
+    * instead of one per handle. Heterogeneous ELEMENT types have no
+    * common Encoder — map them to a shared ADT/tuple first (the typed
+    * analog of dask's untyped future lists).
+    */
+  def gatherAll[B](dss: Seq[Dataset[B]]): Seq[B] = {
+    require(dss.nonEmpty, "gatherAll needs at least one Dataset")
+    dss.reduce(_ union _).collect().toSeq
+  }
 
   /** Release the façade; leave the cluster up unless we own it and were
     * asked to stop it.

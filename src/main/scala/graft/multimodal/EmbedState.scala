@@ -150,8 +150,16 @@ object EmbedState {
     */
   def removeMedia(s: SparkSession, path: String,
       mediaIds: DataFrame): Unit = {
+    // NAMED id column, like every sibling takedown (MinhashIndex/
+    // PhashIndex.remove select doc_id): picking columns.head
+    // positionally would silently remove the wrong ids from a
+    // multi-column frame with the id elsewhere
+    val idCol = Seq("doc_id", "media_id").find(mediaIds.columns.contains)
+      .getOrElse(throw new IllegalArgumentException(
+        "removeMedia: mediaIds must carry a doc_id or media_id column; " +
+          s"got [${mediaIds.columns.mkString(", ")}]"))
     val ids = graft.Checkpoint.of(
-      mediaIds.select(col(mediaIds.columns.head).as("doc_id")).distinct())
+      mediaIds.select(col(idCol).as("doc_id")).distinct())
     val bKeep = graft.Checkpoint.of(s.read.parquet(s"$path/buckets")
       .join(ids, Seq("doc_id"), "left_anti"))
     bKeep.select("doc_id", "band", "bh", "ingest_id")
@@ -185,4 +193,13 @@ object EmbedState {
   def readPairs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(cached(s, dir) + "/pairs")
       .select("a_id", "b_id", "cosine")
+
+  /** Maintenance: fold appended ingest slices into the base partitions
+    * of all three ingest-partitioned tables (buckets, pairs, vecs) —
+    * [[graft.sources.Sources.foldIngestPartitions]]; answers unchanged.
+    */
+  def compactEmbedState(s: SparkSession, path: String): (Int, Int) =
+    Seq("buckets", "pairs", "vecs")
+      .map(t => graft.sources.Sources.foldIngestPartitions(s, s"$path/$t"))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
 }

@@ -550,6 +550,38 @@ object Knn {
     buildCount += 1
   }
 
+  /** Fail fast when a slice's ids already exist in a stored
+    * ingest_id-partitioned table under a DIFFERENT ingest_id — the
+    * [[graft.dedup.DedupState.appendDedupState]] duplicate-identity
+    * contract extended to the vector-index appends: a silent duplicate
+    * vec_id would land duplicate rows in lists/codes and corrupt top-k
+    * edges and ADC ranks. Replaying the SAME ingestId stays allowed
+    * (the dynamic-overwrite retry contract), and a takedown'd id can
+    * be re-ingested (it is gone from the store). The check is a thin
+    * column-pruned semi-join (vec_id only — list vectors never read).
+    */
+  private[graft] def requireFreshIds(s: SparkSession, storePath: String,
+      slice: DataFrame, ingestId: Long, what: String): Unit = {
+    // a store every row of which was taken down has no partition dirs
+    // left to read (deleteFromLists removes emptied directories) — no
+    // prior identities, nothing to clash with
+    val prior = try {
+      s.read.parquet(storePath)
+        .withColumn("ingest_id", col("ingest_id").cast("long"))
+        .filter(col("ingest_id") =!= ingestId)
+        .select("vec_id")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => return
+    }
+    val clash = slice.select("vec_id").distinct()
+      .join(prior, Seq("vec_id"), "left_semi").limit(1).count()
+    require(clash == 0,
+      s"$what: slice vec_ids overlap an already-ingested slice under " +
+        "a different ingestId — identities must be globally unique " +
+        "(replay the SAME ingestId to retry a slice)")
+  }
+
   /** Incrementally ingest a vector slice into a persisted IVF index —
     * the ANN twin of [[graft.dedup.MinhashIndex.append]] and the text
     * index's streaming sink: assign the slice against the EXISTING
@@ -577,11 +609,31 @@ object Knn {
     // carry the same rows (a shrunk retry leaves the vanished
     // partitions' stale rows in place).
     require(ingestId > 0, s"ingestId must be > 0 (0 = base build), got $ingestId")
+    requireFreshIds(s, s"$path/lists", e, ingestId, "appendIvfIndex")
     val cbook = s.read.parquet(s"$path/cents")
     assign(e, cbook).withColumn("ingest_id", lit(ingestId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cent_id", "ingest_id").parquet(s"$path/lists")
+  }
+
+  /** Maintenance: fold accreted append slices into the base partitions
+    * — [[graft.sources.Sources.foldIngestPartitions]] over the lists
+    * (answers unchanged; the daily-slice loop's partition-count bound).
+    */
+  def compactIvfIndex(s: SparkSession, path: String): (Int, Int) =
+    graft.sources.Sources.foldIngestPartitions(s, s"$path/lists")
+
+  /** Maintenance: fold the kNN-graph artifact's appended slices into
+    * the base — both ingest-partitioned tables (lists, probes); edges
+    * are unpartitioned and untouched.
+    */
+  def compactKnnGraphIndex(s: SparkSession, path: String): (Int, Int) = {
+    val (lb, la) = graft.sources.Sources
+      .foldIngestPartitions(s, s"$path/lists")
+    val (pb, pa) = graft.sources.Sources
+      .foldIngestPartitions(s, s"$path/probes")
+    (lb + pb, la + pa)
   }
 
   /** Drop `vec_id` rows from a (cent_id, ingest_id)-partitioned vector
@@ -1439,6 +1491,7 @@ object Knn {
       ingestId: Long): Unit = {
     require(ingestId > 0,
       s"ingestId must be > 0 (0 = base build), got $ingestId")
+    requireFreshIds(s, s"$path/lists", e, ingestId, "appendKnnGraph")
     graphAppendCount += 1
     val cents = s.read.parquet(s"$path/cents")
     val sa = graft.Checkpoint.of(assign(e, cents))

@@ -540,6 +540,7 @@ object Pq {
       ingestId: Long): Unit = {
     require(ingestId > 0,
       s"ingestId must be > 0 (0 = base build), got $ingestId")
+    Knn.requireFreshIds(s, s"$path/codes", e, ingestId, "appendIvfPqIndex")
     val cents = s.read.parquet(s"$path/cents")
     val subs = s.read.parquet(s"$path/subcents")
     val res = Knn.assign(e, cents)
@@ -551,6 +552,13 @@ object Pq {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cent_id", "ingest_id").parquet(s"$path/codes")
   }
+
+  /** Maintenance: fold appended code slices into the base partitions
+    * ([[graft.sources.Sources.foldIngestPartitions]]; answers and ADC
+    * ranks unchanged — codes are frozen-codebook deterministic).
+    */
+  def compactIvfPqIndex(s: SparkSession, path: String): (Int, Int) =
+    graft.sources.Sources.foldIngestPartitions(s, s"$path/codes")
 
   /** TAKEDOWN: drop vectors from the codes table — partition-pruned
     * ([[Knn.deleteFromLists]] on the thin codes layout); codebooks

@@ -250,6 +250,79 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Fold all `ingest_id > 0` partitions of an ingest-partitioned state
+    * table into the base (`ingest_id = 0`) — the maintenance pass that
+    * keeps a daily-slice production loop from accreting thousands of
+    * tiny partitions (every [[graft.dedup.DedupState.appendDedupState]]
+    * / [[graft.sim.Knn.appendIvfIndex]] / sink batch adds one
+    * `ingest_id=` level; [[graft.text.TextIndex.compactTextIndex]] is
+    * the sibling for the tombstone side). Result-invariant: readers
+    * ignore `ingest_id`, so folding moves rows, never changes them
+    * (CompactSpec pins bit-equal answers per artifact).
+    *
+    * Layout-aware and partition-pruned: a `cent_id=/ingest_id=` table
+    * reads ONLY the cells that have non-base slices (FS listing names
+    * them — never a data scan), rewrites those cells' base partitions
+    * via dynamic overwrite, and drops the folded slice directories; an
+    * `ingest_id=`-only table is rewritten whole (its rows all move).
+    * Rows must carry SET semantics (true of every graft state table:
+    * one row per vec_id/bucket/pair) — the fold `distinct`s, which
+    * makes a CRASHED fold heal on re-run (rows living in both the new
+    * base and a not-yet-deleted slice dir collapse back to one).
+    *
+    * Replay contract AFTER compaction: a pre-compaction slice replay is
+    * rejected by the append's duplicate-identity guard (its ids now
+    * live under `ingest_id=0`) — the correct at-least-once behavior,
+    * since the slice IS ingested; run compaction OFF the ingest path,
+    * after in-flight slices settle (the compactTextIndex contract).
+    *
+    * Returns (leaf partition dirs before, after).
+    */
+  def foldIngestPartitions(spark: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(d)
+        .filter(e => e.isDirectory && e.getPath.getName.contains("="))
+        .map(_.getPath).toSeq
+      if (kids.isEmpty) Seq(d) else kids.flatMap(leaves)
+    }
+    val qp = fs.makeQualified(p)
+    val leafDirs = leaves(qp)
+    require(leafDirs != Seq(qp),
+      s"foldIngestPartitions: $path has no partition directories")
+    val rel = leafDirs.map(l =>
+      l.toString.stripPrefix(qp.toString).stripPrefix("/"))
+    val partCols = rel.head.split("/").map(_.split("=")(0)).toSeq
+    require(partCols.last == "ingest_id",
+      s"foldIngestPartitions: $path is partitioned by " +
+        s"${partCols.mkString("/")}, expected an ingest_id leaf level")
+    val nonzero = rel.filter(_.split("/").last != "ingest_id=0")
+    if (nonzero.isEmpty) return (leafDirs.size, leafDirs.size)
+    partCols match {
+      case Seq("ingest_id") =>
+        val folded = graft.Checkpoint.of(spark.read.parquet(path)
+          .withColumn("ingest_id", lit(0L)).distinct())
+        folded.write.mode(SaveMode.Overwrite)
+          .partitionBy("ingest_id").parquet(path)
+      case Seq(top, "ingest_id") =>
+        val affected = nonzero.map(_.split("/")(0).split("=")(1).toLong)
+          .distinct
+        val folded = graft.Checkpoint.of(spark.read.parquet(path)
+          .withColumn(top, col(top).cast("long"))
+          .filter(col(top).isin(affected: _*))
+          .withColumn("ingest_id", lit(0L)).distinct())
+        folded.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(top, "ingest_id").parquet(path)
+        nonzero.foreach(r =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, r), true))
+      case other => throw new IllegalArgumentException(
+        s"foldIngestPartitions: unsupported layout ${other.mkString("/")}")
+    }
+    (leafDirs.size, leaves(qp).size)
+  }
+
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")

@@ -222,15 +222,20 @@ object TextIndex {
     * rows, preserving the partition layout, after which a sink-built
     * index answers [[queryTextIndexPhrase]] exactly like a
     * [[buildTextIndex]] one (TextIndexSpec pins it). Fails fast if the
-    * frame does not cover every ingested doc (a silent miss would just
-    * drop the doc from phrase results). Idempotent — an existing
+    * frame does not cover every LIVE ingested doc (a silent miss would
+    * just drop the doc from phrase results); tombstoned docs are
+    * excluded from the coverage contract — their text may legitimately
+    * be gone (that is what the takedown was for), so a backfill after
+    * [[removeDocs]] needs only the remaining corpus, and the rewrite
+    * drops their postings rows physically (the [[compactTextIndex]]
+    * anti-join, folded in for free). Idempotent — an existing
     * positions column is recomputed, not duplicated.
     */
   def finalizeTextIndex(s: SparkSession, path: String,
       positionsFrom: Option[DataFrame] = None): Unit = {
     positionsFrom.foreach { docs =>
-      val cur = graft.Checkpoint.of(
-        s.read.parquet(s"$path/postings").drop("positions"))
+      val cur = graft.Checkpoint.of(alive(s, path,
+        s.read.parquet(s"$path/postings").drop("positions")))
       val parts = Seq("pb") ++
         (if (cur.columns.contains("batch_id")) Seq("batch_id") else Nil)
       val pos = docs
@@ -241,8 +246,9 @@ object TextIndex {
           .as("positions"))
       require(cur.join(pos, Seq("doc_id", "term"), "left_anti")
           .limit(1).count() == 0,
-        "positionsFrom must cover every ingested (doc_id, term) — a " +
-          "partial corpus would silently drop docs from phrase results")
+        "positionsFrom must cover every live ingested (doc_id, term) " +
+          "— a partial corpus would silently drop docs from phrase " +
+          "results (tombstoned docs are exempt)")
       cur.join(pos, Seq("doc_id", "term"), "left")
         .write.mode("overwrite").partitionBy(parts: _*)
         .parquet(s"$path/postings")

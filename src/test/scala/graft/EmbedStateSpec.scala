@@ -79,6 +79,21 @@ class EmbedStateSpec extends SparkSpec {
         table(rest, "buckets", Seq("doc_id", "band", "bh")))
       assert(table(full, "vecs", Seq("doc_id")) ==
         table(rest, "vecs", Seq("doc_id")))
+      // NAMED id-column contract: a frame with no doc_id/media_id
+      // column fails fast instead of positionally removing whatever
+      // happens to sit first
+      val err = intercept[IllegalArgumentException] {
+        EmbedState.removeMedia(spark, full.toString,
+          gone.select(col("doc_id").as("whatever")))
+      }
+      assert(err.getMessage.contains("doc_id"))
+      // a media_id-named frame resolves (sibling-API naming), and
+      // re-removing already-gone ids is the documented no-op
+      val vecs0 = table(full, "vecs", Seq("doc_id"))
+      EmbedState.removeMedia(spark, full.toString,
+        gone.select(col("doc_id").as("media_id"),
+          (col("doc_id") * 0).as("extra")))
+      assert(table(full, "vecs", Seq("doc_id")) == vecs0)
     } finally { rm(full.toFile); rm(rest.toFile) }
   }
 }

@@ -39,6 +39,18 @@ class HandlerSpec extends SparkSpec {
     assert(ds.rdd.getNumPartitions == 4) // ceil(100/25)
   }
 
+  test("gatherAll gathers futures from several map calls in one job, " +
+      "in input order") {
+    val h = DistributedHandler()
+    val a = h.map(Seq(1, 2, 3))(_ * 10)
+    val b = h.batchedMap(Seq(4, 5), 1)(_ * 10)
+    val got = h.gatherAll(Seq(a, b))
+    assert(got == Seq(10, 20, 30, 40, 50),
+      "mixed gather must concatenate per-handle results in input order")
+    intercept[IllegalArgumentException] { h.gatherAll(Seq.empty[
+      org.apache.spark.sql.Dataset[Int]]) }
+  }
+
   test("map2 zips two iterables") {
     val h = DistributedHandler()
     val got = h.gather(h.map2(items, items.map(_ * 10))(_ + _)).sorted

@@ -47,6 +47,15 @@ class KnnGraphAppendSpec extends SparkSpec {
       assert(counts() == before,
         "a replayed slice must not change any table's row count")
       assert(edges() == want, "a replayed slice must not change edges")
+
+      // identity guard: re-appending the same vectors under a
+      // DIFFERENT ingest id must fail fast, not silently duplicate
+      // list rows (which would corrupt every affected top-k)
+      val err = intercept[IllegalArgumentException] {
+        Knn.appendKnnGraph(spark, path, slice, 2L)
+      }
+      assert(err.getMessage.contains("ingestId"))
+      assert(edges() == want, "a rejected append must not change edges")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

@@ -351,6 +351,12 @@ class KnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(res.exists(_._2 >= 300),
       "appended vectors must surface as neighbors")
+    // identity guard: an already-ingested slice under a DIFFERENT
+    // ingest id fails fast (silent duplicates would double neighbors)
+    val err = intercept[IllegalArgumentException] {
+      graft.sim.Knn.appendIvfIndex(spark, p1, b2, 9L)
+    }
+    assert(err.getMessage.contains("ingestId"))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }

@@ -55,17 +55,27 @@ class PqIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5))).toSet
       Pq.buildIvfPqIndex(e.filter(!isSlice), ref)
+      // ref re-encodes base+slice in ONE shot against the same frozen
+      // books: take the base codes down first (a takedown'd id may be
+      // re-ingested — the legal path), then append the full union
+      Pq.removeFromIvfPqIndex(spark, ref,
+        e.filter(!isSlice).select("vec_id"))
       Pq.appendIvfPqIndex(spark, ref, e, 1L)
-      // ref's append re-encodes base+slice in one shot against the
-      // same frozen books — codes must agree row-for-row (base rows
-      // appear twice in ref's layout (ingest 0 and 1) with identical
-      // codes; compare the deduped sets)
       assert(codes(inc) == codes(ref),
         "slice append must equal one-shot frozen-codebook encoding")
       // replay is a no-op
       val before = spark.read.parquet(s"$inc/codes").count()
       Pq.appendIvfPqIndex(spark, inc, e.filter(isSlice), 1L)
       assert(spark.read.parquet(s"$inc/codes").count() == before)
+      // identity guard: the same slice under a DIFFERENT ingest id
+      // must fail fast, not silently duplicate code rows (which would
+      // corrupt ADC ranks)
+      val err = intercept[IllegalArgumentException] {
+        Pq.appendIvfPqIndex(spark, inc, e.filter(isSlice), 2L)
+      }
+      assert(err.getMessage.contains("ingestId"))
+      assert(spark.read.parquet(s"$inc/codes").count() == before,
+        "a rejected append must not change codes")
       // takedown: removing the slice restores the base-only code set
       Pq.removeFromIvfPqIndex(spark, inc, e.filter(isSlice)
         .select("vec_id"))

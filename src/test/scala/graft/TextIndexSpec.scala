@@ -165,6 +165,15 @@ class TextIndexSpec extends SparkSpec {
       // idempotent re-remove
       graft.text.TextIndex.removeDocs(spark, full, gone)
       assert(results(full) == want)
+      // a positions backfill after a takedown needs ONLY the remaining
+      // corpus — the removed text may legitimately be gone (that is
+      // what the takedown was for); tombstoned postings are exempt
+      // from the coverage contract and dropped by the rewrite
+      graft.text.TextIndex.finalizeTextIndex(spark, full,
+        positionsFrom = Some(keepDf))
+      assert(results(full) == want,
+        "post-takedown backfill from the live corpus must not change " +
+          "answers")
       graft.text.TextIndex.compactTextIndex(spark, full)
       assert(results(full) == want, "compaction must not change results")
       assert(!new java.io.File(s"$full/deleted").exists(),
