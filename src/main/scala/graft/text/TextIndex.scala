@@ -153,7 +153,9 @@ object TextIndex {
     * level. The dictionary (df + the DPP driver) is a CORPUS-GLOBAL
     * artifact, so it is not touched per batch — run
     * [[finalizeTextIndex]] after (or periodically during) ingest;
-    * queries need a finalized dictionary. Assumes doc_ids are unique
+    * queries need a finalized dictionary (dictionary-ONLY: batches
+    * store their own sorted positions, so phrase queries need no
+    * positionsFrom corpus pass). Assumes doc_ids are unique
     * across batches (re-ingesting a doc double-counts its df), and
     * accretes one file set per batch — [[graft.sources.Sources
     * .compactParquet]] per leaf directory is the maintenance pass.
@@ -183,10 +185,18 @@ object TextIndex {
         }
         layoutChecked = true
       }
+      // positions ride along per batch (buildTextIndex's exact agg —
+      // the batch HAS the text, so storing sorted offsets now is one
+      // collect_list, while recovering them later costs a whole corpus
+      // re-tokenize): a sink-built index answers phrase queries with no
+      // positionsFrom backfill, and finalize stays dictionary-only
       batch
-        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
-          .as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "term")))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("p0").cast("long")))
+            .as("positions"))
         .withColumn("pb", termBucket(col("term")))
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -216,11 +226,13 @@ object TextIndex {
     * matters. One vocab-bounded aggregate over the (live, tombstones
     * excluded) postings.
     *
-    * `positionsFrom`: hand the ingested corpus back in to BACKFILL the
-    * `positions` column [[textIndexSink]]'s thin appends do not carry —
-    * one corpus tokenize pass joined onto the stored (doc_id, term)
-    * rows, preserving the partition layout, after which a sink-built
-    * index answers [[queryTextIndexPhrase]] exactly like a
+    * `positionsFrom`: hand the corpus back in to (re)compute the
+    * `positions` column — the recovery path for an index whose
+    * postings lack or predate stored positions (the sink now stores
+    * them per batch, so streamed indexes do NOT need this): one corpus
+    * tokenize pass joined onto the stored (doc_id, term) rows,
+    * preserving the partition layout, after which the index answers
+    * [[queryTextIndexPhrase]] exactly like a
     * [[buildTextIndex]] one (TextIndexSpec pins it). Fails fast if the
     * frame does not cover every LIVE ingested doc (a silent miss would
     * just drop the doc from phrase results); tombstoned docs are
@@ -431,10 +443,10 @@ object TextIndex {
     * (common-word phrases); the positional index answers from
     * ≤ |phrase|/[[PBUCKETS]] of the postings regardless. The positions
     * column adds ~tf longs per posting row — the standard positional-
-    * index size tradeoff. [[textIndexSink]]-built indexes carry no
-    * positions while streaming (appends stay thin); one
-    * `finalizeTextIndex(s, path, positionsFrom = Some(docs))` pass
-    * backfills them, after which this query answers identically.
+    * index size tradeoff. [[textIndexSink]]-built indexes store each
+    * batch's positions at ingest (the batch has the text in hand), so
+    * a streamed index answers this query after the dictionary-only
+    * [[finalizeTextIndex]] — no corpus backfill pass.
     */
   def queryTextIndexPhrase(s: SparkSession, path: String,
       phrase: Seq[String]): DataFrame = {

@@ -107,7 +107,19 @@ class TextIndexSpec extends SparkSpec {
       try {
         slices.foreach { s => mem.addData(s.toSeq: _*); q.processAllAvailable() }
       } finally q.stop()
-      // partial corpus must fail fast, not silently drop docs
+      // the sink stores each batch's sorted positions at ingest, so a
+      // DICTIONARY-ONLY finalize (no corpus pass) answers phrase_pos
+      graft.text.TextIndex.finalizeTextIndex(spark, streamed)
+      graft.text.TextIndex.buildTextIndex(docsDf, batch)
+      def phrase(path: String) = graft.text.TextIndex
+        .queryTextIndexPhrase(spark, path, graft.text.TextIndex.PHRASE)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = phrase(streamed)
+      assert(got.nonEmpty && got == phrase(batch),
+        "streamed index + dictionary-only finalize must answer " +
+          "phrase_pos exactly like the batch build")
+      // the positionsFrom RECOVERY path still works and still fails
+      // fast on a partial corpus
       val err = intercept[IllegalArgumentException] {
         graft.text.TextIndex.finalizeTextIndex(spark, streamed,
           positionsFrom = Some(docsDf.limit(5)))
@@ -115,18 +127,8 @@ class TextIndexSpec extends SparkSpec {
       assert(err.getMessage.contains("positionsFrom"))
       graft.text.TextIndex.finalizeTextIndex(spark, streamed,
         positionsFrom = Some(docsDf))
-      graft.text.TextIndex.buildTextIndex(docsDf, batch)
-      def phrase(path: String) = graft.text.TextIndex
-        .queryTextIndexPhrase(spark, path, graft.text.TextIndex.PHRASE)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val got = phrase(streamed)
-      assert(got.nonEmpty && got == phrase(batch),
-        "backfilled streaming index must answer phrase_pos exactly " +
-          "like the batch build")
-      // backfill is idempotent (re-finalize, same answers)
-      graft.text.TextIndex.finalizeTextIndex(spark, streamed,
-        positionsFrom = Some(docsDf))
-      assert(phrase(streamed) == got)
+      assert(phrase(streamed) == got,
+        "a positions recovery pass must reproduce the stored positions")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
