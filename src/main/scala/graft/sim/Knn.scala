@@ -624,6 +624,72 @@ object Knn {
   def compactIvfIndex(s: SparkSession, path: String): (Int, Int) =
     graft.sources.Sources.foldIngestPartitions(s, s"$path/lists")
 
+  /** Drift-triggered refresh — closes the frozen-codebook loop the
+    * append contract leaves open ("when drift accumulates, refresh = a
+    * new build"): measure the incoming slice's embedding-distribution
+    * drift against the stored corpus (the emb_drift signal — exact
+    * per-dimension decimal means, drift = L2 displacement of the mean
+    * vector), and
+    *   - BELOW `tau`: byte no-op, return false — the slice is
+    *     codebook-compatible; ingest it with [[appendIvfIndex]] as
+    *     usual (this operator never ingests, it only decides + rebuilds
+    *     — callers keep one ingest path);
+    *   - AT/ABOVE `tau`: retrain + re-encode via [[buildIvfIndex]] over
+    *     stored ∪ slice and return true — the artifact afterwards IS a
+    *     fresh build on the union corpus (bit-identical: the codebook
+    *     trains on exact decimal sums, order-independent), with the
+    *     slice ingested as part of the base (ingest_id=0).
+    *
+    * Cost is bounded: the decision is ONE linear pass over (stored ∪
+    * slice) vectors into a d-row aggregate plus a driver-side d-row
+    * fold — no shuffle beyond the d-key exchange; the rebuild only runs
+    * when triggered and costs exactly one [[buildIvfIndex]]. Lives on
+    * the IVF index because its lists store the RAW vectors (the rebuild
+    * is self-contained); an IVFPQ artifact stores only codes, so its
+    * refresh needs the corpus handed back — run the drift decision
+    * here, rebuild with [[Pq.buildIvfPqIndex]] from source.
+    */
+  def reindexOnDrift(s: SparkSession, path: String, slice: DataFrame,
+      tau: Double): Boolean = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau > 0, s"tau must be positive, got $tau")
+    val dec = DecimalType(38, 0)
+    val stored = s.read.parquet(s"$path/lists").select("vec_id", "v")
+    val sl = graft.Checkpoint.of(slice.select("vec_id", "v"))
+    if (sl.limit(1).count() == 0) return false
+    val clash = sl.select("vec_id").distinct()
+      .join(stored.select("vec_id"), Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0,
+      "reindexOnDrift: slice vec_ids overlap the stored corpus — " +
+        "identities must be globally unique")
+    val comp = stored.withColumn("is_new", lit(false))
+      .unionByName(sl.withColumn("is_new", lit(true)))
+      .select(posexplode(col("v")).as(Seq("d0", "x")), col("is_new"))
+      .select(col("d0"), col("is_new"),
+        (round(col("x"), 6).cast(DecimalType(38, 6)) * lit(1000000))
+          .cast(dec).as("m"))
+    val st = comp.groupBy("d0").agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("nn"),
+      sum(when(!col("is_new"), col("m")).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("sb"),
+      sum(when(col("is_new"), col("m")).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("sn"))
+    val drift2 = st.select(
+      pow(col("sn").cast("double") / (col("nn") * lit(1000000.0))
+        - col("sb").cast("double") / (col("nb") * lit(1000000.0)),
+        2).as("d2"))
+      .agg(sum("d2").as("s")).head().getDouble(0)
+    if (math.sqrt(drift2) < tau) false
+    else {
+      // the union lineage reads the very lists the rebuild overwrites
+      val union = graft.Checkpoint.of(stored.unionByName(sl))
+      buildIvfIndex(union, path)
+      true
+    }
+  }
+
   /** Maintenance: fold the kNN-graph artifact's appended slices into
     * the base — both ingest-partitioned tables (lists, probes); edges
     * are unpartitioned and untouched.

@@ -403,6 +403,66 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("reindexOnDrift: below-threshold slice is a byte no-op; " +
+      "above-threshold rebuild equals a fresh build on the union") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val held = e.filter(col("vec_id") % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reidx")
+      .toString
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[(String, Long, Long)] = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        kids.filter(_.isFile).filterNot(_.getName.startsWith("."))
+          .map(k => (k.getPath, k.length, k.lastModified)) ++
+          kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(p)).toSet
+    }
+    try {
+      graft.sim.Knn.buildIvfIndex(base, s"$dir/idx")
+      // a held-out sample of the SAME distribution: tiny mean drift
+      val before = files(s"$dir/idx")
+      assert(!graft.sim.Knn.reindexOnDrift(spark, s"$dir/idx", held, 0.2),
+        "same-distribution slice must not trigger a rebuild")
+      assert(files(s"$dir/idx") == before,
+        "a below-threshold decision must be a byte no-op")
+      // the same vectors displaced by +0.5 per coordinate: mean-vector
+      // drift = 0.5*sqrt(64) = 4.0, far above tau
+      val shifted = held
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), x => x + lit(0.5)).as("v"))
+      assert(graft.sim.Knn.reindexOnDrift(spark, s"$dir/idx", shifted, 0.2),
+        "displaced slice must trigger the rebuild")
+      graft.sim.Knn.buildIvfIndex(
+        base.unionByName(shifted), s"$dir/fresh")
+      def lists(p: String) = spark.read.parquet(s"$p/lists")
+        .select(col("vec_id"), col("cent_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def cents(p: String) = spark.read.parquet(s"$p/cents")
+        .collect().map(_.toString).toSet
+      assert(cents(s"$dir/idx") == cents(s"$dir/fresh"),
+        "rebuilt codebook must equal a fresh train on the union")
+      assert(lists(s"$dir/idx") == lists(s"$dir/fresh"),
+        "rebuilt lists must equal a fresh build on the union")
+      // identity guard: an overlapping slice fails fast
+      intercept[IllegalArgumentException] {
+        graft.sim.Knn.reindexOnDrift(spark, s"$dir/idx",
+          base.limit(3), 0.2)
+      }
+      // empty slice: trivially below threshold
+      assert(!graft.sim.Knn.reindexOnDrift(spark, s"$dir/idx",
+        e.limit(0), 0.2))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("emb_covariance: diagonal equals emb_stats variance exactly; " +
       "off-diagonals obey Cauchy-Schwarz") {
     val cov = SparkEntry.queries("emb_covariance")(spark, sfDir)
