@@ -52,4 +52,34 @@ object Checkpoint {
       df.checkpoint()
     case None => df.localCheckpoint()
   }
+
+  /** [[of]] fused with a convergence probe: materialize `df` and return
+    * whether any row matches `pred`, in ONE job where the backend allows
+    * it. An iterative loop (connected components) otherwise pays two job
+    * launches per round — the checkpoint write plus a probe action — and
+    * at the ~0.5 s/round action floor the probe is pure overhead.
+    *
+    *   - local (block-cache) mode FUSES: the checkpoint is marked lazy
+    *     and the probe's FULL-scan count is the action that materializes
+    *     it. The scan must be full — a limit-1 probe could early-exit
+    *     with partitions uncomputed, leaving the lazy checkpoint partial
+    *     and silently re-deriving them from a lineage the caller
+    *     believes cut.
+    *   - reliable (checkpoint-dir) mode does NOT fuse: a lazy reliable
+    *     checkpoint re-computes the whole lineage inside the write job
+    *     it triggers, costing more than the probe saves — keep the eager
+    *     write plus a cheap limit-1 read of the checkpointed blocks.
+    *
+    * CheckpointSpec pins both modes to identical rows and flag.
+    */
+  def ofChanged(df: DataFrame,
+      pred: org.apache.spark.sql.Column): (DataFrame, Boolean) =
+    reliableDir(df) match {
+      case Some(_) =>
+        val cp = of(df)
+        (cp, cp.filter(pred).limit(1).count() > 0)
+      case None =>
+        val cp = df.localCheckpoint(false)
+        (cp, cp.filter(pred).count() > 0)
+    }
 }

@@ -745,7 +745,7 @@ object Dedup {
       // materialization per round: this checkpoint.
       val lut1 = prop.select(col("id").as("pid"), col("label").as("plabel"))
       val lut2 = prop.select(col("id").as("qid"), col("label").as("qlabel"))
-      val next = prop.as("a")
+      val plan = prop.as("a")
         .join(lut1, col("a.label") === col("pid"), "left")
         .withColumn("l1",
           least(col("a.label"), coalesce(col("plabel"), col("a.label"))))
@@ -760,11 +760,13 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("l1"), coalesce(col("qlabel"), col("l1"))).as("label"),
           col("a.old").as("old"))
-        .transform(graft.Checkpoint.of)
-      // labels strictly decrease, so one surviving row ⇒ not converged;
-      // filter over the materialized round output — no join, no shuffle
-      val changed = next.filter(col("label") < col("old"))
-        .limit(1).count() > 0
+      // labels strictly decrease, so one surviving row ⇒ not converged.
+      // Materialization and the convergence probe share ONE job
+      // (Checkpoint.ofChanged): the probe's scan is the action that
+      // fills the round's checkpoint — halving the per-round action
+      // count that floors this loop's cost.
+      val (next, changed) =
+        graft.Checkpoint.ofChanged(plan, col("label") < col("old"))
       labels = next.select(col("id"), col("label"))
       converged = !changed
       i += 1

@@ -31,6 +31,37 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("ofChanged returns identical rows and flag in both modes, and " +
+      "the local fusion leaves the checkpoint fully materialized") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1000).repartition(4)
+      .select(col("id"), (col("id") % 7).as("m"))
+    val pred = col("m") === 3
+    val (cpL, changedL) = Checkpoint.ofChanged(df.toDF(), pred)
+    assert(changedL)
+    // the fused probe's scan must have materialized EVERY partition: a
+    // second action over the checkpointed frame sees the full row set
+    assert(cpL.count() == 1000)
+    assert(cpL.collect().toSeq.sortBy(_.getLong(0)) ==
+      df.collect().toSeq.sortBy(_.getLong(0)))
+    val (_, noneL) = Checkpoint.ofChanged(df.toDF(), col("m") === 99)
+    assert(!noneL)
+    val dir = Files.createTempDirectory("graft-ckpt-fused").toFile
+    try {
+      spark.conf.set(Checkpoint.CONF_KEY, dir.getAbsolutePath)
+      val (cpR, changedR) = Checkpoint.ofChanged(df.toDF(), pred)
+      assert(changedR == changedL)
+      assert(cpR.collect().toSeq.sortBy(_.getLong(0)) ==
+        cpL.collect().toSeq.sortBy(_.getLong(0)))
+    } finally {
+      spark.conf.unset(Checkpoint.CONF_KEY)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("a changed checkpoint dir conf re-points reliable checkpoints " +
       "mid-session") {
     import org.apache.spark.sql.functions.col

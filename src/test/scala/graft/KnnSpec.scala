@@ -62,6 +62,32 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.30)
   }
 
+  test("graph beam search: recall@5 >= IVF at the same candidate budget") {
+    val beam = pairs("knn_graph_search")
+    val rBeam = (beam & exact).size.toDouble / exact.size
+    val visPerQ = graft.sim.Knn.graphSearchParts(spark, sfDir)
+      ._2.count().toDouble / 10
+    // the smallest nprobe whose measured candidate mass covers the
+    // walk's scored-candidate budget — the fair IVF yardstick
+    var p = 1
+    var (ivfTop, cand) = graft.sim.Knn.ivfSearchAt(spark, sfDir, p)
+    while (cand.toDouble / 10 < visPerQ && p < 16) {
+      p += 1
+      val r = graft.sim.Knn.ivfSearchAt(spark, sfDir, p)
+      ivfTop = r._1
+      cand = r._2
+    }
+    val ivfPairs = ivfTop.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvf = (ivfPairs & exact).size.toDouble / exact.size
+    info(s"beam recall@5 = $rBeam (visited/query = $visPerQ); " +
+      s"ivf@nprobe=$p recall@5 = $rIvf (cand/query = ${cand / 10.0})")
+    assert(cand.toDouble / 10 >= visPerQ,
+      "comparison must give IVF at least the walk's candidate budget")
+    assert(rBeam >= rIvf,
+      "the graph walk must match IVF recall at equal candidate budget")
+  }
+
   test("knn_ivf_persisted equals knn_ivf and prunes list partitions " +
       "dynamically") {
     val d = SparkEntry.queries("knn_ivf_persisted")(spark, sfDir)
