@@ -1783,6 +1783,24 @@ object Dedup {
         .orderBy("doc_id"),
     clusters.oracle)
 
+  /** COMPACTION under the driver's hash gate: labels from
+    * build → append(half A) → [[DedupState.compactDedupState]] →
+    * append(half B) must equal the full derive-in-query clustering —
+    * the second append reads the FOLDED buckets, so a green row proves
+    * the fold preserved a live, appendable artifact (candidate
+    * history, pair set, label recompute) end-to-end, not just frozen
+    * answers (CompactSpec's per-artifact invariance is the unit tier;
+    * this is the driver-gated tier, the takedown-gating precedent).
+    */
+  private val clustersCompacted = Q(
+    "dedup_clusters_compacted",
+    (s, dir) =>
+      DedupState.readLabelsCompacted(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") =!= col("cluster_id")).as("is_dup"))
+        .orderBy("doc_id"),
+    clusters.oracle)
+
   /** The TAKEDOWN path under the driver's hash gate: labels from
     * build-on-full + [[DedupState.removeDocs]] of the NEW_SOURCES docs
     * must equal a from-scratch clustering of the remaining corpus —
@@ -1891,6 +1909,7 @@ object Dedup {
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
       splitDedup, dedupRecall, recallCurve, gramNovelty, containment, keepBest, weights,
       lexsem, substringApply, clustersPersisted, clustersIncremental,
-      clustersTakedown, keepBestPersisted, weightsPersisted,
+      clustersCompacted, clustersTakedown, keepBestPersisted,
+      weightsPersisted,
       splitDedupPersisted, lexsemPersisted)
 }

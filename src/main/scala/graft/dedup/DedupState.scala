@@ -343,6 +343,41 @@ object DedupState {
       path
     }) + "/labels")
 
+  private val builtCompacted =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Labels produced by the COMPACTED lifecycle over the driver corpus:
+    * build on the base sources, append HALF the NEW_SOURCES slice,
+    * [[compactDedupState]] (folds the appended ingest partitions into
+    * base), then append the OTHER half — so the second append's
+    * candidate generation reads the FOLDED buckets and the final labels
+    * prove compaction preserved a live, appendable artifact, not just
+    * frozen answers. By append-equals-rebuild + fold result-invariance
+    * the result is the full corpus clustering, so the derive-in-query
+    * `dedup_clusters` oracle gates build→append→compact→append
+    * end-to-end at the driver. Session-cached per corpus dir.
+    */
+  def readLabelsCompacted(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(builtCompacted.getOrElseUpdate(dir, {
+      val name =
+        "graft-dedupstate-compact-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path =
+        new org.apache.hadoop.fs.Path(graft.Indexes.root(s), name).toString
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val isNew = col("source").isin(Dedup.NEW_SOURCES: _*)
+      val base = docs.filter(!isNew).select("doc_id", "text")
+      val halfA = docs.filter(isNew && col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val halfB = docs.filter(isNew && col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      buildDedupStateFrom(base, path)
+      appendDedupState(s, path, base, halfA, 1L)
+      compactDedupState(s, path)
+      appendDedupState(s, path, base.unionByName(halfA), halfB, 2L)
+      path
+    }) + "/labels")
+
   private val builtTakedown =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

@@ -11,7 +11,8 @@ object DriverSim14 {
       .master("local[4]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (n <- Seq("knn_graph_search", "graph_components", "dedup_clusters")) {
+    for (n <- Seq("knn_graph_search", "dedup_clusters_compacted",
+        "graph_components", "dedup_clusters")) {
       val c = SparkEntry.queries(n)(spark, dir).count()
       println(s"DRIVER_SIM14 $n rows=$c")
       require(c > 0, s"$n returned no rows")
