@@ -899,6 +899,11 @@ object Dedup {
     */
   private val SUB_L = 6
 
+  /** Position slot of the substringScrub packed argmin key (2^20 token
+    * positions — doc_id gets the remaining 43 bits).
+    */
+  private val POS_STRIDE = 1L << 20
+
   /** Maximal duplicated-run spans per doc: (doc_id, dup_spans,
     * dup_tokens) for docs that have any; `docs` needs (doc_id, text).
     */
@@ -1017,18 +1022,27 @@ object Dedup {
       graft.functions.WordShingles(
         org.apache.spark.sql.graft.Shim.expression(col("text")), l,
         distinct = false))
-    // doc_id ∈ [0, 2³¹) is the packing bound of the doc_id·2³²+pos
-    // argmin key — enforce it per row (the frameSample mediaId-range
-    // precedent): past the bound Spark silently WRAPS the multiply
-    // (wrong first-occurrence keep) while DuckDB raises on BIGINT
-    // overflow, so the engines would diverge instead of failing fast
+    // the doc_id·2²⁰+pos argmin key packs (doc_id, token pos) into one
+    // long: doc_id ∈ [0, 2⁴³), pos < 2²⁰ (a 1M-TOKEN doc — chunk
+    // longer inputs). The original split burned 32 bits on position
+    // that KB-scale docs never use and capped doc_id at 2³¹, which the
+    // sf1 stress corpus's replica-strided ids exceeded. Both bounds
+    // are enforced per row (the frameSample mediaId-range precedent):
+    // past them Spark silently WRAPS the multiply (wrong
+    // first-occurrence keep) while DuckDB raises on BIGINT overflow,
+    // so the engines would diverge instead of failing fast
     val guarded = when(
-      col("doc_id") < 0 || col("doc_id") >= lit(2147483648L),
+      col("doc_id") < 0 || col("doc_id") >= lit(1L << 43),
       raise_error(concat(lit("substringScrub: doc_id "),
         col("doc_id").cast("string"),
-        lit(" outside [0, 2^31) — the packed argmin key would overflow"))))
+        lit(" outside [0, 2^43) — the packed argmin key would overflow"))))
       .otherwise(col("doc_id"))
-    val key = guarded * lit(4294967296L) + col("pos")
+    val posGuarded = when(col("pos") >= lit(POS_STRIDE),
+      raise_error(concat(lit("substringScrub: token position "),
+        col("pos").cast("string"),
+        lit(s" >= $POS_STRIDE — chunk docs past 2^20 tokens"))))
+      .otherwise(col("pos"))
+    val key = guarded * lit(POS_STRIDE) + posGuarded
     val grams = docs
       .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
@@ -1078,13 +1092,13 @@ object Dedup {
         for i in range(1, greatest(len(w) - ${SUB_L - 2}, 1))]) u(s)),
     ag AS (
       SELECT gh, COUNT(*) AS cnt,
-        MIN(doc_id * 4294967296 + pos) AS first_key
+        MIN(doc_id * $POS_STRIDE + pos) AS first_key
       FROM grams GROUP BY gh),
     cover AS (
       SELECT g.doc_id, g.pos + unnest(range(0, ${SUB_L})) AS pos
       FROM grams g JOIN ag USING (gh)
       WHERE ag.cnt >= 2
-        AND g.doc_id * 4294967296 + g.pos <> ag.first_key),
+        AND g.doc_id * $POS_STRIDE + g.pos <> ag.first_key),
     tok2 AS (
       SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
       FROM toks),

@@ -74,9 +74,13 @@ object Multimodal {
     * flatMap; real frame extraction plugs into the same signature.
     */
   /** Frame ids are `mediaId * FRAME_STRIDE + idx` — payloads must stay
-    * under FRAME_STRIDE frames or ids would collide across records.
+    * under FRAME_STRIDE frames (2²⁰ ≈ 9.7 h of 30 fps video) or ids
+    * would collide across records. 2²⁰ (not the original 2³²) keeps the
+    * multiply in-range for media ids up to 2⁴³ ≈ 8.8e12 — the sf1
+    * stress corpus ships replica-strided ids past 2³¹ and a 32-bit
+    * frame slot overflowed the Long (the guard below caught it).
     */
-  val FRAME_STRIDE = 1L << 32
+  val FRAME_STRIDE = 1L << 20
 
   def frameSample(ds: Dataset[MediaRecord], frameBytes: Int,
       everyN: Int): Dataset[MediaRecord] = {
@@ -90,6 +94,9 @@ object Multimodal {
         s"mediaId ${r.mediaId} out of range for frame-id derivation")
       r.payload.grouped(frameBytes).zipWithIndex.collect {
         case (frame, idx) if idx % everyN == 0 =>
+          require(idx < FRAME_STRIDE,
+            s"payload of mediaId ${r.mediaId} exceeds $FRAME_STRIDE " +
+              "frames — frame ids would collide; raise frameBytes")
           MediaRecord(r.mediaId * FRAME_STRIDE + idx, frame,
             r.meta.copy(kind = "frame", durationMs = 0L))
       }

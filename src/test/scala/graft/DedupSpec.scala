@@ -386,13 +386,23 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq(
       (1L, "a b c d e f g"),
-      (2147483648L, "a b c d e f g")).toDF("doc_id", "text")
+      (1L << 43, "a b c d e f g")).toDF("doc_id", "text")
     val err = intercept[Exception] {
       graft.dedup.Dedup.substringScrub(docs, 6).collect()
     }
     assert(err.getMessage != null &&
-      (err.getMessage.contains("2^31") ||
-        Option(err.getCause).exists(_.getMessage.contains("2^31"))),
+      (err.getMessage.contains("2^43") ||
+        Option(err.getCause).exists(_.getMessage.contains("2^43"))),
       s"expected the packed-key bound error, got: ${err.getMessage}")
+  }
+
+  test("substringScrub accepts doc_ids past 2^31 (the sf1 replica " +
+      "stride) now that the pack is 43/20") {
+    import spark.implicits._
+    val docs = Seq(
+      (5000000000L, "a b c d e f g a b c d e f g"),
+      (5000000001L, "h i j k l m n")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.substringScrub(docs, 6).collect()
+    assert(out.length == 2)
   }
 }
