@@ -7,7 +7,8 @@ object Bench {
     * recorded 93.9 s where a controlled rerun of the same build totals
     * 58 s). The min is reported alongside as the load-free floor.
     */
-  private val REPS = 3
+  private val REPS =
+    sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
 
   /** Load guard: a median more than 2× the min of the same query is a
     * machine-load artifact, not a plan property (the r2 AND r4 artifacts
