@@ -1797,7 +1797,15 @@ object Knn {
     * oracle-bounded operator (the kmeans fixed-round precedent).
     */
   private def nnDescentReport(s: SparkSession, dir: String,
-      rawEdges: DataFrame): DataFrame = {
+      rawEdges: DataFrame): DataFrame =
+    nnDescentFrom(rawEdges, emb(s, dir))
+
+  /** One NN-Descent round from any (query_id, neighbor_id) edge frame
+    * and (vec_id, v) vector frame — the body [[nnDescentReport]] wraps
+    * and [[refineKnnGraph]] persists.
+    */
+  private[graft] def nnDescentFrom(rawEdges: DataFrame,
+      vecs: DataFrame): DataFrame = {
     val e0 = graft.Checkpoint.of(rawEdges
       .select(col("query_id").as("u"), col("neighbor_id").as("v")))
     val sym = graft.Checkpoint.of(e0
@@ -1809,7 +1817,6 @@ object Knn {
     val cand = wedges
       .unionByName(e0.select(col("u"), col("v").as("x")))
       .distinct()
-    val vecs = emb(s, dir)
     val cos = cosineSim(col("uv"), col("xv"))
     val w = Window.partitionBy(col("u"))
       .orderBy(col("cosine").desc, col("x"))
@@ -1843,6 +1850,30 @@ object Knn {
       JOIN e ex ON ex.vec_id = c.x)
     SELECT u AS query_id, x AS neighbor_id, rank::BIGINT AS rank, cosine
     FROM scored WHERE rank <= $JOIN_K ORDER BY query_id, rank"""
+
+  /** REFINE the persisted kNN graph in place: one NN-Descent round
+    * over the stored edges + stored vectors, rewriting `edges` — the
+    * maintenance op that turns the IVF-join build into the
+    * higher-recall walk substrate (HNSW builds do the same local
+    * improvement at insert time; here it is a batch pass like
+    * [[graft.text.TextIndex.compactTextIndex]]). Reads vectors from
+    * the artifact's own lists (never re-embeds), keeps the
+    * (rounded-cosine desc, id) edge contract so every downstream
+    * analytic and [[graphSearchAt]] consume the result unchanged in
+    * shape. Σdeg²-bounded wedge candidates, one corpus-thin rewrite.
+    * Idempotence is NOT expected (each round improves the graph
+    * toward the true kNN fixpoint — the paper's convergence); specs
+    * pin refined ≡ [[nnDescentFrom]] of the pre-refine edges, and
+    * that the beam walk over the refined graph holds its recall.
+    */
+  def refineKnnGraph(s: SparkSession, path: String): Unit = {
+    val lists = s.read.parquet(s"$path/lists")
+    val refined = graft.Checkpoint.of(nnDescentFrom(
+      s.read.parquet(s"$path/edges").select("query_id", "neighbor_id"),
+      lists.select("vec_id", "v")))
+    // checkpointed above: the write overwrites its own input path
+    refined.write.mode("overwrite").parquet(s"$path/edges")
+  }
 
   private val nnDescentQ = Q(
     "graph_nndescent",
@@ -2743,7 +2774,18 @@ object Knn {
   private[graft] def graphSearchParts(
       s: SparkSession, dir: String, nSeeds: Int = BEAM_SEEDS,
       width: Int = BEAM_W, hops: Int = BEAM_HOPS): (DataFrame, DataFrame) = {
-    val path = cachedGraph(s, dir)
+    val q = emb(s, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    graphSearchAt(s, cachedGraph(s, dir), q, nSeeds, width, hops)
+  }
+
+  /** The walk against an explicit store path and query frame
+    * (`query_id`, `qv`) — lets specs search a refined or experimental
+    * copy of the artifact without touching the gated session cache.
+    */
+  private[graft] def graphSearchAt(s: SparkSession, path: String,
+      q: DataFrame, nSeeds: Int, width: Int,
+      hops: Int): (DataFrame, DataFrame) = {
     val cents = s.read.parquet(s"$path/cents")
     val lists = s.read.parquet(s"$path/lists")
       .withColumn("cent_id", col("cent_id").cast("long"))
@@ -2753,8 +2795,6 @@ object Knn {
     val sym = graft.Checkpoint.of(e0
       .unionByName(e0.select(col("nv").as("u"), col("u").as("nv")))
       .distinct())
-    val q = emb(s, dir).filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // per-cell entry point: the medoid (max raw cosine to the centroid,
     // tie min vec_id) — partial-aggregatable argmax, no window shuffle
     val mcos = cosineSim(col("v"), col("cv"))

@@ -88,6 +88,49 @@ class KnnSpec extends SparkSpec {
       "the graph walk must match IVF recall at equal candidate budget")
   }
 
+  test("refineKnnGraph rewrites stored edges to the NN-Descent round; " +
+      "the beam walk over the refined graph holds or improves recall") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-refine").toFile
+    try {
+      val path = tmp.getAbsolutePath + "/g"
+      val e = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      graft.sim.Knn.buildKnnGraphIndexFrom(e, path)
+      def edgeRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank", "cosine").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).sorted.toSeq
+      // materialize the expectation BEFORE the in-place rewrite
+      val want = edgeRows(graft.sim.Knn.nnDescentFrom(
+        spark.read.parquet(path + "/edges")
+          .select("query_id", "neighbor_id"), e))
+      graft.sim.Knn.refineKnnGraph(spark, path)
+      val got = edgeRows(spark.read.parquet(path + "/edges"))
+      assert(got == want,
+        "refined stored edges must equal one NN-Descent round over " +
+          "the pre-refine edges")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val (res, _) = graft.sim.Knn.graphSearchAt(spark, path, q,
+        graft.sim.Knn.BEAM_SEEDS, graft.sim.Knn.BEAM_W,
+        graft.sim.Knn.BEAM_HOPS)
+      val refPairs = res.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rRef = (refPairs & exact).size.toDouble / exact.size
+      val rRaw = (pairs("knn_graph_search") & exact).size.toDouble /
+        exact.size
+      info(s"beam recall over refined graph = $rRef (raw graph: $rRaw)")
+      assert(rRef >= rRaw,
+        "NN-Descent-refined edges must not cost the walk recall")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("knn_ivf_persisted equals knn_ivf and prunes list partitions " +
       "dynamically") {
     val d = SparkEntry.queries("knn_ivf_persisted")(spark, sfDir)
