@@ -8,7 +8,12 @@ object Bench {
     * 58 s). The min is reported alongside as the load-free floor.
     */
   private val REPS =
-    sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    sys.env.get("SPARK_GRAFT_BENCH_REPS").map { v =>
+      val n = v.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_REPS must be a positive int, got '$v'"))
+      require(n > 0, s"SPARK_GRAFT_BENCH_REPS must be > 0, got $n")
+      n
+    }.getOrElse(3)
 
   /** Load guard: a median more than 2× the min of the same query is a
     * machine-load artifact, not a plan property (the r2 AND r4 artifacts
@@ -52,7 +57,29 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.format("noop").mode("overwrite").save()
     }
+    // session-cached ARTIFACT builds are one-time init too: untimed
+    // here, or the build lands on whichever cache consumer the query
+    // Map order runs first — in a REPS=1 sweep that query records
+    // build+query as its "time" (r14's sf1 sweep charged the whole
+    // ~113 s graph build to knn_graph_search, whose walk is ~4 s).
+    // With REPS>=3 the median already excluded it; this makes every
+    // rep measure the steady-state read path the *_persisted queries
+    // are defined as.
+    graft.sim.Knn.prime(spark, sfDir)
+    graft.sim.Pq.prime(spark, sfDir)
+    graft.dedup.DedupState.prime(spark, sfDir)
+    graft.text.TextIndex.prime(spark, sfDir)
+    graft.text.Pipelines.prime(spark, sfDir)
+    graft.multimodal.EmbedState.prime(spark, sfDir)
   }
+
+  /** Optional query subset (`SPARK_GRAFT_BENCH_ONLY=q1,q2,...`) — the
+    * top-N-by-cost subset sweep knob (running 247 queries at sf3+ would
+    * not fit a round window; the driver always runs the full set).
+    */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   /** Queries that errored during the current runAll (name → first error).
     * An erroring query records an instant "time", which without this would
@@ -67,7 +94,9 @@ object Bench {
   private def runAll(spark: SparkSession,
       sfDir: String): Seq[(String, Vector[Double])] = {
     warmUp(spark, sfDir)
-    SparkEntry.queries.toSeq.map { case (name, fn) =>
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
         // noop sink materializes every output column (count() would let

@@ -13,11 +13,23 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: non-local-master smoke path (e.g.
+    // "local-cluster[2,2,2048]" — real worker JVMs, real executor
+    // classpaths/serialization); SPARK_GRAFT_CHECKPOINT_DIR flips
+    // graft.Checkpoint into reliable mode (shared-storage posture).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val b1 = if (master.startsWith("local-cluster"))
+      // worker JVMs are spawned bare — hand them the driver's classpath
+      b0.config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+    else b0
+    val spark = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .fold(b1)(d => b1.config("spark.graft.checkpointDir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -546,19 +546,6 @@ object Dedup {
   // ------------------------------------------------------ dedup_embedding
   private val COS_TAU = 0.4  // synthetic embeddings: true near-dups ≥ ~0.4
 
-  /** Ground-truth oracle for both embedding-dedup variants: exact all-pairs
-    * cosine ≥ τ in DuckDB. Passing proves the Spark plan has full recall.
-    */
-  private val sqlExactCosinePairs =
-    s"""WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM e a, e b
-    WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.v, b.v) >= ($COS_TAU - 5e-7)
-    ORDER BY a_id, b_id"""
-
   private def embVecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -626,11 +613,111 @@ object Dedup {
         round(cos, 6).as("cosine"))
   }
 
+  // ------------------------------------------------- pair output budget
+  /** OUTPUT BUDGET for quadratic-answer pair reports (r14 sweep triage:
+    * a τ=0.4 radius report's ANSWER is 96k pairs at sf1 — the plan was
+    * fine, the emitted mass wasn't): a pair survives iff it ranks among
+    * either endpoint's [[PAIR_CAP]] strongest pairs, so every doc keeps
+    * its local neighborhood (downstream clustering still sees every
+    * node's best links) while the report emits ≤ 2·cap·n rows — LINEAR
+    * in the corpus instead of quadratic in duplicate-family size. At
+    * 100 TB an uncapped near-dup report at a loose radius writes more
+    * bytes than it reads; the uncapped form stays one explicit argument
+    * away ([[blockedCosinePairs]] / [[perceptualPairs]] raw), and the
+    * *_budget honesty cards gate the dropped mass so a cap can never
+    * silently hide pair volume. Rank filters nest, so the kept set is
+    * MONOTONE in `cap` and capPairs(∞) = identity (PairBudgetSpec).
+    */
+  private[graft] val PAIR_CAP = 8
+
+  /** Keep pairs ranked ≤ `cap` from EITHER endpoint's perspective.
+    * `asc` = smaller score is stronger (hamming); ties break on the
+    * other endpoint's id — deterministic, and exactly mirrored by
+    * [[sqlCapPairs]].
+    */
+  private[graft] def capPairs(pairs: DataFrame, score: String,
+      asc: Boolean, cap: Int): DataFrame = {
+    val sym = pairs
+      .select(col("a_id").as("id"), col("b_id").as("other"), col(score))
+      .unionByName(pairs
+        .select(col("b_id").as("id"), col("a_id").as("other"), col(score)))
+    val w = Window.partitionBy("id")
+      .orderBy(if (asc) col(score).asc else col(score).desc, col("other"))
+    val kept = sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(least(col("id"), col("other")).as("a_id"),
+        greatest(col("id"), col("other")).as("b_id"))
+      .distinct()
+    pairs.join(kept, Seq("a_id", "b_id"), "left_semi")
+  }
+
+  /** The DuckDB mirror of [[capPairs]] as two CTEs (`{pfx}psym`,
+    * `{pfx}pkept`); `pairsCte` MUST be materialized in the caller (it
+    * is referenced twice more here — the r13 CTE re-evaluation trap).
+    * Callers join `{pfx}pkept` back on (a_id, b_id).
+    */
+  private[graft] def sqlCapPairs(pairsCte: String, score: String,
+      sqlDir: String, cap: Int, pfx: String = ""): String =
+    s"""${pfx}psym AS (
+      SELECT a_id AS id, b_id AS other, $score AS sc FROM $pairsCte
+      UNION ALL SELECT b_id, a_id, $score FROM $pairsCte),
+    ${pfx}pkept AS (
+      SELECT DISTINCT LEAST(id, other) AS a_id, GREATEST(id, other) AS b_id
+      FROM (SELECT id, other,
+          row_number() OVER (PARTITION BY id ORDER BY sc $sqlDir, other)
+            AS rk
+        FROM ${pfx}psym) WHERE rk <= $cap)"""
+
+  /** Capped τ=[[COS_TAU]] pair oracle + its budget card share this
+    * materialized pair CTE (`ep` = the old exact all-pairs oracle body).
+    */
+  private val sqlCosPairsCte =
+    s"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    ep AS MATERIALIZED (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.v, b.v) >= ($COS_TAU - 5e-7)),
+    ${sqlCapPairs("ep", "cosine", "DESC", PAIR_CAP)}"""
+
+  private val sqlCosPairsCapped =
+    s"""WITH $sqlCosPairsCte
+    SELECT p.a_id AS a_id, p.b_id AS b_id, p.cosine AS cosine
+    FROM ep p JOIN pkept USING (a_id, b_id)
+    ORDER BY a_id, b_id"""
+
   private val embedding = Q(
     "dedup_embedding",
     (s, dir) =>
-      blockedCosinePairs(embVecs(s, dir), COS_TAU).orderBy("a_id", "b_id"),
-    Some(sqlExactCosinePairs))
+      capPairs(blockedCosinePairs(embVecs(s, dir), COS_TAU),
+        "cosine", asc = false, PAIR_CAP)
+        .orderBy("a_id", "b_id"),
+    Some(sqlCosPairsCapped))
+
+  /** The budget honesty card: how much pair mass the [[PAIR_CAP]]
+    * default declined — gated, so the cap can never silently hide
+    * volume (the mm_embed_recall honesty-card precedent).
+    */
+  private val embeddingBudget = Q(
+    "dedup_embedding_budget",
+    (s, dir) => {
+      val p = graft.Checkpoint.of(
+        blockedCosinePairs(embVecs(s, dir), COS_TAU))
+      val kept = capPairs(p, "cosine", asc = false, PAIR_CAP)
+      p.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .crossJoin(kept.agg(count(lit(1)).cast("long").as("n_kept")))
+        .select(col("n_pairs"), col("n_kept"),
+          (col("n_pairs") - col("n_kept")).as("n_dropped"))
+    },
+    Some(s"""WITH $sqlCosPairsCte,
+    nk AS (SELECT COUNT(*)::BIGINT AS n_kept
+      FROM ep JOIN pkept USING (a_id, b_id)),
+    np AS (SELECT COUNT(*)::BIGINT AS n_pairs FROM ep)
+    SELECT np.n_pairs AS n_pairs, nk.n_kept AS n_kept,
+      (np.n_pairs - nk.n_kept)::BIGINT AS n_dropped
+    FROM np, nk"""))
 
   // -------------------------------------------------- dedup_embedding_lsh
   /** Sign-LSH candidate generation + exact cosine verify: 64 tables ×
@@ -670,16 +757,20 @@ object Dedup {
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
         .distinct()
       val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
-      cand
+      val verified = cand
         .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
         // same raw-boundary rule as blockedCosinePairs — the verify
         // stage must keep the IDENTICAL pair set as the exact oracle
         .filter(cos >= lit(COS_TAU - 5e-7))
         .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
+      // same output budget as the exact twin (shared capped oracle: a
+      // true pair the bank misses still fails the gate if the cap
+      // keeps it — the recall proof survives the budget)
+      capPairs(verified, "cosine", asc = false, PAIR_CAP)
         .orderBy("a_id", "b_id")
     },
-    Some(sqlExactCosinePairs))
+    Some(sqlCosPairsCapped))
 
   // ------------------------------------------------------- dedup_clusters
   /** Connected components over an undirected edge set by iterative
@@ -1110,13 +1201,22 @@ object Dedup {
     sc AS (
       SELECT doc_id, COUNT(*)::BIGINT AS kept_tokens,
         string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
-      FROM kept GROUP BY doc_id)
+      FROM kept GROUP BY doc_id),
+    -- mirror of the Spark-side pos guard: without it a small-doc_id
+    -- document with >= 2^20 tokens would make Spark raise while DuckDB
+    -- silently computed a wrong first_key (fail-fast asymmetry) — both
+    -- engines must fail the same way
+    posguard AS (
+      SELECT CASE WHEN MAX(len(w)) >= $POS_STRIDE
+        THEN error('substringScrub: token position >= $POS_STRIDE — chunk docs past 2^20 tokens')::BIGINT
+        ELSE 1 END AS ok FROM toks)
     SELECT d.doc_id,
       len(list_filter(string_split(d.text,' '), t -> t <> ''))::BIGINT
         AS n_tokens,
       COALESCE(sc.kept_tokens, 0)::BIGINT AS kept_tokens,
       COALESCE(sc.scrubbed_text, '') AS scrubbed_text
     FROM documents d LEFT JOIN sc USING (doc_id)
+    WHERE (SELECT ok FROM posguard) = 1
     ORDER BY d.doc_id"""))
 
   // ------------------------------------------------------ dedup_cross_bloom
@@ -1920,6 +2020,7 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
+      embeddingBudget,
       embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
       splitDedup, dedupRecall, recallCurve, gramNovelty, containment, keepBest, weights,
       lexsem, substringApply, clustersPersisted, clustersIncremental,

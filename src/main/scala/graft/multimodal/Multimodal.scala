@@ -398,13 +398,12 @@ object Multimodal {
     * see the parameter scaladoc above for why it differs from the
     * production default).
     */
-  private val perceptual = Q(
-    "mm_dedup_perceptual",
-    (s, dir) =>
-      perceptualPairs(perceptualHashes(s, dir),
-        bands = PH_DEMO_BANDS, hamMax = PH_DEMO_HAM)
-        .orderBy("a_id", "b_id"),
-    Some(s"""WITH $sqlPhashCte,
+  /** Capped demo-layout pair CTE prefix (pair table materialized, then
+    * the shared budget CTEs — hamming ranks ASCENDING: smaller distance
+    * = stronger pair).
+    */
+  private val sqlPhashPairsCte =
+    s"""$sqlPhashCte,
     banded AS (SELECT media_id, phash, b.range AS band,
         (phash >> (b.range * ${PH_BITS / PH_DEMO_BANDS})::INT)
           & ${(1L << (PH_BITS / PH_DEMO_BANDS)) - 1} AS bv
@@ -412,10 +411,47 @@ object Multimodal {
     cand AS (SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id,
         x.phash AS ha, y.phash AS hb
       FROM banded x JOIN banded y
-        ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
-    SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= $PH_DEMO_HAM
+        ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id),
+    php AS MATERIALIZED (
+      SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= $PH_DEMO_HAM),
+    ${graft.dedup.Dedup.sqlCapPairs("php", "hamming", "ASC",
+      graft.dedup.Dedup.PAIR_CAP, "ph")}"""
+
+  private val perceptual = Q(
+    "mm_dedup_perceptual",
+    (s, dir) =>
+      graft.dedup.Dedup.capPairs(
+        perceptualPairs(perceptualHashes(s, dir),
+          bands = PH_DEMO_BANDS, hamMax = PH_DEMO_HAM),
+        "hamming", asc = true, graft.dedup.Dedup.PAIR_CAP)
+        .orderBy("a_id", "b_id"),
+    Some(s"""WITH $sqlPhashPairsCte
+    SELECT p.a_id AS a_id, p.b_id AS b_id, p.hamming AS hamming
+    FROM php p JOIN phpkept USING (a_id, b_id)
     ORDER BY a_id, b_id"""))
+
+  /** Budget honesty card for the perceptual demo layout. */
+  private val perceptualBudget = Q(
+    "mm_phash_budget",
+    (s, dir) => {
+      val p = graft.Checkpoint.of(
+        perceptualPairs(perceptualHashes(s, dir),
+          bands = PH_DEMO_BANDS, hamMax = PH_DEMO_HAM))
+      val kept = graft.dedup.Dedup.capPairs(p, "hamming", asc = true,
+        graft.dedup.Dedup.PAIR_CAP)
+      p.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .crossJoin(kept.agg(count(lit(1)).cast("long").as("n_kept")))
+        .select(col("n_pairs"), col("n_kept"),
+          (col("n_pairs") - col("n_kept")).as("n_dropped"))
+    },
+    Some(s"""WITH $sqlPhashPairsCte,
+    nk AS (SELECT COUNT(*)::BIGINT AS n_kept
+      FROM php JOIN phpkept USING (a_id, b_id)),
+    np AS (SELECT COUNT(*)::BIGINT AS n_pairs FROM php)
+    SELECT np.n_pairs AS n_pairs, nk.n_kept AS n_kept,
+      (np.n_pairs - nk.n_kept)::BIGINT AS n_dropped
+    FROM np, nk"""))
 
   // ------------------------------------------------- video-shaped near-dup
   /** Frame-fingerprint sequence matching — the shape VIDEO dedup actually
@@ -1232,18 +1268,60 @@ object Multimodal {
       AND list_cosine_similarity(a.v, b.v) >= ($tau - 5e-7)
     ORDER BY a_id, b_id"""
 
+  /** The capped τ=[[MM_COS_TAU]] report + budget card share this CTE
+    * prefix: the exact grid as a materialized pair table plus the
+    * [[graft.dedup.Dedup.sqlCapPairs]] budget (r14 triage: the answer
+    * itself is quadratic under replicated templates — the report now
+    * emits each media's strongest links, the honesty card the mass the
+    * cap declined).
+    */
+  private def sqlMmPairsCte(tau: Double): String =
+    s"""mep AS MATERIALIZED (
+      SELECT * FROM (${sqlEmbedPairs(tau, "mep_")})),
+    ${graft.dedup.Dedup.sqlCapPairs("mep", "cosine", "DESC",
+      graft.dedup.Dedup.PAIR_CAP, "mm")}"""
+
+  private def mmNeardupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.blockedCosinePairs(
+      // checkpointed: the typed decode+encode lineage feeds BOTH grid
+      // self-join sides — without the barrier it runs once per side
+      // (and the gram histogram is the expensive stage, unlike
+      // dedup_embedding's plain column scan)
+      graft.Checkpoint.of(gramVectors(mediaFromDocuments(s, dir))),
+      MM_COS_TAU)
+
   private val embedNeardup = Q(
     "mm_embed_neardup",
     (s, dir) =>
-      graft.dedup.Dedup.blockedCosinePairs(
-        // checkpointed: the typed decode+encode lineage feeds BOTH grid
-        // self-join sides — without the barrier it runs once per side
-        // (and the gram histogram is the expensive stage, unlike
-        // dedup_embedding's plain column scan)
-        graft.Checkpoint.of(gramVectors(mediaFromDocuments(s, dir))),
-        MM_COS_TAU)
+      graft.dedup.Dedup.capPairs(mmNeardupPairs(s, dir),
+        "cosine", asc = false, graft.dedup.Dedup.PAIR_CAP)
         .orderBy("a_id", "b_id"),
-    Some(sqlEmbedPairs(MM_COS_TAU)))
+    Some(s"""WITH ${sqlMmPairsCte(MM_COS_TAU)}
+    SELECT p.a_id AS a_id, p.b_id AS b_id, p.cosine AS cosine
+    FROM mep p JOIN mmpkept USING (a_id, b_id)
+    ORDER BY a_id, b_id"""))
+
+  /** Budget honesty card for the capped grid — gated, so the output
+    * budget can never silently hide pair volume.
+    */
+  private val embedNeardupBudget = Q(
+    "mm_embed_budget",
+    (s, dir) => {
+      val p = graft.Checkpoint.of(mmNeardupPairs(s, dir))
+      val kept = graft.dedup.Dedup.capPairs(p, "cosine", asc = false,
+        graft.dedup.Dedup.PAIR_CAP)
+      p.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .crossJoin(kept.agg(count(lit(1)).cast("long").as("n_kept")))
+        .select(col("n_pairs"), col("n_kept"),
+          (col("n_pairs") - col("n_kept")).as("n_dropped"))
+    },
+    Some(s"""WITH ${sqlMmPairsCte(MM_COS_TAU)},
+    nk AS (SELECT COUNT(*)::BIGINT AS n_kept
+      FROM mep JOIN mmpkept USING (a_id, b_id)),
+    np AS (SELECT COUNT(*)::BIGINT AS n_pairs FROM mep)
+    SELECT np.n_pairs AS n_pairs, nk.n_kept AS n_kept,
+      (np.n_pairs - nk.n_kept)::BIGINT AS n_dropped
+    FROM np, nk"""))
 
   // ---------------------------------------------- mm_embed_neardup_ivf
   /** The SCALE tier of [[embedNeardup]] — the media-embedding DEDUP
@@ -1432,8 +1510,10 @@ object Multimodal {
     GROUP BY doc_id ORDER BY media_id"""))
 
   val all: Seq[Q] = Seq(binaryStats, featureHist, mmDedup, frames, resized,
-    phashQ, perceptual, videoNearDup, sceneDetect, captionFilter,
-    phashClusters, embedNeardup, embedDedup, embedDedupPersisted,
+    phashQ, perceptual, perceptualBudget, videoNearDup, sceneDetect,
+    captionFilter,
+    phashClusters, embedNeardup, embedNeardupBudget, embedDedup,
+    embedDedupPersisted,
     frameDedup, keyframeQ,
     audioVad, audioNearDup, captionRecall, embedRecall)
 }

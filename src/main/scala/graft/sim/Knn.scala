@@ -18,7 +18,7 @@ import graft.functions.CosineSim.{cosineSim, dotProduct}
 object Knn {
 
   private val K = 5         // neighbors returned
-  private val NQ = 10       // query set = vec_id < NQ
+  private[graft] val NQ = 10 // query set = vec_id < NQ
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -227,7 +227,7 @@ object Knn {
     * real clustered embedding corpora the same operator prunes far
     * harder at fixed recall.
     */
-  private[sim] val NLIST = 16
+  private[graft] val NLIST = 16
   private[sim] val NPROBE = 8
   private val ITER = 2
 
@@ -713,14 +713,14 @@ object Knn {
     * sized (the Sources touched-bucket contract).
     */
   private[sim] def deleteFromLists(s: SparkSession, listsPath: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame): Seq[Long] = {
     val lists = s.read.parquet(listsPath)
       .withColumn("cent_id", col("cent_id").cast("long"))
       .withColumn("ingest_id", col("ingest_id").cast("long"))
     val aff = lists.join(ids, Seq("vec_id"), "left_semi")
       .select("cent_id", "ingest_id").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    if (aff.isEmpty) return
+    if (aff.isEmpty) return Seq.empty
     val keyCol = concat_ws("/", col("cent_id"), col("ingest_id"))
     val affKeys = aff.map { case (c, i) => s"$c/$i" }.toSeq
     val keep = graft.Checkpoint.of(
@@ -736,6 +736,7 @@ object Knn {
     for ((c, i) <- aff if !wrote((c, i)))
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$listsPath/cent_id=$c/ingest_id=$i"), true)
+    aff.map(_._1).distinct.toSeq
   }
 
   /** TAKEDOWN: remove vectors from a persisted IVF index — the
@@ -748,9 +749,11 @@ object Knn {
     * a removed id may be re-ingested later by [[appendIvfIndex]].
     */
   def removeFromIvfIndex(s: SparkSession, path: String,
-      vecIds: DataFrame): Unit =
+      vecIds: DataFrame): Unit = {
     deleteFromLists(s, s"$path/lists",
       graft.Checkpoint.of(vecIds.select("vec_id").distinct()))
+    ()
+  }
 
   /** Query a persisted IVF index: exact top-`k` cosine neighbors of each
     * (`query_id`, `qv`) row of `q` among the `nprobe` nearest inverted
@@ -799,6 +802,21 @@ object Knn {
   // identical bytes anyway)
   private val builtIndexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Bench warm-up hook: force every one-time session-cached artifact
+    * build (IVF index, kNN graph, incremental and takedown graphs) so
+    * timed reps measure steady-state reads — the REPS=1 sweep otherwise
+    * attributes the build to whichever consumer runs first (r14's sweep
+    * charged the whole sf1 graph build to knn_graph_search: 117 s
+    * recorded vs ~4 s walk-only).
+    */
+  private[graft] def prime(s: SparkSession, dir: String): Unit = {
+    cachedIndex(s, dir)
+    cachedGraph(s, dir)
+    readKnnGraphIncremental(s, dir)
+    readKnnGraphTakedown(s, dir)
+    ()
+  }
 
   private def cachedIndex(s: SparkSession, dir: String): String =
     builtIndexes.getOrElseUpdate(dir, {
@@ -1506,9 +1524,19 @@ object Knn {
     *     verbatim (doubles round-trip parquet bit-exactly), so the
     *     non-persisted oracles gate the persisted queries unchanged.
     */
-  def buildKnnGraphIndexFrom(e: DataFrame, path: String): Unit = {
+  def buildKnnGraphIndexFrom(e: DataFrame, path: String): Unit =
+    buildKnnGraphIndexWith(e, codebook(e), path)
+
+  /** [[buildKnnGraphIndexFrom]] with a caller-supplied codebook — the
+    * nlist∝n scale path (the gated queries pin NLIST for oracle
+    * determinism; a production build sizes the codebook to the corpus —
+    * the ProbeNlist receipt), and the hook KnnGraphLayoutSpec uses to
+    * prove the walk's pruned fetch on a clustered corpus.
+    */
+  private[graft] def buildKnnGraphIndexWith(e: DataFrame, cb: DataFrame,
+      path: String): Unit = {
     graphBuildCount += 1
-    val cents = codebook(e)
+    val cents = cb
     cents.write.mode("overwrite").parquet(s"$path/cents")
     assign(e, cents).withColumn("ingest_id", lit(0L))
       .write.mode("overwrite").partitionBy("cent_id", "ingest_id")
@@ -1520,6 +1548,87 @@ object Knn {
       .write.mode("overwrite").partitionBy("cent_id", "ingest_id")
       .parquet(s"$path/probes")
     knnGraphFrom(e, cents).write.mode("overwrite").parquet(s"$path/edges")
+    writeGraphSearchLayout(e.sparkSession, path, None)
+  }
+
+  /** Derived SEARCH-LAYOUT tables for [[graphSearchAt]] — projections
+    * of edges/lists that turn the beam walk's candidate fetch from
+    * per-round corpus scans into pruned point-ish reads (the r14 scale
+    * wart: HOPS+1 full `lists` scans per query batch):
+    *
+    *   - `sym/`     = the symmetrized adjacency PARTITIONED BY the
+    *     SOURCE's own cell (`u_cent`), carrying the TARGET's cell — a
+    *     beam round reads only its beam members' cells' directories;
+    *   - `medoids/` = per-cell entry points (argmax raw cosine to the
+    *     centroid, tie min vec_id) WITH their vectors, partitioned by
+    *     cell for maintenance overwrites — round-0 scoring reads no
+    *     corpus;
+    *   - `celladj/` = cell → cells holding any stored neighbor of any
+    *     member (nlist×fanout thin rows) — the walk's DRIVER-RESIDENT
+    *     routing table that prunes each round's vector fetch. It is
+    *     smaller than the codebook every probe already broadcasts, the
+    *     IVF analog of HNSW's in-memory upper layers.
+    *
+    * Every maintenance op calls this after its edge rewrite: sym and
+    * celladj are full THIN rebuilds (the writeLabels cost class — edge
+    * ids × cell ids, never vector bytes); medoids recompute only
+    * `touched` cells via pruned reads + dynamic overwrite (`None` =
+    * base build, all cells; `Some(Seq.empty)` = lists untouched, e.g.
+    * [[refineKnnGraph]], skip), with emptied cells' directories
+    * FS-deleted (dynamic overwrite cannot express "now empty" — the
+    * [[deleteFromLists]] rule).
+    */
+  private def writeGraphSearchLayout(s: SparkSession, path: String,
+      touched: Option[Seq[Long]]): Unit = {
+    val lists = s.read.parquet(s"$path/lists")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val cells = lists.select(col("vec_id"), col("cent_id"))
+    val e0 = s.read.parquet(s"$path/edges")
+      .select(col("query_id").as("u"), col("neighbor_id").as("nv"))
+    e0.unionByName(e0.select(col("nv").as("u"), col("u").as("nv")))
+      .distinct()
+      .join(cells.select(col("vec_id").as("u"),
+        col("cent_id").as("u_cent")), "u")
+      .join(cells.select(col("vec_id").as("nv"),
+        col("cent_id").as("nv_cent")), "nv")
+      .select(col("u"), col("nv"), col("nv_cent"), col("u_cent"))
+      .write.mode("overwrite").partitionBy("u_cent")
+      .parquet(s"$path/sym")
+    s.read.parquet(s"$path/sym")
+      .select(col("u_cent").cast("long").as("cent_id"),
+        col("nv_cent").as("adj_cent"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/celladj")
+    val mcells = touched match {
+      case Some(cs) if cs.isEmpty => return
+      case Some(cs) => lists.filter(col("cent_id").isin(cs: _*))
+      case None => lists
+    }
+    val cents = s.read.parquet(s"$path/cents")
+    val mcos = cosineSim(col("v"), col("cv"))
+    val medoids = mcells.join(broadcast(cents), "cent_id")
+      .groupBy("cent_id")
+      .agg(max_by(struct(col("vec_id"), col("v")),
+        struct(mcos, -col("vec_id"))).as("m"))
+      .select(col("m.vec_id").as("vec_id"), col("m.v").as("v"),
+        col("cent_id"))
+    touched match {
+      case None =>
+        medoids.write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$path/medoids")
+      case Some(cs) =>
+        val m = graft.Checkpoint.of(medoids)
+        m.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cent_id").parquet(s"$path/medoids")
+        val wrote = m.select("cent_id").distinct().collect()
+          .map(_.getLong(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(s"$path/medoids")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        for (c <- cs if !wrote(c))
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/medoids/cent_id=$c"), true)
+    }
   }
 
   /** Incrementally ingest a vector slice into a persisted kNN-graph
@@ -1557,6 +1666,7 @@ object Knn {
       ingestId: Long): Unit = {
     require(ingestId > 0,
       s"ingestId must be > 0 (0 = base build), got $ingestId")
+    requireUnrefined(s, path, "appendKnnGraph")
     requireFreshIds(s, s"$path/lists", e, ingestId, "appendKnnGraph")
     graphAppendCount += 1
     val cents = s.read.parquet(s"$path/cents")
@@ -1652,6 +1762,9 @@ object Knn {
         Seq("query_id"), "left_anti")
       .unionByName(refreshed).unionByName(newEdges)
       .write.mode("overwrite").parquet(s"$path/edges")
+    // search layout follows the edge rewrite; medoids can only move in
+    // the cells that received slice vectors
+    writeGraphSearchLayout(s, path, Some(sliceCells))
   }
 
   /** TAKEDOWN: remove vectors from a persisted kNN-graph artifact —
@@ -1673,6 +1786,7 @@ object Knn {
     */
   def removeFromKnnGraph(s: SparkSession, path: String,
       vecIds: DataFrame): Unit = {
+    requireUnrefined(s, path, "removeFromKnnGraph")
     graphRemoveCount += 1
     val ids = graft.Checkpoint.of(vecIds.select("vec_id").distinct())
     val qid = ids.select(col("vec_id").as("query_id"))
@@ -1683,7 +1797,7 @@ object Knn {
       .select("query_id").distinct()
       .join(qid, Seq("query_id"), "left_anti"))
 
-    deleteFromLists(s, s"$path/lists", ids)
+    val removedCells = deleteFromLists(s, s"$path/lists", ids)
     val probesKeep = graft.Checkpoint.of(
       s.read.parquet(s"$path/probes")
         .withColumn("cent_id", col("cent_id").cast("long"))
@@ -1723,6 +1837,10 @@ object Knn {
         "left_anti")
       .unionByName(refreshed)
       .write.mode("overwrite").parquet(s"$path/edges")
+    // search layout follows the edge rewrite; medoids can only move in
+    // the cells that lost vectors (emptied cells get their medoid
+    // directory removed inside the layout writer)
+    writeGraphSearchLayout(s, path, Some(removedCells))
   }
 
   private[graft] var graphBuildCount = 0
@@ -1732,12 +1850,12 @@ object Knn {
   private val builtGraphs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def cachedGraph(s: SparkSession, dir: String): String =
+  private[graft] def cachedGraph(s: SparkSession, dir: String): String =
     builtGraphs.getOrElseUpdate(dir, {
-      // v2: the artifact became a cents/lists/probes/edges directory —
-      // the name bump keeps a long-lived JVM's pre-append flat layout
-      // from shadowing it
-      val name = "graft-knngraph2-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      // v3: the artifact gained the sym/medoids/celladj search layout —
+      // the name bump keeps a long-lived JVM's older directory from
+      // shadowing it (v2 = the cents/lists/probes/edges split)
+      val name = "graft-knngraph3-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
       val path = new org.apache.hadoop.fs.Path(indexRoot(s), name).toString
       buildKnnGraphIndex(s, dir, path)
       path
@@ -1867,13 +1985,50 @@ object Knn {
     * that the beam walk over the refined graph holds its recall.
     */
   def refineKnnGraph(s: SparkSession, path: String): Unit = {
+    require(!builtGraphs.values.exists(_ == path),
+      s"refineKnnGraph: $path backs the gated session cache — refining " +
+        "it would break every graph_*_persisted oracle (they re-derive " +
+        "the frozen-codebook IVF edges in SQL). Refine a copy, or build " +
+        "your own artifact via buildKnnGraphIndexFrom.")
     val lists = s.read.parquet(s"$path/lists")
     val refined = graft.Checkpoint.of(nnDescentFrom(
       s.read.parquet(s"$path/edges").select("query_id", "neighbor_id"),
       lists.select("vec_id", "v")))
     // checkpointed above: the write overwrites its own input path
     refined.write.mode("overwrite").parquet(s"$path/edges")
+    // the walk's adjacency layout must follow the refined edges; lists
+    // are untouched, so medoids stay (empty touched set = skip)
+    writeGraphSearchLayout(s, path, Some(Seq.empty))
+    // ordering contract vs append/remove: stored edges are no longer
+    // knnGraphFrom's frozen-codebook top-k, which the maintenance merge
+    // invariant ("stored top-k ⊇ union winners outside the slice")
+    // requires — mark the artifact so append/remove fail fast instead
+    // of silently merging against the wrong base (refine AFTER
+    // maintenance is the supported order; KnnGraphRefineOrderSpec)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(refinedMarker(path), true).close()
   }
+
+  private def refinedMarker(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_REFINED")
+
+  /** True once [[refineKnnGraph]] has rewritten this artifact's edges
+    * away from the frozen-codebook IVF top-k.
+    */
+  def isRefinedKnnGraph(s: SparkSession, path: String): Boolean = {
+    val p = refinedMarker(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def requireUnrefined(s: SparkSession, path: String,
+      op: String): Unit =
+    require(!isRefinedKnnGraph(s, path),
+      s"$op: $path was refined by refineKnnGraph — its stored edges are " +
+        "NN-Descent output, not the frozen-codebook IVF top-k the " +
+        "maintenance merge invariant assumes; merging against them would " +
+        "be silently wrong. Rebuild via buildKnnGraphIndexFrom (and " +
+        "refine AFTER maintenance), or keep refined artifacts read-only.")
 
   private val nnDescentQ = Q(
     "graph_nndescent",
@@ -2789,49 +2944,91 @@ object Knn {
     val cents = s.read.parquet(s"$path/cents")
     val lists = s.read.parquet(s"$path/lists")
       .withColumn("cent_id", col("cent_id").cast("long"))
-    val vecs = lists.select("vec_id", "v")
-    val e0 = s.read.parquet(s"$path/edges")
-      .select(col("query_id").as("u"), col("neighbor_id").as("nv"))
-    val sym = graft.Checkpoint.of(e0
-      .unionByName(e0.select(col("nv").as("u"), col("u").as("nv")))
-      .distinct())
-    // per-cell entry point: the medoid (max raw cosine to the centroid,
-    // tie min vec_id) — partial-aggregatable argmax, no window shuffle
-    val mcos = cosineSim(col("v"), col("cv"))
-    val medoids = lists.join(broadcast(cents), "cent_id")
-      .groupBy("cent_id")
-      .agg(max_by(col("vec_id"), struct(mcos, -col("vec_id")))
-        .as("vec_id"))
-    val seeds = probe(q, cents, nSeeds)
+    val sym = s.read.parquet(s"$path/sym")
+      .withColumn("u_cent", col("u_cent").cast("long"))
+    val medoids = s.read.parquet(s"$path/medoids")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    // the walk's DRIVER-RESIDENT routing table (nlist×fanout ids —
+    // smaller than the codebook the probes broadcast): which cells can
+    // hold a neighbor of a member of cell c. Prunes each round's
+    // vector fetch to adj(beam cells) instead of the corpus.
+    val cellAdj: Map[Long, Seq[Long]] = s.read.parquet(s"$path/celladj")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).toSeq }
+    // the query batch lives on the driver for the walk's duration —
+    // bounded by the BATCH (|Q|·dim doubles), never the corpus; as a
+    // LocalRelation its broadcasts cost no per-round file scans
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    val qRows = q.select(col("query_id"),
+      col("qv").cast("array<double>")).collect()
+    val qLocal = s.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
+    val beamSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def beamDf(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), beamSchema)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def topW(scored: DataFrame): Array[org.apache.spark.sql.Row] =
+      scored.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= width)
+        .select("query_id", "vec_id", "cent_id", "cos")
+        .collect()
+    val cos = cosineSim(col("qv"), col("v"))
+    // round 0: score each query's seed cells' stored entry points (the
+    // medoid is a member of its cell, so its own cell IS cent_id)
+    val seeds = probe(qLocal, cents, nSeeds)
       .select("query_id", "cent_id")
       .join(broadcast(medoids), "cent_id")
       .filter(col("query_id") =!= col("vec_id"))
-      .select("query_id", "vec_id").distinct()
-    def scoreTop(cand: DataFrame): DataFrame = {
-      val cos = cosineSim(col("qv"), col("v"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      cand.join(vecs, "vec_id").join(broadcast(q), "query_id")
-        .withColumn("cos", cos)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= width)
-        .select("query_id", "vec_id", "cos")
-    }
-    var beam = graft.Checkpoint.of(scoreTop(seeds))
-    var visited = seeds
+    var beam = topW(seeds
+      .join(broadcast(qLocal), "query_id")
+      .select(col("query_id"), col("vec_id"), col("cent_id"),
+        cos.as("cos")))
+    var visited: DataFrame =
+      seeds.select("query_id", "vec_id")
     for (_ <- 1 to hops) {
-      val cand = beam.select("query_id", "vec_id")
-        .unionByName(beam
-          .join(sym, beam("vec_id") === sym("u"))
-          .filter(col("query_id") =!= col("nv"))
-          .select(col("query_id"), col("nv").as("vec_id")))
+      // candidate cells are known BEFORE the round's one job runs:
+      // beam cells (kept members) ∪ their routing-table fan-out
+      // (every neighbor a beam member can expand to) — both reads
+      // below are directory-pruned to them
+      val bd = beamDf(beam)
+      val beamCells = beam.map(_.getLong(2)).distinct.toSeq
+      val candCells = (beamCells ++
+        beamCells.flatMap(cellAdj.getOrElse(_, Seq.empty))).distinct
+      val expanded = sym.filter(col("u_cent").isin(beamCells: _*))
+        .join(broadcast(bd.select(col("query_id"),
+          col("vec_id").as("u"))), "u")
+        .filter(col("query_id") =!= col("nv"))
+        .select(col("query_id"), col("nv").as("vec_id"),
+          col("nv_cent").as("cent_id"))
         .distinct()
-      visited = visited.unionByName(cand)
-      beam = graft.Checkpoint.of(scoreTop(cand))
+      visited = visited.unionByName(bd.select("query_id", "vec_id"))
+        .unionByName(expanded.select("query_id", "vec_id"))
+      // kept members reuse their stored score (same kernel, same bits);
+      // only the expansion is scored, against a cell-pruned vector read
+      val scored = lists.filter(col("cent_id").isin(candCells: _*))
+        .select(col("vec_id"), col("v"))
+        .join(broadcast(expanded), "vec_id")
+        .join(broadcast(qLocal), "query_id")
+        .select(col("query_id"), col("vec_id"), col("cent_id"),
+          cos.as("cos"))
+      beam = topW(scored.unionByName(bd).distinct())
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val res = beam.withColumn("rank", row_number().over(w).cast("long"))
+    val res = beamDf(beam)
+      .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), round(col("cos"), 6).as("cosine"))
@@ -2881,12 +3078,17 @@ object Knn {
               JOIN bsym s ON s.u = b.vec_id
               WHERE s.v <> b.query_id) cnd
         JOIN bq ON bq.query_id = cnd.query_id
-        JOIN e ev ON ev.vec_id = cnd.vec_id) WHERE rk <= $BEAM_W)"""
+        JOIN bse ev ON ev.vec_id = cnd.vec_id) WHERE rk <= $BEAM_W)"""
 
   private val sqlGraphSearch: String = {
     val rounds = (1 to BEAM_HOPS)
       .map(r => sqlBeamRound(s"bb${r - 1}", s"bb$r")).mkString(",\n    ")
     s"""WITH $sqlKnnEdgesCte,
+    -- materialized shadows: DuckDB 1.0 re-evaluates non-materialized
+    -- CTEs per reference, and the unrolled walk references the corpus
+    -- ~10x and the trainer chain 2x more (the r13 open-files trap class)
+    bse AS MATERIALIZED (SELECT vec_id, v FROM e),
+    bc2 AS MATERIALIZED (SELECT cent_id, cv FROM c2),
     bsym AS MATERIALIZED (SELECT u, v_id AS v FROM edges
       UNION SELECT v_id, u FROM edges),
     bmed AS MATERIALIZED (
@@ -2895,15 +3097,15 @@ object Knn {
           row_number() OVER (PARTITION BY c.cent_id
             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, a.vec_id)
             AS rk
-        FROM assigned a JOIN c2 c USING (cent_id)) WHERE rk = 1),
+        FROM assigned a JOIN bc2 c USING (cent_id)) WHERE rk = 1),
     bq AS MATERIALIZED (
-      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQ),
+      SELECT vec_id AS query_id, v AS qv FROM bse WHERE vec_id < $NQ),
     bqp AS (SELECT query_id, cent_id FROM (
         SELECT bq.query_id, c.cent_id,
           row_number() OVER (PARTITION BY bq.query_id
             ORDER BY list_cosine_similarity(bq.qv, c.cv) DESC, c.cent_id)
             AS rk
-        FROM bq, c2 c) WHERE rk <= $BEAM_SEEDS),
+        FROM bq, bc2 c) WHERE rk <= $BEAM_SEEDS),
     bb0 AS MATERIALIZED (
       SELECT query_id, vec_id FROM (
         SELECT sd.query_id, sd.vec_id,
@@ -2914,7 +3116,7 @@ object Knn {
               FROM bqp JOIN bmed m USING (cent_id)
               WHERE m.vec_id <> bqp.query_id) sd
         JOIN bq ON bq.query_id = sd.query_id
-        JOIN e ev ON ev.vec_id = sd.vec_id) WHERE rk <= $BEAM_W),
+        JOIN bse ev ON ev.vec_id = sd.vec_id) WHERE rk <= $BEAM_W),
     $rounds
     SELECT query_id, neighbor_id, rank, cosine FROM (
       SELECT b.query_id, b.vec_id AS neighbor_id,
@@ -2924,7 +3126,7 @@ object Knn {
         round(list_cosine_similarity(bq.qv, ev.v), 6) AS cosine
       FROM bb$BEAM_HOPS b
       JOIN bq ON bq.query_id = b.query_id
-      JOIN e ev ON ev.vec_id = b.vec_id)
+      JOIN bse ev ON ev.vec_id = b.vec_id)
     WHERE rank <= $K ORDER BY query_id, rank"""
   }
 

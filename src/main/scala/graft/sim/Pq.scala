@@ -623,6 +623,13 @@ object Pq {
   private val builtPq =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Bench warm-up hook: force the one-time session-cached artifact
+    * build so timed reps measure steady-state reads.
+    */
+  private[graft] def prime(s: SparkSession, dir: String): Unit = {
+    cachedPq(s, dir); ()
+  }
+
   private def cachedPq(s: SparkSession, dir: String): String =
     builtPq.getOrElseUpdate(dir, {
       val name = "graft-ivfpq-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")

@@ -192,6 +192,14 @@ object Pipelines {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bench warm-up hook: force the one-time session-cached artifact
+    * build so timed reps measure steady-state reads (the REPS=1 sweep
+    * otherwise attributes the build to whichever consumer runs first).
+    */
+  private[graft] def prime(s: SparkSession, dir: String): Unit = {
+    cachedDrops(s, dir); ()
+  }
+
   private def cachedDrops(s: SparkSession, dir: String): String =
     builtDrops.getOrElseUpdate(dir, {
       val name = "graft-pipelinedrops-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")

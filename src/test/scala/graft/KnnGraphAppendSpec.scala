@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.sim.Knn
 
@@ -115,6 +115,64 @@ class KnnGraphAppendSpec extends SparkSpec {
       Knn.appendKnnGraph(spark, path, gone, 7L)
       assert(edges() == Knn.knnGraphFrom(e, cents).collect().toSet,
         "re-ingesting removed vectors must restore the full graph")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("refine x maintenance ordering: maintain-then-refine is the " +
+      "supported order (refined = NN-Descent over the appended graph); " +
+      "append/remove AFTER refine fail fast and leave edges untouched; " +
+      "the gated session-cache path refuses refine") {
+    val e = emb()
+    val isSlice = col("vec_id") % 4 === 3
+    val base = e.filter(!isSlice)
+    val slice = e.filter(isSlice)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kg-reford")
+    try {
+      val path = dir.toString
+      Knn.buildKnnGraphIndexFrom(base, path)
+      // supported order: maintenance FIRST, refine LAST — the refined
+      // artifact is exactly NN-Descent over the frozen-codebook union
+      // graph the append produced
+      Knn.appendKnnGraph(spark, path, slice, 1L)
+      val want = Knn.nnDescentFrom(
+        spark.read.parquet(s"$path/edges")
+          .select("query_id", "neighbor_id"), e)
+        .collect().toSet
+      assert(!Knn.isRefinedKnnGraph(spark, path))
+      Knn.refineKnnGraph(spark, path)
+      assert(Knn.isRefinedKnnGraph(spark, path))
+      def edges() = spark.read.parquet(s"$path/edges").collect().toSet
+      assert(edges() == want,
+        "refine-after-append must equal NN-Descent over the appended " +
+          "frozen-codebook graph")
+      // forbidden order: the merge invariant ("stored top-k covers
+      // every union winner outside the slice") no longer holds on
+      // NN-Descent edges, so maintenance must fail fast, not merge
+      val before = edges()
+      val freshSlice = slice.withColumn("vec_id",
+        col("vec_id") + lit(1000000L))
+      val e1 = intercept[IllegalArgumentException] {
+        Knn.appendKnnGraph(spark, path, freshSlice, 2L)
+      }
+      assert(e1.getMessage.contains("refineKnnGraph"))
+      val e2 = intercept[IllegalArgumentException] {
+        Knn.removeFromKnnGraph(spark, path, slice.select("vec_id"))
+      }
+      assert(e2.getMessage.contains("refineKnnGraph"))
+      assert(edges() == before,
+        "rejected maintenance must not change the refined edges")
+      // the gated session cache must never be refined in place: every
+      // graph_*_persisted oracle re-derives the frozen-codebook edges
+      val gated = Knn.cachedGraph(spark, sfDir)
+      val e3 = intercept[IllegalArgumentException] {
+        Knn.refineKnnGraph(spark, gated)
+      }
+      assert(e3.getMessage.contains("session cache"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

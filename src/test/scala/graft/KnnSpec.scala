@@ -63,15 +63,18 @@ class KnnSpec extends SparkSpec {
   }
 
   test("graph beam search: recall@5 >= IVF at the same candidate budget") {
+    val nq = graft.sim.Knn.NQ
+    val nlist = graft.sim.Knn.NLIST
     val beam = pairs("knn_graph_search")
     val rBeam = (beam & exact).size.toDouble / exact.size
     val visPerQ = graft.sim.Knn.graphSearchParts(spark, sfDir)
-      ._2.count().toDouble / 10
+      ._2.count().toDouble / nq
     // the smallest nprobe whose measured candidate mass covers the
-    // walk's scored-candidate budget — the fair IVF yardstick
+    // walk's scored-candidate budget — the fair IVF yardstick; the cap
+    // is NLIST (probing every list = the whole corpus as candidates)
     var p = 1
     var (ivfTop, cand) = graft.sim.Knn.ivfSearchAt(spark, sfDir, p)
-    while (cand.toDouble / 10 < visPerQ && p < 16) {
+    while (cand.toDouble / nq < visPerQ && p < nlist) {
       p += 1
       val r = graft.sim.Knn.ivfSearchAt(spark, sfDir, p)
       ivfTop = r._1
@@ -81,8 +84,8 @@ class KnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rIvf = (ivfPairs & exact).size.toDouble / exact.size
     info(s"beam recall@5 = $rBeam (visited/query = $visPerQ); " +
-      s"ivf@nprobe=$p recall@5 = $rIvf (cand/query = ${cand / 10.0})")
-    assert(cand.toDouble / 10 >= visPerQ,
+      s"ivf@nprobe=$p recall@5 = $rIvf (cand/query = ${cand.toDouble / nq})")
+    assert(cand.toDouble / nq >= visPerQ,
       "comparison must give IVF at least the walk's candidate budget")
     assert(rBeam >= rIvf,
       "the graph walk must match IVF recall at equal candidate budget")

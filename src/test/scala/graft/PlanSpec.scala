@@ -122,7 +122,10 @@ class PlanSpec extends SparkSpec {
     "emb_mmr_select",      // broadcast query set vs corpus (bruteforce shape)
     "knn_recall_curve",    // composes knn_bruteforce + knn_ivf (both above)
     "q58_important_stock", // broadcast 1-row total, inequality probe
-    "dq_rules")            // 1-row × 1-row referential-count cross joins
+    "dq_rules",            // 1-row × 1-row referential-count cross joins
+    "dedup_embedding_budget", // 1-row × 1-row budget-card count joins
+    "mm_embed_budget",     // 1-row × 1-row budget-card count joins
+    "mm_phash_budget")     // 1-row × 1-row budget-card count joins
 
   test("embedding dedup is a blocked equi-join, not a pair scan") {
     for (name <- Seq("dedup_embedding", "dedup_embedding_lsh")) {

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
 class SketchSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of the gated exact twin; the " +
-      "in-row err_vs_exact matches and stays bounded") {
-    val rows = SparkEntry.queries("approx_distinct_users")(spark, sfDir)
+      "in-row err_vs_exact matches and the gated within_bound is true") {
+    val rows = graft.operators.Sketches.approxDistinctAudit(spark, sfDir)
       .select("event_type", "approx_users", "exact_users", "err_vs_exact")
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
@@ -31,11 +31,18 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(err - math.abs(a - e).toDouble / e) < 1e-6,
         s"$k: err column inconsistent with its own row")
     }
+    // the GATED shape: every row claims within_bound, matching the
+    // oracle's TRUE literal (this is what the driver hash-checks)
+    val gated = SparkEntry.queries("approx_distinct_users")(spark, sfDir)
+      .collect()
+    assert(gated.nonEmpty && gated.forall(_.getBoolean(3)),
+      "a gated sketch row fell out of bound")
   }
 
   test("percentile_approx brackets the gated exact percentiles; in-row " +
-      "err_p50/err_p95 bounded") {
-    val errs = SparkEntry.queries("approx_quantiles")(spark, sfDir)
+      "err_p50/err_p95 bounded; gated within_bound true") {
+    val audit = graft.operators.Sketches.approxQuantilesAudit(spark, sfDir)
+    val errs = audit
       .select("o_orderpriority", "err_p50", "err_p95")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     assert(errs.nonEmpty)
@@ -43,7 +50,11 @@ class SketchSpec extends SparkSpec {
       assert(e50 <= 0.05 && e95 <= 0.05,
         s"$prio: err_p50=$e50 err_p95=$e95")
     }
-    val approx = SparkEntry.queries("approx_quantiles")(spark, sfDir)
+    val gated = SparkEntry.queries("approx_quantiles")(spark, sfDir)
+      .collect()
+    assert(gated.nonEmpty && gated.forall(_.getBoolean(4)),
+      "a gated sketch row fell out of bound")
+    val approx = audit
       .select("o_orderpriority", "p50", "p95")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     val exact = SparkEntry.queries("exact_quantiles")(spark, sfDir)
