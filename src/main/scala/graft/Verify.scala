@@ -23,11 +23,16 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val b1 = if (master.startsWith("local-cluster"))
-      // worker JVMs are spawned bare — hand them the driver's classpath
-      b0.config("spark.executor.extraClassPath",
+    val b1 = if (master.startsWith("local-cluster")) {
+      // worker JVMs are spawned bare: hand them the driver's classpath,
+      // and ship the app as a JAR (SPARK_GRAFT_APP_JAR) — a bare
+      // classes directory triggers the SerializedLambda classloader
+      // mismatch on any closure-bearing stage
+      val cp = b0.config("spark.executor.extraClassPath",
         System.getProperty("java.class.path"))
-    else b0
+      sys.env.get("SPARK_GRAFT_APP_JAR").fold(cp)(j =>
+        cp.config("spark.jars", j))
+    } else b0
     val spark = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
       .fold(b1)(d => b1.config("spark.graft.checkpointDir", d))
       .getOrCreate()
