@@ -114,6 +114,11 @@ object Bench {
       while (extra < MAX_EXTRA && median(times.toSeq) > 2 * times.min) {
         times += rep(); extra += 1
       }
+      // progress to stderr: long sweeps die mid-run (disk, OOM) and the
+      // JSON only lands at the end — without this there is no way to
+      // attribute the crash to a query
+      System.err.println(
+        s"[bench] done $sfDir $name min=${r3(times.min)}s")
       name -> times.toVector
     }
   }

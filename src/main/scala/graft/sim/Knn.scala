@@ -1006,15 +1006,22 @@ object Knn {
       cents, NPROBE)
       .select(col("query_id"), col("qv"), col("cent_id"))
     val cos = cosineSim(col("qv"), col("v"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+    // bounded-heap top-k aggregate, NOT a row_number window: the window
+    // form sorts the whole n·nprobe·cellsize candidate stream map-side
+    // (the r15 sf3 sweep spilled 79 GB of disk through it); the
+    // aggregate's map-side combine reduces it to ≤k rows per query
+    // before the exchange, with bit-identical selection under the same
+    // (rounded-cosine desc, vec_id asc) total order (TopEdgesSpec)
     assigned.join(probes, "cent_id")
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= JOIN_K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("cosine"))
+      .select(col("query_id"), round(cos, 6).as("cosine"), col("vec_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopEdges.topK(JOIN_K)(
+        col("cosine"), col("vec_id")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("cosine"))
   }
 
   private val knnJoin = Q(
