@@ -1012,17 +1012,27 @@ object Knn {
     // aggregate's map-side combine reduces it to ≤k rows per query
     // before the exchange, with bit-identical selection under the same
     // (rounded-cosine desc, vec_id asc) total order (TopEdgesSpec)
-    assigned.join(probes, "cent_id")
+    topKEdgesOf(assigned.join(probes, "cent_id")
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), round(cos, 6).as("cosine"), col("vec_id"))
-      .groupBy("query_id")
+      .select(col("query_id"), round(cos, 6).as("cosine"),
+        col("vec_id").as("neighbor_id")))
+  }
+
+  /** (query_id, cosine, neighbor_id) candidate stream → the top-
+    * [[JOIN_K]] ranked edges per query via [[graft.functions.TopEdges]]
+    * — the ONLY legal top-k on corpus-scale candidate streams (a
+    * row_number window sorts the whole stream; see [[knnGraphFrom]]).
+    * Selection order (cosine desc, neighbor_id asc), bit-identical to
+    * the window form.
+    */
+  private def topKEdgesOf(cand: DataFrame): DataFrame =
+    cand.groupBy("query_id")
       .agg(graft.functions.TopEdges.topK(JOIN_K)(
-        col("cosine"), col("vec_id")).as("tops"))
+        col("cosine"), col("neighbor_id")).as("tops"))
       .select(col("query_id"), posexplode(col("tops")))
       .select(col("query_id"), col("col._2").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"),
         col("col._1").as("cosine"))
-  }
 
   private val knnJoin = Q(
     "knn_join",
@@ -1708,18 +1718,15 @@ object Knn {
     val cos = cosineSim(col("qv"), col("v"))
     // new-node edges: slice queries × their probed union lists —
     // identical ordering contract to knnGraphFrom (rounded cosine
-    // desc, vec_id asc)
-    val wNew = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val newEdges = lists.filter(col("cent_id").isin(probedCells: _*))
-      .join(sliceProbes.select(col("query_id"), col("qv"), col("cent_id")),
-        "cent_id")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
-      .withColumn("rank", row_number().over(wNew).cast("long"))
-      .filter(col("rank") <= JOIN_K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("cosine"))
+    // desc, vec_id asc), via the same bounded-heap top-k (a window
+    // here sorted the slice×cell candidate stream — the sf3 spill)
+    val newEdges = topKEdgesOf(
+      lists.filter(col("cent_id").isin(probedCells: _*))
+        .join(sliceProbes.select(col("query_id"), col("qv"),
+          col("cent_id")), "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), round(cos, 6).as("cosine"),
+          col("vec_id").as("neighbor_id")))
 
     // reverse probe: existing queries whose probe set meets the
     // slice's cells (ingest_id filter keeps a replayed slice out of
@@ -1753,15 +1760,10 @@ object Knn {
     // merge stored top-k with the new candidates and re-rank; distinct
     // absorbs a replay (recomputed candidates == stored rows)
     val edgesCur = graft.Checkpoint.of(s.read.parquet(s"$path/edges"))
-    val wRef = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    val refreshed = edgesCur.join(affIds, "query_id")
+    val refreshed = topKEdgesOf(edgesCur.join(affIds, "query_id")
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .unionByName(oldCand).distinct()
-      .withColumn("rank", row_number().over(wRef).cast("long"))
-      .filter(col("rank") <= JOIN_K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("cosine"))
+      .select(col("query_id"), col("cosine"), col("neighbor_id")))
 
     val sliceIds = sa.select(col("vec_id").as("query_id")).distinct()
     edgesCur
@@ -1827,17 +1829,15 @@ object Knn {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .join(affQ, "query_id")
     val cos = cosineSim(col("qv"), col("v"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val refreshed = lists.filter(col("cent_id").isin(probeCells: _*))
-      .join(affProbes.select(col("query_id"), col("cent_id")), "cent_id")
-      .join(qvs, "query_id")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), round(cos, 6).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= JOIN_K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("cosine"))
+    // bounded-heap top-k, never a window over the re-score stream
+    // (the knnGraphFrom rule)
+    val refreshed = topKEdgesOf(
+      lists.filter(col("cent_id").isin(probeCells: _*))
+        .join(affProbes.select(col("query_id"), col("cent_id")), "cent_id")
+        .join(qvs, "query_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), round(cos, 6).as("cosine"),
+          col("vec_id").as("neighbor_id")))
 
     edgesCur
       .join(affQ.unionByName(qid).distinct(), Seq("query_id"),
