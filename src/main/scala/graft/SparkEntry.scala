@@ -17,6 +17,17 @@ object SparkEntry {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // ObjectHashAggregate falls back to SORT-BASED aggregation past
+    // this many distinct keys per task (default 128!) — the fallback
+    // sorts the aggregate's whole input stream, which for the
+    // TopEdges bounded-heap top-k re-creates exactly the n²-candidate
+    // sort spill the aggregate exists to avoid (the sf3 sweep filled
+    // 79 GB of disk through it). Top-k state is ~200 B per group, so
+    // even millions of per-task groups are MBs of hash map — keep the
+    // hash path.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (4 << 20).toString)
     functions.CosineSim.register(spark)
     plans.AsofJoin.register(spark)
     spark
