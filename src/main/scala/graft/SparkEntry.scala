@@ -22,12 +22,20 @@ object SparkEntry {
     // sorts the aggregate's whole input stream, which for the
     // TopEdges bounded-heap top-k re-creates exactly the n²-candidate
     // sort spill the aggregate exists to avoid (the sf3 sweep filled
-    // 79 GB of disk through it). Top-k state is ~200 B per group, so
-    // even millions of per-task groups are MBs of hash map — keep the
-    // hash path.
+    // 79 GB of disk through it). The conf is read at ACTION time (the
+    // exec's doExecute), so it cannot be scoped around lazy gated
+    // frames (knn_join materializes at the driver's collect) — it must
+    // be session-global. Sized to the state, not "unbounded": TopEdges
+    // holds ≤JOIN_K boxed (Double, Long) pairs per group, ~1 KB with
+    // tuple + hash-map-entry overhead, so 2^19 groups is a ≤0.5 GB
+    // per-task hash ceiling before the sort valve returns. The conf is
+    // shared by every TypedImperativeAggregate (collect_list/set,
+    // percentile_approx): heavy-list aggregates keep the valve past
+    // 2^19 groups per task, and a corpus that big should also raise
+    // shuffle partitions, shrinking groups/task in step.
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (4 << 20).toString)
+      (1 << 19).toString)
     functions.CosineSim.register(spark)
     plans.AsofJoin.register(spark)
     spark

@@ -738,39 +738,75 @@ object Dedup {
   private val EBITS = 4
   private lazy val eplanes = graft.sim.Hyperplanes.bank(ETABLES, EBITS, 64, 7)
 
+  /** The LSH candidate→exact-verify pair set (UNCAPPED) — shared by the
+    * gated query (which budgets it) and the recall card (which counts
+    * exact pairs the bank missed; sharing one definition is the
+    * batch/stream single-constant rule applied to a query/card pair).
+    */
+  private def lshVerifiedPairs(e: DataFrame): DataFrame = {
+    // signature table materialized once — otherwise CollapseProject
+    // re-inlines the 256-dot-product bucket array into the post-explode
+    // projection and re-evaluates it per exploded row
+    val sigs = e.select(col("vec_id"),
+        graft.sim.Hyperplanes.buckets(eplanes, col("v")).as("bs"))
+      .transform(graft.Checkpoint.of)
+    val x = sigs.select(col("vec_id"), explode(col("bs")).as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+    val cand = x.as("x").join(x.as("y"),
+        col("x.tbl") === col("y.tbl")
+          && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      // same raw-boundary rule as blockedCosinePairs — the verify
+      // stage must keep the IDENTICAL pair set as the exact oracle
+      .filter(cos >= lit(COS_TAU - 5e-7))
+      .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
+  }
+
   private val embeddingLsh = Q(
     "dedup_embedding_lsh",
+    (s, dir) =>
+      // same output budget as the exact twin (shared capped oracle). A
+      // bank recall miss ranked BELOW the cap at both endpoints would
+      // pass this gate undetected — full recall is therefore gated
+      // separately and uncapped by dedup_embedding_lsh_recall below.
+      capPairs(lshVerifiedPairs(embVecs(s, dir)),
+        "cosine", asc = false, PAIR_CAP)
+        .orderBy("a_id", "b_id"),
+    Some(sqlCosPairsCapped))
+
+  /** UNCAPPED recall honesty card for the LSH bank: exact τ-pairs the
+    * verified LSH set is missing must be ZERO (measured: every true
+    * pair collides in ≥3 of 64 tables on these corpora). The capped
+    * gate above can hide a miss ranked below [[PAIR_CAP]] at both
+    * endpoints; this card cannot — the oracle STATES the zero-miss
+    * contract over the exact uncapped grid, so any bank miss fails the
+    * hash gate loudly (the mm_embed_recall honesty-card pattern).
+    */
+  private val embeddingLshRecall = Q(
+    "dedup_embedding_lsh_recall",
     (s, dir) => {
       val e = embVecs(s, dir)
-      // signature table materialized once — otherwise CollapseProject
-      // re-inlines the 256-dot-product bucket array into the post-explode
-      // projection and re-evaluates it per exploded row
-      val sigs = e.select(col("vec_id"),
-          graft.sim.Hyperplanes.buckets(eplanes, col("v")).as("bs"))
-        .transform(graft.Checkpoint.of)
-      val x = sigs.select(col("vec_id"), explode(col("bs")).as("b"))
-        .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
-      val cand = x.as("x").join(x.as("y"),
-          col("x.tbl") === col("y.tbl")
-            && col("x.bucket") === col("y.bucket")
-            && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
-      val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
-      val verified = cand
-        .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
-        // same raw-boundary rule as blockedCosinePairs — the verify
-        // stage must keep the IDENTICAL pair set as the exact oracle
-        .filter(cos >= lit(COS_TAU - 5e-7))
-        .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
-      // same output budget as the exact twin (shared capped oracle: a
-      // true pair the bank misses still fails the gate if the cap
-      // keeps it — the recall proof survives the budget)
-      capPairs(verified, "cosine", asc = false, PAIR_CAP)
-        .orderBy("a_id", "b_id")
+      // both sides checkpointed: each is consumed by two plans (count +
+      // anti-join), and the anti-join would otherwise re-run the
+      // all-pairs grid and the bucket self-join per consumer
+      val exact = graft.Checkpoint.of(blockedCosinePairs(e, COS_TAU))
+      val got = graft.Checkpoint.of(lshVerifiedPairs(e))
+      exact.agg(count(lit(1)).cast("long").as("n_exact"))
+        .crossJoin(exact.join(got, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_found")))
+        .select(col("n_exact"), col("n_found"),
+          (col("n_exact") - col("n_found")).as("n_missed"))
     },
-    Some(sqlCosPairsCapped))
+    Some(s"""WITH $sqlCosPairsCte
+    SELECT COUNT(*)::BIGINT AS n_exact, COUNT(*)::BIGINT AS n_found,
+      0::BIGINT AS n_missed
+    FROM ep"""))
 
   // ------------------------------------------------------- dedup_clusters
   /** Connected components over an undirected edge set by iterative
@@ -1203,11 +1239,15 @@ object Dedup {
         string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
       FROM kept GROUP BY doc_id),
     -- mirror of the Spark-side pos guard: without it a small-doc_id
-    -- document with >= 2^20 tokens would make Spark raise while DuckDB
-    -- silently computed a wrong first_key (fail-fast asymmetry) — both
-    -- engines must fail the same way
+    -- document whose GRAM positions pass 2^20 would make Spark raise
+    -- while DuckDB silently computed a wrong first_key (fail-fast
+    -- asymmetry) — both engines must fail on the SAME corpus. Spark
+    -- guards the gram position (max = len(w) - L + 1), so the mirror
+    -- is len(w) - (L-1) >= stride, NOT len(w) >= stride (that raw
+    -- token-count form erred L-1 docs early, tripping DuckDB alone on
+    -- len(w) in [2^20, 2^20 + L - 2])
     posguard AS (
-      SELECT CASE WHEN MAX(len(w)) >= $POS_STRIDE
+      SELECT CASE WHEN MAX(len(w)) - ${SUB_L - 1} >= $POS_STRIDE
         THEN error('substringScrub: token position >= $POS_STRIDE — chunk docs past 2^20 tokens')::BIGINT
         ELSE 1 END AS ok FROM toks)
     SELECT d.doc_id,
@@ -2021,7 +2061,8 @@ object Dedup {
   val all: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, winnowDedup, simhash, embedding,
       embeddingBudget,
-      embeddingLsh, clusters, substringDedup, cross, crossBloom, urlDedup,
+      embeddingLsh, embeddingLshRecall, clusters, substringDedup, cross,
+      crossBloom, urlDedup,
       splitDedup, dedupRecall, recallCurve, gramNovelty, containment, keepBest, weights,
       lexsem, substringApply, clustersPersisted, clustersIncremental,
       clustersCompacted, clustersTakedown, keepBestPersisted,

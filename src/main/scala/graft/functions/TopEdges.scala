@@ -26,8 +26,18 @@ class TopEdges(k: Int)
       Seq[(Double, Long)]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (score desc, id asc), matching Spark's window sort order exactly:
+    * NaN orders LARGEST (unreachable for cosines of non-zero vectors,
+    * but this aggregate is the shared top-k for every graph path), and
+    * -0.0 == 0.0 under primitive `==`/`>` just as the window's
+    * normalized sort keys treat them — do NOT switch to Double.compare,
+    * which splits ±0.0 and would break window parity on zero scores.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val an = a._1.isNaN; val bn = b._1.isNaN
+    if (an || bn) (an && !bn) || (an == bn && a._2 < b._2)
+    else a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  }
 
   override def zero: Vector[(Double, Long)] = Vector.empty
 

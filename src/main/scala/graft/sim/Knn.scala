@@ -2926,6 +2926,10 @@ object Knn {
   private[graft] val BEAM_W = 24
   private[graft] val BEAM_HOPS = 8
   private[graft] val BEAM_SEEDS = 2
+  /** Max celladj rows the walk may hold on the driver (see
+    * [[graphSearchAt]]'s fail-fast at the collect).
+    */
+  private[graft] val CELLADJ_DRIVER_BUDGET = 1L << 22
 
   /** The walk plus its scored-candidate audit: (result, visited) where
     * visited = every (query_id, vec_id) the walk scored — the spec's
@@ -2959,7 +2963,22 @@ object Knn {
     // smaller than the codebook the probes broadcast): which cells can
     // hold a neighbor of a member of cell c. Prunes each round's
     // vector fetch to adj(beam cells) instead of the corpus.
-    val cellAdj: Map[Long, Seq[Long]] = s.read.parquet(s"$path/celladj")
+    // Driver-residency BOUND, fail fast (the id-width-guard precedent):
+    // nlist scales ∝ corpus via the ProbeNlist recipe, so celladj is
+    // the ONE walk structure whose driver footprint grows with data.
+    // 2^22 rows (~64 MB boxed) admits fanout 8 × nlist 512k ≈ a
+    // billion-vector corpus at 2k vectors/cell; past that the routing
+    // belongs in a broadcast join, not driver state — raise loudly
+    // instead of OOMing the driver quietly. Parquet count() is
+    // metadata-only, no scan.
+    val adjSrc = s.read.parquet(s"$path/celladj")
+    val adjRows = adjSrc.count()
+    require(adjRows <= CELLADJ_DRIVER_BUDGET,
+      s"graphSearchAt: celladj has $adjRows rows > driver budget " +
+        s"$CELLADJ_DRIVER_BUDGET (nlist×fanout outgrew driver " +
+        "residency) — route via a broadcast join instead of the " +
+        "driver-resident map for this artifact")
+    val cellAdj: Map[Long, Seq[Long]] = adjSrc
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).toSeq }
     // the query batch lives on the driver for the walk's duration —

@@ -221,10 +221,16 @@ class KnnSpec extends SparkSpec {
       assert(g.map(_._3).sorted.toSeq == (1L to g.length))
       assert(g.forall(r => r._2 != r._1), "no self neighbors")
     }
-    // the per-query top-k must be pre-reduced before the window shuffle
-    assert(d.queryExecution.executedPlan.toString
-      .contains("WindowGroupLimit"),
-      "partial WindowGroupLimit keeps the window shuffle at O(n*k)")
+    // the per-query top-k must be the partial-aggregatable TopEdges
+    // ObjectHashAggregate (map-side reduction to groups·k BEFORE the
+    // exchange), and NOTHING may sort the n·nprobe/nlist candidate
+    // stream — the window form's sort spilled 79 GB at the sf3 sweep
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("topedges") &&
+      plan.contains("ObjectHashAggregate"),
+      "TopEdges must run as a partial ObjectHashAggregate")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window "),
+      "the candidate top-k must be an aggregate, not a window sort")
   }
 
   test("knn_radius == a driver-side exact range scan; consistent with " +

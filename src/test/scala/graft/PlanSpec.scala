@@ -124,6 +124,7 @@ class PlanSpec extends SparkSpec {
     "q58_important_stock", // broadcast 1-row total, inequality probe
     "dq_rules",            // 1-row × 1-row referential-count cross joins
     "dedup_embedding_budget", // 1-row × 1-row budget-card count joins
+    "dedup_embedding_lsh_recall", // 1-row × 1-row recall-card count joins
     "mm_embed_budget",     // 1-row × 1-row budget-card count joins
     "mm_phash_budget")     // 1-row × 1-row budget-card count joins
 
