@@ -39,19 +39,27 @@ object Checkpoint {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Materialize `df` and cut its lineage — reliably when a checkpoint
-    * dir is configured, in executor memory otherwise.
+    * dir is configured, in executor memory otherwise. The returned
+    * frame's INHERITED size estimate is capped at Long.Max
+    * ([[org.apache.spark.sql.graft.Shim.capStats]]): the checkpoint
+    * carries the origin plan's Statistics, and in iterative loops the
+    * join-product estimate otherwise compounds DOUBLE-exponentially —
+    * the r16 phash-CC probe spent 367 of 432 s multiplying a
+    * ~5¹³-digit BigInt inside driver-side stats estimation. Capping
+    * changes no planning decision (all thresholds are longs).
     */
-  def of(df: DataFrame): DataFrame = reliableDir(df) match {
-    case Some(dir) =>
-      val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty ||
-          !pointedAt.get(sc.applicationId).contains(dir)) {
-        sc.setCheckpointDir(dir)
-        pointedAt(sc.applicationId) = dir
-      }
-      df.checkpoint()
-    case None => df.localCheckpoint()
-  }
+  def of(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Shim.capStats(reliableDir(df) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty ||
+            !pointedAt.get(sc.applicationId).contains(dir)) {
+          sc.setCheckpointDir(dir)
+          pointedAt(sc.applicationId) = dir
+        }
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    })
 
   /** [[of]] fused with a convergence probe: materialize `df` and return
     * whether any row matches `pred`, in ONE job where the backend allows
@@ -79,7 +87,8 @@ object Checkpoint {
         val cp = of(df)
         (cp, cp.filter(pred).limit(1).count() > 0)
       case None =>
-        val cp = df.localCheckpoint(false)
+        val cp = org.apache.spark.sql.graft.Shim.capStats(
+          df.localCheckpoint(false))
         (cp, cp.filter(pred).count() > 0)
     }
 }

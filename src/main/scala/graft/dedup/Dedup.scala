@@ -892,13 +892,15 @@ object Dedup {
       // (Checkpoint.ofChanged): the probe's scan is the action that
       // fills the round's checkpoint — halving the per-round action
       // count that floors this loop's cost.
+      val tR = System.nanoTime()
       val (next, changed) =
         graft.Checkpoint.ofChanged(plan, col("label") < col("old"))
       labels = next.select(col("id"), col("label"))
       converged = !changed
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $i changed=$changed")
+        System.err.println(f"[cc] round $i changed=$changed " +
+          f"action=${(System.nanoTime() - tR) / 1e9}%.2f s")
     }
     labels
   }

@@ -330,13 +330,25 @@ object Multimodal {
               encode(col("text"), "UTF-8")), PH_BITS)).as("phash"))
 
   /** Banded-hamming near-dup pairs over a (media_id, phash) frame:
-    * explode each hash into `bands` fixed-width band values, equi-join on
-    * (band, value) — hamming ≤ hamMax < bands ⇒ at least one band is
-    * untouched (pigeonhole), so candidate recall is EXACT, not
-    * probabilistic — then verify `bit_count(xor) ≤ hamMax` on the
-    * distinct candidates. Same shape as dedup_simhash's pair search; the
-    * hash frame is checkpointed because the band table feeds both sides
-    * of the self-join.
+    * explode each hash into blocking keys, equi-join on the key, verify
+    * `bit_count(xor) ≤ hamMax` on the distinct candidates. Candidate
+    * recall is EXACT, not probabilistic, by GENERALIZED pigeonhole:
+    * hamming ≤ hamMax over `bands` bands leaves ≥ bands−hamMax bands
+    * untouched, so any true pair shares an identical g-SUBSET of band
+    * values for every g ≤ bands−hamMax. g > 1 is the r16 scale fix:
+    * single 5-bit band values SATURATE as the corpus grows (bucket
+    * occupancy ∝ n/2^width — the banded self-join pushed 599M raw
+    * candidates at sf1 for 2,022 true ham≤8 pairs, 76% of
+    * mm_phash_clusters' 454 s), while each extra subset order
+    * multiplies the key space by 2^width: g=4 measured 4.4M candidates
+    * at sf1 (137×) with the SAME verified output. g caps at 4 — the
+    * C(bands,g) explode factor (495 at 12 bands) is the price paid per
+    * ROW, linear, vs the per-PAIR saturation it removes; the keys come
+    * from one codegen'd kernel ([[graft.functions.PhashSubsetKeys]] —
+    * 495 literal struct trees ICE'd Janino on the triage probe).
+    * Output is bit-identical to the single-band form for every g
+    * (KernelSpec pins key semantics; the oracles re-pin the answers),
+    * so callers' DuckDB mirrors stay on the simple single-band CTE.
     */
   def perceptualPairs(hashes: DataFrame, bands: Int = 4,
       hamMax: Int = 3): DataFrame = {
@@ -344,15 +356,15 @@ object Multimodal {
     require(hamMax < bands,
       s"pigeonhole needs hamMax < bands, got $hamMax vs $bands")
     val width = PH_BITS / bands
+    val g = math.min(bands - hamMax, 4)
     val h = graft.Checkpoint.of(hashes)
-    val banded = h.select(col("media_id"), col("phash"),
-        explode(array((0 until bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            shiftright(col("phash"), bnd * width)
-              .bitwiseAND((1L << width) - 1).as("bv"))): _*)).as("b"))
-      .select(col("media_id"), col("phash"), col("b.band"), col("b.bv"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+    val keyed = h.select(col("media_id"), col("phash"),
+      explode(org.apache.spark.sql.graft.Shim.column(
+        graft.functions.PhashSubsetKeys(
+          org.apache.spark.sql.graft.Shim.expression(col("phash")),
+          bands, width, g))).as("k"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k")
           && col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
         col("x.phash").as("ha"), col("y.phash").as("hb"))

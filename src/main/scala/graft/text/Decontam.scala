@@ -113,10 +113,26 @@ object Decontam {
     * Cosines use the sequential-fold kernel, bit-equal to DuckDB's
     * list_cosine_similarity; ordering and the τ test both use the
     * ROUNDED value so the tie-break is cross-engine stable.
+    *
+    * The benchmark slice is CAPPED at [[BENCH_CAP]] ids (the first
+    * residue hits), because a real eval suite is FIXED SIZE — it does
+    * not grow with the training corpus. The uncapped id-residue form
+    * was a fixed FRACTION (n/50 benchmark rows), which made the
+    * "broadcast the small side" claim quadratic in disguise: the r16
+    * sweep measured exponent 1.32 (16 s at sf1, headed for ~150 s at
+    * sf3) — the r10 fixed-fraction-threshold lesson in benchmark
+    * clothing. Capped, the scored mass is |corpus|·BENCH_CAP — linear.
     */
   private val BENCH_MOD = 50L
   private val BENCH_RES = 3L
+  private[graft] val BENCH_CAP = 200L
   private val EMB_TAU = 0.4
+
+  /** vec_id bound below which the residue slice holds ≤ [[BENCH_CAP]]
+    * ids — ONE constant interpolated into Spark and SQL (the packed-key
+    * lockstep rule).
+    */
+  private val BENCH_ID_BOUND = BENCH_CAP * BENCH_MOD
 
   private val decontamEmb = Q(
     "decontam_embedding",
@@ -124,9 +140,11 @@ object Decontam {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
-      val bench = e.filter(col("vec_id") % BENCH_MOD === BENCH_RES)
+      val isBench = col("vec_id") % BENCH_MOD === BENCH_RES &&
+        col("vec_id") < BENCH_ID_BOUND
+      val bench = e.filter(isBench)
         .select(col("vec_id").as("bench_id"), col("v").as("bv"))
-      val train = e.filter(col("vec_id") % BENCH_MOD =!= BENCH_RES)
+      val train = e.filter(!isBench)
       val cos = round(graft.functions.CosineSim.cosineSim(
         col("v"), col("bv")), 6)
       val w = org.apache.spark.sql.expressions.Window
@@ -141,8 +159,10 @@ object Decontam {
     Some(s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
     b AS (SELECT vec_id AS bench_id, v AS bv FROM e
-      WHERE vec_id % $BENCH_MOD = $BENCH_RES),
-    t AS (SELECT * FROM e WHERE vec_id % $BENCH_MOD <> $BENCH_RES),
+      WHERE vec_id % $BENCH_MOD = $BENCH_RES
+        AND vec_id < $BENCH_ID_BOUND),
+    t AS (SELECT * FROM e WHERE NOT (vec_id % $BENCH_MOD = $BENCH_RES
+        AND vec_id < $BENCH_ID_BOUND)),
     sc AS (SELECT t.vec_id, b.bench_id,
         round(list_cosine_similarity(t.v, b.bv), 6) AS cos
       FROM t, b),

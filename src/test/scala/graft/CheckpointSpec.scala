@@ -86,4 +86,37 @@ class CheckpointSpec extends SparkSpec {
       rm(dirA); rm(dirB)
     }
   }
+
+  test("checkpoints cap the inherited size estimate — an iterative loop " +
+      "whose round references the prior checkpoint through joins must " +
+      "not compound the stats BigInt double-exponentially") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the r16 phash-CC shape in miniature: each round's body joins the
+    // previous round's checkpoint THREE times; visitJoin's default
+    // estimate is the product of child estimates, so uncapped stats
+    // multiply their digit count ~3x per round — by round 14 the real
+    // loop spent 367 of 432 s in BigInteger.multiply inside driver
+    // stats estimation (CCSTATS_r16.json)
+    var labels = Checkpoint.of(
+      Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "label"))
+    val want = labels.collect().toSet
+    for (round <- 1 to 15) {
+      val l1 = labels.select(col("id").as("a"), col("label").as("x"))
+      val l2 = labels.select(col("label").as("y"), col("id").as("b"))
+      val plan = labels
+        .join(l1, col("id") === col("a"))
+        .join(l2, col("label") === col("y"))
+        .select(col("id"), col("label")).distinct()
+      val (next, _) =
+        Checkpoint.ofChanged(plan, col("label") < col("id"))
+      labels = next.select(col("id"), col("label"))
+      val est = labels.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(est <= BigInt(Long.MaxValue),
+        s"round $round: checkpointed estimate must stay capped, got " +
+          s"a ${est.toString.length}-digit BigInt")
+    }
+    // capping is estimate-only: rows ride through bit-identically
+    assert(labels.collect().toSet == want)
+  }
 }

@@ -433,4 +433,44 @@ class KernelSpec extends SparkSpec {
     // the all-positive 64-dim vector exercises bit 63 = Long.MinValue
     assert(kernel(0) == -1L)
   }
+
+  test("PhashSubsetKeys kernel == the composed shift/mask key form, " +
+      "and g-subset blocking finds the exact same verified pair set") {
+    val rnd = new scala.util.Random(7)
+    // 60-bit hashes incl. adversarial all-zero / all-one-band patterns
+    val hashes = (Seq(0L, (1L << 60) - 1, 0x0F0F0F0F0F0F0F0L) ++
+      Seq.fill(200)(rnd.nextLong() & ((1L << 60) - 1)))
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = hashes.toDF("media_id", "phash")
+    val (bands, width) = (12, 5)
+    for (g <- Seq(1, 2, 3, 4)) {
+      val subsets = (0 until bands).combinations(g).toSeq
+      val kernel = df.select(col("media_id"), Shim.column(
+          graft.functions.PhashSubsetKeys(Shim.expression(col("phash")),
+            bands, width, g)).as("ks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = hashes.map { case (id, h) =>
+        id -> subsets.zipWithIndex.map { case (ss, si) =>
+          ss.zipWithIndex.map { case (b, i) =>
+            ((h >> (b * width)) & ((1L << width) - 1)) << (i * width)
+          }.reduce(_ | _) | (si.toLong << (g * width))
+        }
+      }.toMap
+      assert(kernel == composed, s"g=$g key mismatch")
+    }
+    // end-to-end: every g yields the SAME verified pair set (exact
+    // recall by generalized pigeonhole at hamMax = bands - g)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- Seq(1, 2, 4)) {
+      val hamMax = bands - g
+      val want = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes
+        if ia < ib && ham(ha, hb) <= hamMax
+      } yield (ia, ib)).toSet
+      val got = graft.multimodal.Multimodal.perceptualPairs(
+        df, bands, hamMax).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"g=$g (hamMax=$hamMax) pair-set mismatch")
+    }
+  }
 }
