@@ -40,6 +40,58 @@ object Bench {
       try src.mkString.trim finally src.close()
     } catch { case _: Throwable => "" }
 
+  /** Commit-grade "quiet" means ALL THREE loadavg figures < 2 — the r16
+    * committed "quiet" run had 1-min 0.31 but 15-min 3.50 and ran 12%
+    * slower than the driver's loaded run on shared queries; a 1-min
+    * check does not discriminate. The flag lands in every contract;
+    * `SPARK_GRAFT_REQUIRE_QUIET=1` makes a non-quiet start a refusal
+    * (exit 2) so a commit-grade run cannot silently happen on a busy
+    * host. The driver never sets it.
+    */
+  private def quietLoad(l: String): Boolean = {
+    val p = l.split(" ")
+    p.length >= 3 && p.take(3).forall(_.toDoubleOption.exists(_ < 2.0))
+  }
+
+  /** Cumulative stop-the-world GC millis of this JVM — per-rep deltas
+    * attribute bench-context effects (heap pressure from a 251-query
+    * session) that a fresh-session probe of the same query never sees:
+    * the r16 knn_graph_search bench-vs-probe gap had no owner because
+    * nothing in the contract separated GC time from plan time.
+    */
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** Per-query per-rep GC-millis deltas, keyed "sfDir:name". */
+  private val gcByQuery =
+    scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+
+  /** Queries whose ANSWER or ground-truth PROTOCOL is inherently O(n²)
+    * (exact global grids: the τ=0.97 reporting tier and its global
+    * budget card; the τ=0.4 LSH demonstration whose bank prunes nothing
+    * on isotropic geometry — see their declarations): swept only up to
+    * this sf. Above it they are SKIPPED AND ANNOTATED in the contract
+    * (`skipped_quadratic`), never silently dropped — the r16 sweep
+    * spent 57% of its sf1 wall time re-running these, and at sf3 they
+    * ARE the sweep. Their recall-card siblings stay swept at every sf
+    * via the probe-bounded tier ([[graft.EvalProbe]]).
+    */
+  private[graft] val declaredQuadratic: Map[String, Double] = Map(
+    "dedup_embedding_lsh" -> 1.0,
+    "mm_embed_neardup" -> 1.0,
+    "mm_embed_budget" -> 1.0)
+
+  /** Skips taken this run: "sfDir:name" → (sf, ceiling). */
+  private val skipped =
+    scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+
+  private val sfOf = "sf([0-9.]+)".r
+  private def sfOfDir(dir: String): Option[Double] =
+    sfOf.findFirstMatchIn(dir).map(_.group(1).toDouble)
+
   /** Untimed session warm-up: first-action costs (parquet reader +
     * whole-stage-codegen framework + shuffle machinery init, ~4-5 s)
     * otherwise land entirely on whichever query Map order puts first,
@@ -123,11 +175,24 @@ object Bench {
   private def runAll(spark: SparkSession,
       sfDir: String): Seq[(String, Vector[Double])] = {
     warmUp(spark, sfDir)
+    val sf = sfOfDir(sfDir)
     SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && {
+          val over = sf.exists(s => declaredQuadratic.get(name).exists(_ < s))
+          if (over) {
+            skipped(s"$sfDir:$name") = (sf.get, declaredQuadratic(name))
+            System.err.println(s"[bench] SKIP $sfDir $name: " +
+              s"declared-quadratic, ceiling sf=${declaredQuadratic(name)}")
+          }
+          !over
+        }
+      }
       .map { case (name, fn) =>
+      val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       def rep(): Double = {
         val t0 = System.nanoTime()
+        val g0 = gcMs()
         // noop sink materializes every output column (count() would let
         // Catalyst prune projections out of the measured plan).
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -136,6 +201,7 @@ object Bench {
           errors.getOrElseUpdate(name,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
+        gcs += gcMs() - g0
         (System.nanoTime() - t0) / 1e9
       }
       val times = scala.collection.mutable.ArrayBuffer.fill(REPS)(rep())
@@ -143,6 +209,7 @@ object Bench {
       while (extra < MAX_EXTRA && median(times.toSeq) > 2 * times.min) {
         times += rep(); extra += 1
       }
+      gcByQuery(s"$sfDir:$name") = gcs.toVector
       // progress to stderr: long sweeps die mid-run (disk, OOM) and the
       // JSON only lands at the end — without this there is no way to
       // attribute the crash to a query
@@ -165,6 +232,18 @@ object Bench {
     errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }
       .mkString("{", ",", "}")
 
+  private def skippedJson: String =
+    skipped.map { case (k, (s, c)) =>
+      s"""${jstr(k)}:{"sf":$s,"ceiling":$c}"""
+    }.mkString("{", ",", "}")
+
+  /** Median per-rep GC millis per query of one run dir. */
+  private def gcJsonFor(sfDir: String): String =
+    gcByQuery.collect { case (k, v) if k.startsWith(sfDir + ":") =>
+      "\"" + k.stripPrefix(sfDir + ":") + "\":" +
+        (if (v.isEmpty) "null" else v.sorted.apply(v.size / 2).toString)
+    }.mkString("{", ",", "}")
+
   private def obj(results: Seq[(String, Vector[Double])])(
       f: Vector[Double] => String): String =
     results.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -182,6 +261,23 @@ object Bench {
     // app shipped as a JAR and the driver classpath handed to the bare
     // worker JVMs — the r15 SerializedLambda rule)
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // the r15 SerializedLambda rule: a bare classes dir on the executor
+    // classpath deserializes closures in a different classloader and
+    // every closure-bearing stage dies — fail HERE with the fix named,
+    // not 40 minutes in with a ClassCastException
+    if (master.startsWith("local-cluster"))
+      require(sys.env.contains("SPARK_GRAFT_APP_JAR"),
+        "SPARK_GRAFT_MASTER=local-cluster requires SPARK_GRAFT_APP_JAR " +
+          "(the app shipped as a JAR via spark.jars; also export " +
+          "SPARK_SCALA_VERSION=2.13) — see Verify's contract")
+    if (sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").contains("1")) {
+      val l = loadavg()
+      if (!quietLoad(l)) {
+        System.err.println(s"[bench] REFUSED: SPARK_GRAFT_REQUIRE_QUIET=1 " +
+          s"and host is not quiet (need all three loadavg < 2): $l")
+        sys.exit(2)
+      }
+    }
     val b0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -228,16 +324,19 @@ object Bench {
     val totalMin = results.map(_._2.min).sum
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     val errNames = errors.keys.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$REPS,"total_min":${r3(totalMin)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"sf":"$sfDir","detail":"$out"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$REPS,"total_min":${r3(totalMin)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"n_skipped":${skipped.size},"sf":"$sfDir","detail":"$out"}"""
     println(line)
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec",
       |"reps":$REPS,"max_extra_reps":$MAX_EXTRA,
       |"total_min":${r3(totalMin)},
       |"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",
+      |"quiet_before":${quietLoad(loadBefore)},"quiet_after":${quietLoad(loadAfter)},
       |"n_errors":${errors.size},"errors":$errJson,
+      |"skipped_quadratic":$skippedJson,
       |"queries":$med,
       |"queries_min":${obj(results)(v => r3(v.min))},
       |"queries_reps":${obj(results)(v => v.map(r3).mkString("[", ",", "]"))},
+      |"queries_gc_ms":${gcJsonFor(sfDir)},
       |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     System.err.println(s"[bench] full contract written to $out")
@@ -256,11 +355,8 @@ object Bench {
     */
   private def sweep(spark: SparkSession, dirs: Seq[String]): Unit = {
     require(dirs.size >= 2, s"sweep needs >=2 sf dirs, got $dirs")
-    val sfOf = "sf([0-9.]+)".r
-    val sfs = dirs.map(d => sfOf.findFirstMatchIn(d) match {
-      case Some(m) => m.group(1).toDouble
-      case None => throw new IllegalArgumentException(s"no sf in dir $d")
-    })
+    val sfs = dirs.map(d => sfOfDir(d).getOrElse(
+      throw new IllegalArgumentException(s"no sf in dir $d")))
     // two dirs parsing to the same sf would zero fit()'s denominator and
     // interpolate NaN/Infinity unquoted into the JSON contract
     require(sfs.distinct.size == sfs.size,
@@ -268,7 +364,10 @@ object Bench {
     val loadBefore = loadavg()
     val bySf = dirs.map(d => d -> runAll(spark, d))
     val loadAfter = loadavg()
-    val names = bySf.head._2.map(_._1)
+    // union of names across runs: declared-quadratic queries vanish
+    // above their sf ceiling, so per-name fits use the sfs where the
+    // query actually ran (the skip is annotated in skipped_quadratic)
+    val names = bySf.flatMap(_._2.map(_._1)).distinct
     // slope of log(t) on log(sf), least squares over all swept points
     def fit(xs: Seq[Double], ys: Seq[Double]): Double = {
       val lx = xs.map(math.log)
@@ -280,36 +379,41 @@ object Bench {
       if (den == 0) Double.NaN else num / den
     }
     val exps = names.map { n =>
-      val meds = bySf.map { case (_, rs) =>
-        median(rs.find(_._1 == n).get._2)
+      val pts = bySf.zip(sfs).flatMap { case ((_, rs), sf) =>
+        rs.find(_._1 == n).map(r => (sf, median(r._2)))
       }
       // fit over the top decade only when 3+ points: the bottom sf is
       // pure overhead for most queries and would bias the slope low
-      val k = if (sfs.size >= 3) 2 else sfs.size
-      n -> (fit(sfs.takeRight(k), meds.takeRight(k)), meds)
+      val k = if (pts.size >= 3) 2 else pts.size
+      val top = pts.takeRight(k)
+      n -> (if (top.size < 2) Double.NaN
+        else fit(top.map(_._1), top.map(_._2)))
     }
     val perSf = bySf.zip(sfs).map { case ((d, rs), sf) =>
       s""""$d":{"sf":$sf,"total":${r3(rs.map(v => median(v._2)).sum)},
         |"queries":${obj(rs)(v => r3(median(v)))},
-        |"queries_min":${obj(rs)(v => r3(v.min))}}""".stripMargin
+        |"queries_min":${obj(rs)(v => r3(v.min))},
+        |"queries_gc_ms":${gcJsonFor(d)}}""".stripMargin
         .replace("\n", "")
     }.mkString("{", ",", "}")
     // belt-and-braces: a non-finite exponent must serialize as null, not
     // as bare NaN/Infinity (invalid JSON)
-    val expObj = exps.map { case (n, (e, _)) =>
+    val expObj = exps.map { case (n, e) =>
       s""""$n":${if (java.lang.Double.isFinite(e)) r3(e) else "null"}"""
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"sf_sweep","dirs":${dirs.map(d => "\"" + d + "\"")
         .mkString("[", ",", "]")},
-      |"reps":$REPS,"fit":"least-squares slope of log(median) vs log(sf), top ${math.min(2, sfs.size)} sfs",
+      |"reps":$REPS,"fit":"least-squares slope of log(median) vs log(sf), top 2 swept sfs per query",
       |"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",
+      |"quiet_before":${quietLoad(loadBefore)},"quiet_after":${quietLoad(loadAfter)},
       |"n_errors":${errors.size},"errors":$errJson,
+      |"skipped_quadratic":$skippedJson,
       |"exponents":$expObj,
       |"runs":$perSf}""".stripMargin.replace("\n", "")
     val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_OUT", "BENCH_SWEEP.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
-    val flagged = exps.filter(_._2._1 > 1.3).map(_._1)
-    println(s"""{"metric":"sf_sweep","n_queries":${names.size},"superlinear":${flagged.size},"n_errors":${errors.size},"detail":"$out"}""")
+    val flagged = exps.filter(_._2 > 1.3).map(_._1)
+    println(s"""{"metric":"sf_sweep","n_queries":${names.size},"superlinear":${flagged.size},"n_errors":${errors.size},"n_skipped":${skipped.size},"detail":"$out"}""")
     System.err.println(s"[bench] sweep written to $out; " +
       s"exponent>1.3: ${flagged.mkString(", ")}")
   }

@@ -768,6 +768,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
   }
 
+  /** [[lshVerifiedPairs]] restricted to pairs with ≥1 endpoint in
+    * `probe` (a broadcast-sized 1-column `vec_id` frame): candidacy in
+    * the bank depends only on a pair's own two signatures, so this IS
+    * the restriction of the global verified set to probe-incident pairs
+    * — O(|probe|·collisions) instead of the full bucket self-join. The
+    * recall card compares it against the probe-incident exact grid.
+    */
+  private def lshProbeVerifiedPairs(e: DataFrame,
+      probe: DataFrame): DataFrame = {
+    val sigs = e.select(col("vec_id"),
+        graft.sim.Hyperplanes.buckets(eplanes, col("v")).as("bs"))
+      .transform(graft.Checkpoint.of)
+    val x = sigs.select(col("vec_id"), explode(col("bs")).as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+    val px = x.join(broadcast(probe), "vec_id")
+      .select(col("vec_id").as("p_id"), col("tbl"), col("bucket"))
+    val cand = px.join(x, Seq("tbl", "bucket"))
+      .filter(col("p_id") =!= col("vec_id"))
+      .select(least(col("p_id"), col("vec_id")).as("a_id"),
+        greatest(col("p_id"), col("vec_id")).as("b_id"))
+      .distinct()
+    val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .filter(cos >= lit(COS_TAU - 5e-7))
+      .select(col("a_id"), col("b_id"))
+  }
+
   private val embeddingLsh = Q(
     "dedup_embedding_lsh",
     (s, dir) =>
@@ -785,28 +814,62 @@ object Dedup {
     * pair collides in ≥3 of 64 tables on these corpora). The capped
     * gate above can hide a miss ranked below [[PAIR_CAP]] at both
     * endpoints; this card cannot — the oracle STATES the zero-miss
-    * contract over the exact uncapped grid, so any bank miss fails the
-    * hash gate loudly (the mm_embed_recall honesty-card pattern).
+    * contract, so any bank miss fails the hash gate loudly (the
+    * mm_embed_recall honesty-card pattern).
+    *
+    * PROBE-BOUNDED above gate scale (r16 directive: the card ran the
+    * full O(n²) grid every bench rep — exponent 1.92, 317 s at sf1, ~1h
+    * at sf3): the zero-miss contract is checked over every exact pair
+    * INCIDENT to the [[graft.EvalProbe]] probe set — the whole corpus
+    * at every gate sf ([[graft.EvalProbe.CAP]] ≥ 500, so gated values
+    * are byte-identical to the uncapped form), a fixed 2048-id probe at
+    * bench-only sfs, making the card O(CAP·n). A pair's candidacy in
+    * the bank depends only on its own two signatures, so probe-incident
+    * zero-miss tests exactly the same per-pair bank property as the
+    * global grid. `n_eval` reports the probe size, so the scope is in
+    * the gated output, never silent.
     */
   private val embeddingLshRecall = Q(
     "dedup_embedding_lsh_recall",
     (s, dir) => {
-      val e = embVecs(s, dir)
-      // both sides checkpointed: each is consumed by two plans (count +
-      // anti-join), and the anti-join would otherwise re-run the
-      // all-pairs grid and the bucket self-join per consumer
-      val exact = graft.Checkpoint.of(blockedCosinePairs(e, COS_TAU))
-      val got = graft.Checkpoint.of(lshVerifiedPairs(e))
+      // checkpointed: consumed by the probe build, the exact side and
+      // the LSH side (3 consumers of the scan lineage)
+      val e = graft.Checkpoint.of(embVecs(s, dir))
+      val probe = graft.EvalProbe.probeIds(e, "vec_id")
+      // exact probe-incident τ-pairs: broadcast probe vectors against
+      // ONE corpus scan (the knn_bruteforce shape — map-side only, no
+      // shuffle), dedup the both-endpoints-in-probe double emission
+      val pv = e.join(probe, "vec_id")
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val cosE = graft.functions.CosineSim.cosineSim(col("pv"), col("v"))
+      val exact = graft.Checkpoint.of(
+        e.crossJoin(broadcast(pv))
+          .filter(col("p_id") =!= col("vec_id")
+            && cosE >= lit(COS_TAU - 5e-7))
+          .select(least(col("p_id"), col("vec_id")).as("a_id"),
+            greatest(col("p_id"), col("vec_id")).as("b_id"))
+          .distinct())
+      val got = graft.Checkpoint.of(lshProbeVerifiedPairs(e, probe))
       exact.agg(count(lit(1)).cast("long").as("n_exact"))
         .crossJoin(exact.join(got, Seq("a_id", "b_id"), "left_semi")
           .agg(count(lit(1)).cast("long").as("n_found")))
+        .crossJoin(probe.agg(count(lit(1)).cast("long").as("n_eval")))
         .select(col("n_exact"), col("n_found"),
-          (col("n_exact") - col("n_found")).as("n_missed"))
+          (col("n_exact") - col("n_found")).as("n_missed"), col("n_eval"))
     },
-    Some(s"""WITH $sqlCosPairsCte
+    Some(s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    pr AS MATERIALIZED (${graft.EvalProbe.sqlProbeIds("e", "vec_id")}),
+    sep AS MATERIALIZED (
+      SELECT DISTINCT LEAST(p.vec_id, x.vec_id) AS a_id,
+        GREATEST(p.vec_id, x.vec_id) AS b_id
+      FROM e p JOIN pr USING (vec_id) CROSS JOIN e x
+      WHERE p.vec_id <> x.vec_id
+        AND list_cosine_similarity(p.v, x.v) >= ($COS_TAU - 5e-7))
     SELECT COUNT(*)::BIGINT AS n_exact, COUNT(*)::BIGINT AS n_found,
-      0::BIGINT AS n_missed
-    FROM ep"""))
+      0::BIGINT AS n_missed,
+      (SELECT COUNT(*) FROM pr)::BIGINT AS n_eval
+    FROM sep"""))
 
   // ------------------------------------------------------- dedup_clusters
   /** Connected components over an undirected edge set by iterative

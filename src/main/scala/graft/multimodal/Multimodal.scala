@@ -1253,7 +1253,20 @@ object Multimodal {
     * the τ=0.97 reporting grid and the τ=[[MM_DEDUP_TAU]] dedup tier.
     */
   private def sqlEmbedPairs(tau: Double, pfx: String = ""): String =
-    s"""WITH ${pfx}chars AS (
+    s"""WITH ${sqlGramVecsCte(pfx)}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM ${pfx}vecs a, ${pfx}vecs b
+    WHERE a.doc_id < b.doc_id
+      AND list_cosine_similarity(a.v, b.v) >= ($tau - 5e-7)
+    ORDER BY a_id, b_id"""
+
+  /** The gram-vector CTE chain (ends at `{pfx}vecs`) shared by the full
+    * grid ([[sqlEmbedPairs]]) and the probe-sampled grid
+    * ([[sqlEmbedPairsSampled]]).
+    */
+  private def sqlGramVecsCte(pfx: String): String =
+    s"""${pfx}chars AS (
       SELECT doc_id, unnest(range(length(text) - 3)) AS i, text
       FROM documents WHERE length(text) >= 4),
     ${pfx}grams AS (
@@ -1272,13 +1285,22 @@ object Multimodal {
       SELECT g.doc_id, list(COALESCE(c, 0)::DOUBLE ORDER BY g.bucket) AS v
       FROM ${pfx}grid g LEFT JOIN ${pfx}bins
         ON ${pfx}bins.doc_id = g.doc_id AND ${pfx}bins.bucket = g.bucket
-      GROUP BY g.doc_id)
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM ${pfx}vecs a, ${pfx}vecs b
-    WHERE a.doc_id < b.doc_id
-      AND list_cosine_similarity(a.v, b.v) >= ($tau - 5e-7)
-    ORDER BY a_id, b_id"""
+      GROUP BY g.doc_id)"""
+
+  /** Probe-incident DISTINCT τ-pair grid over the gram vectors — the
+    * [[graft.EvalProbe]] sampled form of [[sqlEmbedPairs]] (pairs with
+    * ≥1 endpoint in the probe set; the whole corpus at gate sfs).
+    */
+  private def sqlEmbedPairsSampled(tau: Double, pfx: String): String =
+    s"""WITH ${sqlGramVecsCte(pfx)},
+    ${pfx}pr AS MATERIALIZED (
+      ${graft.EvalProbe.sqlProbeIds(s"${pfx}vecs", "doc_id")})
+    SELECT DISTINCT LEAST(p.doc_id, x.doc_id) AS a_id,
+      GREATEST(p.doc_id, x.doc_id) AS b_id
+    FROM ${pfx}vecs p JOIN ${pfx}pr USING (doc_id)
+      CROSS JOIN ${pfx}vecs x
+    WHERE p.doc_id <> x.doc_id
+      AND list_cosine_similarity(p.v, x.v) >= ($tau - 5e-7)"""
 
   /** The capped τ=[[MM_COS_TAU]] report + budget card share this CTE
     * prefix: the exact grid as a materialized pair table plus the
@@ -1430,37 +1452,95 @@ object Multimodal {
 
   // -------------------------------------------------- mm_embed_recall
   /** The HONESTY CARD for the radius-tightened dedup tier — recall of
-    * [[embedDedup]] (τ=0.98 LSH tier) against [[embedNeardup]]'s
-    * τ=0.97 exact reporting grid (the knn_recall / dedup_recall
-    * composition shape: the eval query runs the ground truth by
-    * definition, so it inherits the grid's cost — that IS the
-    * protocol). `n_boundary` counts exactly the [0.97, 0.98) pairs the
-    * tightened decision radius declines to dedup (the measured
-    * histogram-collision vocabulary coincidences — see [[embedDedup]]);
+    * [[embedDedup]]'s τ=0.98 LSH bank against the τ=0.97 exact grid
+    * (the knn_recall / dedup_recall composition shape: the eval query
+    * runs the ground truth by definition — that IS the protocol).
+    * `n_boundary` counts exactly the [0.97, 0.98) pairs the tightened
+    * decision radius declines to dedup (the measured histogram-
+    * collision vocabulary coincidences — see [[embedDedup]]);
     * precision is structurally 1 (both tiers exact-verify the same raw
     * cosine, and the dedup threshold dominates), so the card reports
     * the recall side only, exact floor-millionths, zero-guarded.
+    *
+    * PROBE-BOUNDED above gate scale (r16 directive — the card's grid
+    * was 57%-of-sweep quadratic mass with its siblings): both tiers
+    * evaluate every pair INCIDENT to the [[graft.EvalProbe]] probe set
+    * — the whole corpus at gate sfs (≤ 500 docs, values byte-identical
+    * to the unsampled card), a fixed 2048-doc probe at bench-only sfs,
+    * O(CAP·n). Bank candidacy is a per-pair property, so the sampled
+    * card tests the same contract; `n_eval` puts the scope in the
+    * gated output. The UNSAMPLED global grids remain as
+    * [[embedNeardup]] / [[embedNeardupBudget]], declared-quadratic in
+    * Bench's sweep with an sf ceiling.
     */
   private val embedRecall = Q(
     "mm_embed_recall",
     (s, dir) => {
-      val nt = embedNeardup.fn(s, dir).agg(count(lit(1)).as("n_truth"))
-      val nf = embedDedup.fn(s, dir).agg(count(lit(1)).as("n_found"))
+      // checkpointed: vecs feed the probe build, both grid sides and
+      // the LSH verify; buckets feed the candidate join (the crossJoin
+      // pre-checkpoint rule)
+      val media = mediaFromDocuments(s, dir)
+      val vecs = graft.Checkpoint.of(gramVectors(media))
+      val probe = graft.EvalProbe.probeIds(vecs, "vec_id")
+      val pv = vecs.join(probe, "vec_id")
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val cosP = graft.functions.CosineSim.cosineSim(col("pv"), col("v"))
+      // probe-incident exact grid at `tau`: broadcast probe vectors
+      // against one corpus scan (map-side, no shuffle)
+      def sampledExact(tau: Double) =
+        vecs.crossJoin(broadcast(pv))
+          .filter(col("p_id") =!= col("vec_id")
+            && cosP >= lit(tau - 5e-7))
+          .select(least(col("p_id"), col("vec_id")).as("a_id"),
+            greatest(col("p_id"), col("vec_id")).as("b_id"))
+          .distinct()
+      // the τ=0.98 LSH DEDUP tier restricted to probe-incident pairs:
+      // candidacy depends only on a pair's own two signatures, so this
+      // is exactly what [[embedDedup]]'s bank verifies of these pairs —
+      // the oracle states the exact sampled grid, so a bank miss still
+      // fails the gate loudly
+      val buckets = graft.Checkpoint.of(
+        graft.dedup.Dedup.bandBucketsFromShingles(
+          byteGramShingles(media), MM_DEDUP_PERMS, MM_DEDUP_BANDS))
+      val px = buckets
+        .join(broadcast(probe.select(col("vec_id").as("doc_id"))), "doc_id")
+        .select(col("doc_id").as("p_id"), col("band"), col("bh"))
+      val cand = px.join(buckets, Seq("band", "bh"))
+        .filter(col("p_id") =!= col("doc_id"))
+        .select(least(col("p_id"), col("doc_id")).as("a_id"),
+          greatest(col("p_id"), col("doc_id")).as("b_id"))
+        .distinct()
+      val cosV = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
+      val found = cand
+        .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
+          "a_id")
+        .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")),
+          "b_id")
+        .filter(cosV >= lit(MM_DEDUP_TAU - 5e-7))
+        .select(col("a_id"), col("b_id"))
+      val nt = sampledExact(MM_COS_TAU)
+        .agg(count(lit(1)).cast("long").as("n_truth"))
+      val nf = found.agg(count(lit(1)).cast("long").as("n_found"))
       nt.crossJoin(broadcast(nf))
+        .crossJoin(probe.agg(count(lit(1)).cast("long").as("n_eval")))
         .select(col("n_truth"), col("n_found"),
           (col("n_truth") - col("n_found")).as("n_boundary"),
           when(col("n_truth") === 0, lit(0L))
             .otherwise(expr("n_found * 1000000 DIV n_truth"))
-            .as("recall_micro"))
+            .as("recall_micro"), col("n_eval"))
     },
     Some(s"""SELECT n_truth, n_found,
       (n_truth - n_found)::BIGINT AS n_boundary,
       (CASE WHEN n_truth = 0 THEN 0
-        ELSE n_found * 1000000 // n_truth END)::BIGINT AS recall_micro
+        ELSE n_found * 1000000 // n_truth END)::BIGINT AS recall_micro,
+      n_eval
     FROM (SELECT COUNT(*)::BIGINT AS n_truth
-        FROM (${sqlEmbedPairs(MM_COS_TAU, "t97_")}) t),
+        FROM (${sqlEmbedPairsSampled(MM_COS_TAU, "t97_")}) t),
       (SELECT COUNT(*)::BIGINT AS n_found
-        FROM (${sqlEmbedPairs(MM_DEDUP_TAU, "t98_")}) f)"""))
+        FROM (${sqlEmbedPairsSampled(MM_DEDUP_TAU, "t98_")}) f),
+      (SELECT COUNT(*)::BIGINT AS n_eval
+        FROM (WITH ${sqlGramVecsCte("ne_")}
+          ${graft.EvalProbe.sqlProbeIds("ne_vecs", "doc_id")}) p)"""))
 
   // ----------------------------------------------------- mm_frame_dedup
   /** Cross-video FRAME-level exact dedup — the shot/segment dedup a

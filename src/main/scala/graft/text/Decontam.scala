@@ -128,23 +128,26 @@ object Decontam {
   private[graft] val BENCH_CAP = 200L
   private val EMB_TAU = 0.4
 
-  /** vec_id bound below which the residue slice holds ≤ [[BENCH_CAP]]
-    * ids — ONE constant interpolated into Spark and SQL (the packed-key
-    * lockstep rule).
-    */
-  private val BENCH_ID_BOUND = BENCH_CAP * BENCH_MOD
-
   private val decontamEmb = Q(
     "decontam_embedding",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
-      val isBench = col("vec_id") % BENCH_MOD === BENCH_RES &&
-        col("vec_id") < BENCH_ID_BOUND
-      val bench = e.filter(isBench)
+      // benchmark = the BENCH_CAP LOWEST residue-slice ids, by RANK —
+      // not an id bound: an id-bound cap (`vec_id < CAP·MOD`) assumes
+      // ids are dense from 0 and silently empties the benchmark on a
+      // strided/regenerated corpus while both engines' mirrored
+      // predicates keep the gate green (ADVICE r16). Rank-capped, the
+      // slice is exactly min(CAP, n_residue) under ANY id distribution,
+      // and identical to the old bound under dense ids. orderBy+limit
+      // is a distributed top-k (TakeOrderedAndProject), never a
+      // single-task global window.
+      val bench = e.filter(col("vec_id") % BENCH_MOD === BENCH_RES)
+        .orderBy("vec_id").limit(BENCH_CAP.toInt)
         .select(col("vec_id").as("bench_id"), col("v").as("bv"))
-      val train = e.filter(!isBench)
+      val train = e.join(bench.select(col("bench_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
       val cos = round(graft.functions.CosineSim.cosineSim(
         col("v"), col("bv")), 6)
       val w = org.apache.spark.sql.expressions.Window
@@ -158,11 +161,11 @@ object Decontam {
     },
     Some(s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    b AS (SELECT vec_id AS bench_id, v AS bv FROM e
+    b AS MATERIALIZED (SELECT vec_id AS bench_id, v AS bv FROM e
       WHERE vec_id % $BENCH_MOD = $BENCH_RES
-        AND vec_id < $BENCH_ID_BOUND),
-    t AS (SELECT * FROM e WHERE NOT (vec_id % $BENCH_MOD = $BENCH_RES
-        AND vec_id < $BENCH_ID_BOUND)),
+      ORDER BY vec_id LIMIT $BENCH_CAP),
+    t AS (SELECT * FROM e
+      WHERE vec_id NOT IN (SELECT bench_id FROM b)),
     sc AS (SELECT t.vec_id, b.bench_id,
         round(list_cosine_similarity(t.v, b.bv), 6) AS cos
       FROM t, b),
