@@ -69,16 +69,27 @@ object EmbedState {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
+  /** (doc_id, v) feature frame for a media slice under `enc` — with the
+    * default [[GramHistogramEncoder]] this is bit-identical to the
+    * legacy [[Multimodal.gramVectors]] path (EncoderSpec pins it), so
+    * the gated oracles are untouched; any other [[MediaEncoder]] flows
+    * through the SAME layout, verify kernel, and lifecycle (the
+    * CLIP-compatibility the Scaladoc above declares, now a parameter
+    * instead of a promise).
+    */
+  private[graft] def vecsOf(media: Dataset[MediaRecord],
+      enc: MediaEncoder): DataFrame =
+    MediaEncoder.encoderVectors(media, enc)
+      .select(col("vec_id").as("doc_id"), col("v"))
+
   /** Build the artifact at `path` from a media lake, overwriting any
     * prior state there.
     */
-  def buildEmbedStateFrom(media: Dataset[MediaRecord],
-      path: String): Unit = {
+  def buildEmbedStateFrom(media: Dataset[MediaRecord], path: String,
+      enc: MediaEncoder = GramHistogramEncoder): Unit = {
     buildCount += 1
     val buckets = graft.Checkpoint.of(bucketsOf(media))
-    val vecs = graft.Checkpoint.of(
-      Multimodal.gramVectors(media)
-        .select(col("vec_id").as("doc_id"), col("v")))
+    val vecs = graft.Checkpoint.of(vecsOf(media, enc))
     buckets.withColumn("ingest_id", lit(0L))
       .write.mode("overwrite").partitionBy("ingest_id")
       .parquet(s"$path/buckets")
@@ -99,7 +110,8 @@ object EmbedState {
     * bit-equal to a from-scratch build over the union (EmbedStateSpec).
     */
   def appendEmbedState(s: SparkSession, path: String,
-      media: Dataset[MediaRecord], ingestId: Long): Unit = {
+      media: Dataset[MediaRecord], ingestId: Long,
+      enc: MediaEncoder = GramHistogramEncoder): Unit = {
     require(ingestId > 0,
       s"ingestId must be > 0 (0 = base build), got $ingestId")
     appendCount += 1
@@ -113,9 +125,7 @@ object EmbedState {
       "appendEmbedState: slice media ids overlap an already-ingested " +
         "slice under a different ingestId — identities must be " +
         "globally unique (replay the SAME ingestId to retry a slice)")
-    val vNew = graft.Checkpoint.of(
-      Multimodal.gramVectors(media)
-        .select(col("vec_id").as("doc_id"), col("v")))
+    val vNew = graft.Checkpoint.of(vecsOf(media, enc))
     val bBase = s.read.parquet(s"$path/buckets")
       .filter(col("ingest_id") =!= ingestId)
     val cross = bNew.as("x").join(bBase.as("y"),
