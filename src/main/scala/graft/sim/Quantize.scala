@@ -409,7 +409,7 @@ object Quantize {
     * power iteration shared by [[pcaPower]] (exports it) and
     * [[pcaProject]] (applies it corpus-wide).
     */
-  private def scatterMirror(e: DataFrame): DataFrame = {
+  private[graft] def scatterMirror(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     // upper triangle once (checkpointed: consumed by both union legs),
@@ -432,8 +432,15 @@ object Quantize {
     * the whole trainer is one action with no per-round checkpoint. The
     * single partition holds d rows — the trainer state, never the
     * corpus.
+    *
+    * r17: REFERENCE implementation only. The production trainer is
+    * [[powerVec]] over the COLLECTED mirror — the in-plan form paid
+    * 6 exchanges of d-row data plus a one-time ~13 s Catalyst/Janino
+    * bill for the 50+-operator linear plan (BENCH_OUT_r17_before:
+    * emb_pca_power rep1 14.96 s vs reps 1.8 s). Kept so
+    * QuantizeTrainerSpec can pin driver-vs-plan bit-equality.
     */
-  private def powerIterateFrom(sm: DataFrame): DataFrame = {
+  private[graft] def powerIterateFrom(sm: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
@@ -451,8 +458,87 @@ object Quantize {
     v
   }
 
-  private def powerIterate(e: DataFrame): DataFrame =
-    powerIterateFrom(scatterMirror(e))
+  // ------------- r17: driver-side exact trainer over the collected mirror
+  /** Upper bound on the embedding dimensionality whose d²-row scatter
+    * mirror the trainer pulls to the driver (512² = 262,144 thin integer
+    * rows, a few MB). The collected state is bounded by the ENCODER
+    * dimensionality, never the corpus — the r15 LocalRelation-beam
+    * precedent (bounded query-batch-sized driver state is legal; corpus-
+    * sized is not). A wider encoder raises loudly here instead of
+    * silently collecting a big matrix.
+    */
+  private val MAX_TRAINER_DIM = 512
+
+  private val M6 = BigInt(1000000)
+
+  /** The d²-row scatter mirror collected as (sorted dims, dense BigInt
+    * matrix). sv is DECIMAL(38,0) — `toBigIntegerExact` keeps every cell
+    * exact; absent cells (none in practice: every dim pair co-occurs)
+    * default to 0, matching the join-aggregate's missing-row semantics.
+    */
+  private[graft] def collectScatter(
+      sm: DataFrame): (Array[Long], Array[Array[BigInt]]) = {
+    val rows = sm.select(col("i"), col("j"), col("sv")).collect()
+    val dims = rows.map(_.getLong(0)).distinct.sorted
+    require(dims.length <= MAX_TRAINER_DIM,
+      s"PCA trainer: d=${dims.length} exceeds MAX_TRAINER_DIM=" +
+        s"$MAX_TRAINER_DIM (the d^2 driver-collect budget) — raise the " +
+        "budget deliberately or train in-plan (powerIterateFrom)")
+    val idx = dims.zipWithIndex.toMap
+    val mat = Array.fill(dims.length, dims.length)(BigInt(0))
+    rows.foreach { r =>
+      mat(idx(r.getLong(0)))(idx(r.getLong(1))) =
+        BigInt(r.getDecimal(2).toBigIntegerExact)
+    }
+    (dims, mat)
+  }
+
+  /** [[PCA_ROUNDS]] of matvec + max-norm renormalize in exact BigInt —
+    * the bit-identical driver form of [[powerIterateFrom]]: integer sums
+    * are order-independent, and BigInteger division truncates toward
+    * zero exactly like Spark's IntegralDivide and DuckDB's HUGEINT `//`
+    * (QuantizeTrainerSpec pins the equality against the in-plan form).
+    */
+  private[graft] def powerVec(mat: Array[Array[BigInt]]): Array[BigInt] = {
+    val d = mat.length
+    var v = Array.fill(d)(M6)
+    for (_ <- 1 to PCA_ROUNDS) {
+      val r = Array.tabulate(d) { a =>
+        var s = BigInt(0); var b = 0
+        while (b < d) { s += mat(a)(b) * v(b); b += 1 }
+        s
+      }
+      val mx = if (d == 0) BigInt(1) else r.iterator.map(_.abs).max
+      require(mx.signum != 0,
+        "power iteration: all-zero matvec (degenerate scatter matrix)")
+      v = r.map(x => x * M6 / mx)
+    }
+    v
+  }
+
+  /** The trained iterate as a (j, v DECIMAL(38,0)) LocalRelation — the
+    * same frame shape [[powerIterateFrom]] produced, so every consumer
+    * (export, broadcast apply) is untouched.
+    */
+  private def trainedFrame(s: org.apache.spark.sql.SparkSession,
+      dims: Array[Long], vs: Seq[(String, Array[BigInt])]): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, DecimalType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(StructField("j", LongType, nullable = false) +:
+      vs.map { case (n, _) =>
+        StructField(n, DecimalType(38, 0), nullable = false) })
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      dims.indices.map { a =>
+        org.apache.spark.sql.Row.fromSeq(dims(a) +:
+          vs.map(v => new java.math.BigDecimal(v._2(a).bigInteger)))
+      }.asJava
+    s.createDataFrame(rows, schema)
+  }
+
+  private def powerIterate(e: DataFrame): DataFrame = {
+    val (dims, mat) = collectScatter(scatterMirror(e))
+    trainedFrame(e.sparkSession, dims, Seq("v" -> powerVec(mat)))
+  }
 
   /** The shared DuckDB CTE chain ending at `v$PCA_ROUNDS` (the trained
     * iterate) — prefix of both the pcaPower and pcaProject mirrors.
@@ -509,25 +595,34 @@ object Quantize {
   private val spectrum = Q(
     "emb_spectrum",
     (s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
-      val sm = scatterMirror(emb(s, dir))
-      val v = graft.Checkpoint.of(powerIterateFrom(sm))
-      val trace = sm.filter(col("i") === col("j"))
-        .agg(sum("sv").cast(dec).as("trace"),
-          count(lit(1)).as("n_dims"))
-      val r = sm.join(broadcast(v), "j")
-        .groupBy("i").agg(sum(col("sv") * col("v")).cast(dec).as("r"))
-      val quot = r.join(broadcast(v.withColumnRenamed("j", "i")), "i")
-        .agg(sum(col("v") * col("r")).cast(dec).as("num"),
-          sum(col("v") * col("v")).cast(dec).as("den"))
-      trace.crossJoin(quot)
-        .select(col("n_dims"), col("trace"),
-          expr("num DIV den").cast(dec).as("l1"))
-        .select(col("n_dims"),
-          col("trace").cast("double").as("trace"),
-          col("l1").cast("double").as("lambda1"),
-          expr("l1 * 1000000 DIV trace").cast("long").as("top_share_m6"))
+      // r17: everything after the one distributed scatter pass is d²-row
+      // arithmetic — run it on the driver in exact BigInt (the same
+      // integers the former in-plan trace/matvec/quotient computed; the
+      // double casts are correctly-rounded in both forms). Removes the
+      // trainer exchanges + a BNLJ scalar pair from the plan.
+      val (dims, mat) = collectScatter(scatterMirror(emb(s, dir)))
+      val d = dims.length
+      val trace = (0 until d).map(a => mat(a)(a)).sum
+      require(trace.signum != 0, "emb_spectrum: zero trace (empty corpus?)")
+      val v = powerVec(mat)
+      val r = Array.tabulate(d) { a =>
+        (0 until d).map(b => mat(a)(b) * v(b)).sum }
+      val num = (0 until d).map(a => v(a) * r(a)).sum
+      val den = (0 until d).map(a => v(a) * v(a)).sum
+      val l1 = num / den
+      val top = l1 * M6 / trace
+      import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+      import scala.jdk.CollectionConverters._
+      val schema = StructType(Seq(
+        StructField("n_dims", LongType, nullable = false),
+        StructField("trace", DoubleType, nullable = false),
+        StructField("lambda1", DoubleType, nullable = false),
+        StructField("top_share_m6", LongType, nullable = false)))
+      s.createDataFrame(Seq(org.apache.spark.sql.Row(
+        d.toLong,
+        new java.math.BigDecimal(trace.bigInteger).doubleValue(),
+        new java.math.BigDecimal(l1.bigInteger).doubleValue(),
+        top.toLong)).asJava, schema)
     },
     Some(s"""$pcaCte,
     tr AS (SELECT SUM(sv) AS trace, COUNT(*)::BIGINT AS n_dims
@@ -850,11 +945,60 @@ object Quantize {
     */
   private def pca2Basis(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
+    // r17: the co-trained 2-column subspace iteration is d-row state over
+    // the d²-row collected mirror — driver BigInt, bit-identical to the
+    // in-plan reference below (QuantizeTrainerSpec pins it). Removes ~14
+    // exchanges and the giant-linear-plan Catalyst/Janino bill from both
+    // pca2 exports.
+    val (dims, mat) = collectScatter(scatterMirror(emb(s, dir)))
+    val (va, vb) = pca2Vecs(dims, mat)
+    trainedFrame(s, dims, Seq("va" -> va, "vb" -> vb))
+  }
+
+  /** The 2-column subspace rounds in exact BigInt — mirrors
+    * [[pca2IterateFrom]] op for op (renormalize first, THEN deflate
+    * against this round's ua; truncating quotients; greatest(·,1)
+    * zero-guard).
+    */
+  private[graft] def pca2Vecs(dims: Array[Long],
+      mat: Array[Array[BigInt]]): (Array[BigInt], Array[BigInt]) = {
+    val d = mat.length
+    var va = Array.fill(d)(M6)
+    var vb = Array.tabulate(d)(a => if (dims(a) % 2 == 0) M6 else -M6)
+    for (_ <- 1 to PCA_ROUNDS) {
+      def matvec(v: Array[BigInt]) = Array.tabulate(d) { a =>
+        var sAcc = BigInt(0); var b = 0
+        while (b < d) { sAcc += mat(a)(b) * v(b); b += 1 }
+        sAcc
+      }
+      val ra = matvec(va)
+      val rb = matvec(vb)
+      val mxa = if (d == 0) BigInt(1) else ra.iterator.map(_.abs).max
+      val mxb = if (d == 0) BigInt(1) else rb.iterator.map(_.abs).max
+      require(d == 0 || (mxa.signum != 0 && mxb.signum != 0),
+        "pca2 trainer: all-zero matvec (degenerate scatter matrix)")
+      val ua = ra.map(x => x * M6 / mxa)
+      val ub = rb.map(x => x * M6 / mxb)
+      val uab = (0 until d).map(a => ua(a) * ub(a)).sum
+      val uaa = (0 until d).map(a => ua(a) * ua(a)).sum
+      val o = Array.tabulate(d)(a => ub(a) - uab * ua(a) / uaa)
+      val mxo = (if (d == 0) BigInt(1)
+                 else o.iterator.map(_.abs).max).max(BigInt(1))
+      va = ua
+      vb = o.map(x => x * M6 / mxo)
+    }
+    (va, vb)
+  }
+
+  /** In-plan reference form of the 2-column trainer (the r11 window-
+    * aggregate restatement) — kept for QuantizeTrainerSpec's driver-vs-
+    * plan bit-equality pin, no longer on the query path.
+    */
+  private[graft] def pca2IterateFrom(sm: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val wg = Window.partitionBy("g")
-    val sm = scatterMirror(emb(s, dir))
     var st = sm.select(col("i").as("j")).distinct()
       .select(col("j"), lit(1000000L).cast(dec).as("va"),
         when(pmod(col("j"), lit(2)) === 0, lit(1000000L))

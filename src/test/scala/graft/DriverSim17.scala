@@ -15,7 +15,10 @@ object DriverSim17 {
     val dir = "/root/testdata/sf0.001"
     for (n <- Seq("dedup_embedding_lsh_recall", "mm_embed_recall",
         "decontam_embedding", "mm_embed_dedup",
-        "mm_embed_dedup_persisted", "knn_join")) {
+        "mm_embed_dedup_persisted", "knn_join",
+        // r17 optimization round: the driver-side PCA trainer family
+        "emb_pca_power", "emb_pca_project", "emb_pca2",
+        "emb_pca2_project", "emb_spectrum")) {
       val c = SparkEntry.queries(n)(spark, dir).count()
       println(s"DRIVER_SIM17 $n rows=$c")
       require(c > 0, s"$n returned no rows")
