@@ -829,12 +829,11 @@ object Dedup {
     * global grid. `n_eval` reports the probe size, so the scope is in
     * the gated output, never silent.
     */
-  private val embeddingLshRecall = Q(
-    "dedup_embedding_lsh_recall",
-    (s, dir) => {
-      // checkpointed: consumed by the probe build, the exact side and
-      // the LSH side (3 consumers of the scan lineage)
-      val e = graft.Checkpoint.of(embVecs(s, dir))
+  /** The O(CAP·n) probe-bounded tier of the recall card, for corpora
+    * past [[graft.EvalProbe.CAP]]: every exact pair INCIDENT to the
+    * probe set, vs the LSH bank's verification of the same pairs.
+    */
+  private def lshRecallProbePath(e: DataFrame): DataFrame = {
       val probe = graft.EvalProbe.probeIds(e, "vec_id")
       // exact probe-incident τ-pairs: broadcast probe vectors against
       // ONE corpus scan (the knn_bruteforce shape — map-side only, no
@@ -856,6 +855,36 @@ object Dedup {
         .crossJoin(probe.agg(count(lit(1)).cast("long").as("n_eval")))
         .select(col("n_exact"), col("n_found"),
           (col("n_exact") - col("n_found")).as("n_missed"), col("n_eval"))
+  }
+
+  private val embeddingLshRecall = Q(
+    "dedup_embedding_lsh_recall",
+    (s, dir) => {
+      // checkpointed: consumed by the probe build, the exact side and
+      // the LSH side (3 consumers of the scan lineage)
+      val e = graft.Checkpoint.of(embVecs(s, dir))
+      val n = e.count()
+      if (n <= graft.EvalProbe.CAP) {
+        // probe == corpus (every gate sf AND the bench sf land here):
+        // the probe restriction is the identity, but the probe-shaped
+        // plan pays ~2× the work — probe×corpus cosines instead of the
+        // blocked half-grid, and BOTH bucket orientations of the
+        // candidate join instead of the a<b self-join. Run the r16
+        // half-grid forms; the output is identical by construction
+        // (probe-incident set with probe = all ids IS the full set;
+        // measured 8.6 → ~4 s at sf0.1). The probe path below is the
+        // O(CAP·n) tier for corpora that outgrow the cap.
+        val exact = graft.Checkpoint.of(
+          blockedCosinePairs(e, COS_TAU).select(col("a_id"), col("b_id")))
+        val got = graft.Checkpoint.of(
+          lshVerifiedPairs(e).select(col("a_id"), col("b_id")))
+        exact.agg(count(lit(1)).cast("long").as("n_exact"))
+          .crossJoin(exact.join(got, Seq("a_id", "b_id"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_found")))
+          .select(col("n_exact"), col("n_found"),
+            (col("n_exact") - col("n_found")).as("n_missed"),
+            lit(n).cast("long").as("n_eval"))
+      } else lshRecallProbePath(e)
     },
     Some(s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -1621,8 +1650,11 @@ object Dedup {
     * Scale: BOTH pipelines run ONCE (checkpointed truth + found pair
     * frames — the bucketed shapes, never all-pairs); the grid is one
     * pair-key left join + ONE 1-row aggregate holding all six
-    * `sum(CASE)` counters (the dq_drift fan-out pattern), checkpointed
-    * before the 3-row report fan-out. A green row proves the capped
+    * `sum(CASE)` counters (the dq_drift fan-out pattern). The 1-row
+    * aggregate is NOT checkpointed before the 3-row report fan-out
+    * (r17): the three branches share the counter aggregate's exchange
+    * via ReuseExchange, so the barrier only added a job — removing it
+    * measured 4.3 → 3.2 s at sf0.1. A green row proves the capped
     * postings pipeline keeps exact recall down to τ=0.6 vs the
     * all-pairs oracle AND pins the detector curve.
     */
@@ -1646,7 +1678,6 @@ object Dedup {
       val agg1 = truth.join(hit, Seq("a_id", "b_id"), "left")
         .agg(aggExprs.head, aggExprs.tail: _*)
         .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
-        .transform(graft.Checkpoint.of)
       RC_TAUS_M6.zipWithIndex.map { case (m6, i) =>
         agg1.select(lit(m6).as("tau_m6"),
           coalesce(col(s"nt$i"), lit(0L)).as("n_truth"),

@@ -18,35 +18,31 @@ import graft.{Q, Tables}
   * Scale design:
   *  - Row-level rules on the same table share ONE column-pruned scan:
   *    a single aggregate computes every rule's violation count as a
-  *    `sum(CASE)` beside the shared row count, and the 1-row result is
-  *    checkpointed before fanning out into per-rule report rows (the
-  *    two-consumer trap — without the barrier each rule row would
-  *    re-run the scan).
+  *    `sum(CASE)` beside the shared row count.
   *  - Uniqueness aggregates the KEY, never the row: `count>1` groups
   *    roll up map-side-combined; violations = rows living in
   *    duplicated groups.
-  *  - Referential rules anti-join DISTINCT child keys against the
-  *    parent key set — the probe is |distinct keys|, not |fact rows|.
+  *  - Referential rules left-join DISTINCT child keys against the
+  *    distinct parent key set — the probe is |distinct keys|, not
+  *    |fact rows| — and count keys and orphans in one aggregate.
   *  - The temporal rule rides the one orderkey shuffle the q38 family
   *    already demonstrates is bucketable to zero-exchange.
-  * The final report is a union of 1-row frames — driver-tiny by
-  * construction, independent of data scale.
+  * The whole suite is ONE job: the seven 1-row aggregates meet in
+  * 1-row crossJoins and stack() unpivots the wide row into the 9
+  * report rows — no materialization barriers, every subtree evaluated
+  * exactly once, driver-tiny by construction (r17; the previous shape
+  * paid 4 Checkpoint.of jobs to keep the 9-branch union from
+  * re-running shared scans).
   */
 object Dq {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** One report row from a 1-row aggregate frame. Counts coalesce to
-    * zero: over an EMPTY shard `sum(CASE)` is NULL, and a null
-    * violation count would read as a failing rule (totality —
-    * RobustnessSpec pins it).
+  /** Violation counter beside the shared row count. Report counts
+    * coalesce to zero at the stack() unpivot: over an EMPTY shard
+    * `sum(CASE)` is NULL, and a null violation count would read as a
+    * failing rule (totality — RobustnessSpec pins it).
     */
-  private def ruleRow(agg1: DataFrame, rule: String, nRows: Column,
-      nViol: Column): DataFrame =
-    agg1.select(lit(rule).as("rule"),
-      coalesce(nRows.cast("long"), lit(0L)).as("n_rows"),
-      coalesce(nViol.cast("long"), lit(0L)).as("n_violations"))
-
   private def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
 
   /** The lineitem ROW-LEVEL rules as one 1-row aggregate — shared by
@@ -63,71 +59,82 @@ object Dq {
   private val dqRules = Q(
     "dq_rules",
     (s, dir) => {
+      // ONE physical plan, ONE action (r17): the report used to fan out
+      // of 4 Checkpoint.of barriers (liAgg/ordAgg + one per referential
+      // key set), each a separate ~0.2-0.5 s job whose only purpose was
+      // stopping the union's 9 branches from re-running shared scans.
+      // Instead every rule lands in ONE wide row — seven 1-row
+      // aggregates glued by 1-row × 1-row crossJoins (BNLJ cards, in
+      // PlanSpec's allowlist) — and stack() unpivots it to the 9 report
+      // rows, so each aggregate subtree appears exactly once in one
+      // job and the admission gate is a single pass.
+
       // lineitem row rules — ONE scan, one 1-row aggregate
       val liAgg = lineitemRowAgg(t(s, dir, "lineitem"))
-        .transform(graft.Checkpoint.of)
+        .select(col("n").as("li_n"), col("v_qty"), col("v_disc"))
 
       // orders row rules — ONE scan, one 1-row aggregate
       val ordAgg = t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
+        .agg(count(lit(1)).as("ord_n"),
           viol(col("o_custkey").isNull).as("v_null"),
           viol(!col("o_orderstatus").isin("F", "O", "P")).as("v_dom"))
-        .transform(graft.Checkpoint.of)
 
       // part row rule — one scan
       val partAgg = t(s, dir, "part")
         .select(col("p_retailprice"))
-        .agg(count(lit(1)).as("n"),
+        .agg(count(lit(1)).as("part_n"),
           viol(col("p_retailprice") <= 0).as("v_price"))
 
       // key uniqueness: violations = rows inside duplicated key groups
       val uniqAgg = t(s, dir, "orders").select(col("o_orderkey"))
         .groupBy("o_orderkey").agg(count(lit(1)).as("c"))
-        .agg(sum("c").as("n"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("v"))
+        .agg(sum("c").as("uniq_n"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("uniq_v"))
 
       // referential integrity over DISTINCT NON-NULL child keys — a
       // NULL key is the not_null rule's finding, not an orphan, and
-      // the engines disagree on NULLs here (Spark's left_anti keeps a
-      // null probe row, SQL's COUNT(DISTINCT)/NOT IN drop or poison
-      // it), so the rule domain excludes them EXPLICITLY on both sides
+      // the engines disagree on NULLs here, so the rule domain excludes
+      // them EXPLICITLY on both sides. n and the orphan count come from
+      // ONE left join against the DISTINCT parent keys (matches the
+      // oracle's NOT-IN-over-distinct semantics exactly) instead of an
+      // anti-join plus two counts of the same checkpointed key set.
       def refAgg(child: DataFrame, key: String, parent: DataFrame,
-          pkey: String): DataFrame = {
-        val keys = child.select(col(key)).filter(col(key).isNotNull)
-          .distinct()
-          .transform(graft.Checkpoint.of)
-        val orphans = keys.join(
-          parent.select(col(pkey)).filter(col(pkey).isNotNull),
-          col(key) === col(pkey), "left_anti")
-        keys.agg(count(lit(1)).as("n"))
-          .crossJoin(orphans.agg(count(lit(1)).as("v")))
-      }
+          pkey: String, pfx: String): DataFrame =
+        child.select(col(key)).filter(col(key).isNotNull).distinct()
+          .join(parent.select(col(pkey)).filter(col(pkey).isNotNull)
+            .distinct(), col(key) === col(pkey), "left")
+          .agg(count(lit(1)).as(s"${pfx}_n"),
+            viol(col(pkey).isNull).as(s"${pfx}_v"))
       val liRef = refAgg(t(s, dir, "lineitem"), "l_orderkey",
-        t(s, dir, "orders"), "o_orderkey")
+        t(s, dir, "orders"), "o_orderkey", "liref")
       val ordRef = refAgg(t(s, dir, "orders"), "o_custkey",
-        t(s, dir, "customer"), "c_custkey")
+        t(s, dir, "customer"), "c_custkey", "ordref")
 
       // cross-table temporal rule: a line never ships before its order
       val shipAgg = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_shipdate"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .agg(count(lit(1)).as("n"),
-          viol(col("l_shipdate") < col("o_orderdate")).as("v"))
+        .agg(count(lit(1)).as("ship_n"),
+          viol(col("l_shipdate") < col("o_orderdate")).as("ship_v"))
 
-      Seq(
-        ruleRow(liAgg, "lineitem_discount_range", col("n"), col("v_disc")),
-        ruleRow(liRef, "lineitem_orderkey_ref", col("n"), col("v")),
-        ruleRow(liAgg, "lineitem_quantity_range", col("n"), col("v_qty")),
-        ruleRow(shipAgg, "lineitem_ship_after_order", col("n"), col("v")),
-        ruleRow(ordAgg, "orders_custkey_not_null", col("n"), col("v_null")),
-        ruleRow(ordRef, "orders_custkey_ref", col("n"), col("v")),
-        ruleRow(uniqAgg, "orders_orderkey_unique", col("n"), col("v")),
-        ruleRow(ordAgg, "orders_status_domain", col("n"), col("v_dom")),
-        ruleRow(partAgg, "part_retailprice_positive", col("n"),
-          col("v_price")))
-        .reduce(_ unionByName _)
+      liAgg.crossJoin(ordAgg).crossJoin(partAgg).crossJoin(uniqAgg)
+        .crossJoin(liRef).crossJoin(ordRef).crossJoin(shipAgg)
+        .select(expr("""stack(9,
+          'lineitem_discount_range', li_n, v_disc,
+          'lineitem_orderkey_ref', liref_n, liref_v,
+          'lineitem_quantity_range', li_n, v_qty,
+          'lineitem_ship_after_order', ship_n, ship_v,
+          'orders_custkey_not_null', ord_n, v_null,
+          'orders_custkey_ref', ordref_n, ordref_v,
+          'orders_orderkey_unique', uniq_n, uniq_v,
+          'orders_status_domain', ord_n, v_dom,
+          'part_retailprice_positive', part_n, v_price)
+          as (rule, rn, rv)"""))
+        .select(col("rule"),
+          coalesce(col("rn").cast("long"), lit(0L)).as("n_rows"),
+          coalesce(col("rv").cast("long"), lit(0L)).as("n_violations"))
         .withColumn("pass", col("n_violations") === 0L)
         .orderBy("rule")
     },

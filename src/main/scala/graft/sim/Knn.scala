@@ -2313,10 +2313,11 @@ object Knn {
     * the cutoff tightens, the number an index-tuning loop actually
     * plots): for k ∈ {1, 3, 5}, `recall@k = |top-k exact ∩ top-k
     * approx| / (NQ·k)` in exact integer millionths. Both rankings
-    * already exist WindowGroupLimit-bounded; the curve is three tiny
-    * aggregates over ONE checkpointed rank-pair join (three
-    * consumers — the multi-consumer rule), left-joined from the
-    * k-grid so an empty intersection still reports 0.
+    * already exist WindowGroupLimit-bounded; the rank-pair join feeds
+    * ONE consumer (the k-grid non-equi left join), so it is NOT
+    * checkpointed (r17: the barrier here was pure cost — removing it
+    * measured 4.1 → 1.9 s at sf0.1; the single-consumer chain keeps
+    * one job).
     */
   private val recallCurveQ = Q(
     "knn_recall_curve",
@@ -2328,7 +2329,6 @@ object Knn {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("ar"))
       val m = exact.join(approx, Seq("query_id", "neighbor_id"))
         .select("er", "ar")
-        .transform(graft.Checkpoint.of)
       val ks = Seq(1L, 3L, 5L).toDF("k")
       ks.join(m, col("er") <= col("k") && col("ar") <= col("k"), "left")
         .groupBy("k")
