@@ -227,9 +227,48 @@ object Knn {
     * real clustered embedding corpora the same operator prunes far
     * harder at fixed recall.
     */
-  private[graft] val NLIST = 16
   private[sim] val NPROBE = 8
   private val ITER = 2
+
+  /** Adaptive codebook size — the r14/r17 pinned-knob quadratic fix.
+    * A pinned nlist makes derive-in-query IVF candidate volume
+    * n²·nprobe/nlist (knn_join measured 655 s at sf3, exponent 2.41);
+    * scaling nlist so each inverted list targets [[LIST_CAP]] vectors
+    * makes the probe-side candidate stream n·NPROBE·LIST_CAP — linear.
+    * The trainer's broadcast-argmax assign pass is then n·nlist
+    * (n²/LIST_CAP kernel ops — negligible below ~1M vectors; past
+    * that a two-level coarse quantizer is the production answer, see
+    * OPTIMIZATION_r18.md).
+    *
+    * Lockstep rule: nlist must be THE SAME deterministic integer
+    * function of the training-corpus row count in Spark and in every
+    * DuckDB mirror — [[nlistFor]] and [[sqlNlistLimit]] interpolate
+    * the same three constants, and the SQL counts the same CTE the
+    * Spark side counts (the codebook's own training frame: `e`
+    * everywhere except the incremental oracle, which trains on `eb`).
+    * Below n = NLIST_MIN·LIST_CAP = 4096 this evaluates to
+    * NLIST_MIN = 16, the historical pinned value — every gate sf
+    * (n ≤ 2000) is bit-identical to the pinned-NLIST rounds.
+    */
+  private[graft] val NLIST_MIN = 16
+  private[graft] val LIST_CAP = 256L
+  private[graft] val NLIST_MAX = 1 << 20
+  private[graft] def nlistFor(n: Long): Int = {
+    // overflow-total ceil-div (n + LIST_CAP - 1 would wrap near
+    // Long.Max); identical to the SQL (COUNT(*) + 255) // 256 for every
+    // count below 2^63 - 255, i.e. always
+    val lists = n / LIST_CAP + (if (n % LIST_CAP == 0) 0L else 1L)
+    math.min(NLIST_MAX.toLong, math.max(NLIST_MIN.toLong, lists)).toInt
+  }
+
+  /** DuckDB mirror of [[nlistFor]] as a complete `LIMIT` clause over
+    * the count of `src` (the codebook's training CTE). Inline scalar
+    * subquery — no named CTE, so composed oracles can't collide (the
+    * r11 CTE-name trap).
+    */
+  private[graft] def sqlNlistLimit(src: String): String =
+    s"LIMIT (SELECT LEAST($NLIST_MAX, GREATEST($NLIST_MIN, " +
+      s"(COUNT(*) + ${LIST_CAP - 1}) // $LIST_CAP)) FROM $src)"
 
   /** Nearest-centroid assignment WITHOUT a corpus shuffle: the codebook
     * collapses to one broadcast row holding a cent_id-sorted
@@ -302,11 +341,16 @@ object Knn {
     * so downstream plans see plain attributes, not ITER nested lineages).
     */
   private[graft] def codebook(e: DataFrame): DataFrame = {
+    // nlist adapts to the training corpus (see nlistFor). The count is
+    // a column-pruned scan job per codebook build — cheap next to the
+    // two Lloyd passes it precedes, and it keeps the Spark side in
+    // lockstep with the oracle's COUNT(*) scalar subquery.
+    val nlist = nlistFor(e.count())
     val hk = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
       16, 10).cast("long")
     val seeds = e
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), hk.as("hk"))
-      .orderBy("hk", "cent_id").limit(NLIST).drop("hk")
+      .orderBy("hk", "cent_id").limit(nlist).drop("hk")
       .transform(graft.Checkpoint.of)
     (1 to ITER).foldLeft(seeds) { (cents, _) =>
       val sums = (0 until DIM).map(i =>
@@ -349,7 +393,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("e")}),
     ${sqlLloyd("c0", "a1", "c1")},
     ${sqlLloyd("c1", "a2", "c2")},
     assigned AS (
@@ -923,7 +967,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("e")}),
     ${sqlLloyd("c0", "a1", "c1")},
     ${sqlLloyd("c1", "a2", "c2")},
     assigned AS (
@@ -1042,7 +1086,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("e")}),
     ${sqlLloyd("c0", "a1", "c1")},
     ${sqlLloyd("c1", "a2", "c2")},
     assigned AS (
@@ -1163,7 +1207,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("e")}),
     ${sqlLloyd("c0", "a1", "c1")},
     ${sqlLloyd("c1", "a2", "c2")},
     assigned AS (
@@ -1544,11 +1588,11 @@ object Knn {
   def buildKnnGraphIndexFrom(e: DataFrame, path: String): Unit =
     buildKnnGraphIndexWith(e, codebook(e), path)
 
-  /** [[buildKnnGraphIndexFrom]] with a caller-supplied codebook — the
-    * nlist∝n scale path (the gated queries pin NLIST for oracle
-    * determinism; a production build sizes the codebook to the corpus —
-    * the ProbeNlist receipt), and the hook KnnGraphLayoutSpec uses to
-    * prove the walk's pruned fetch on a clustered corpus.
+  /** [[buildKnnGraphIndexFrom]] with a caller-supplied codebook (since
+    * r18 the default [[codebook]] already sizes nlist ∝ n via
+    * [[nlistFor]], mirrored in every gated oracle), and the hook
+    * KnnGraphLayoutSpec uses to prove the walk's pruned fetch on a
+    * clustered corpus.
     */
   private[graft] def buildKnnGraphIndexWith(e: DataFrame, cb: DataFrame,
       path: String): Unit = {
@@ -2224,7 +2268,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("e")}),
     ${sqlLloyd("c0", "a1", "c1")},
     ${sqlLloyd("c1", "a2", "c2")}
     SELECT cent_id, g.i AS dim_idx, cv[g.i] AS component
@@ -2244,7 +2288,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("e")}),
     ${sqlLloyd("c0", "a1", "c1")},
     ${sqlLloyd("c1", "a2", "c2")}
     SELECT vec_id, cent_id FROM (
@@ -2435,7 +2479,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM eb
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("eb")}),
     ${sqlLloyd("c0", "a1", "c1", "eb")},
     ${sqlLloyd("c1", "a2", "c2", "eb")},
     assigned AS (
@@ -2477,7 +2521,7 @@ object Knn {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT $NLIST),
+      ${sqlNlistLimit("e")}),
     ${sqlLloyd("c0", "a1", "c1")},
     ${sqlLloyd("c1", "a2", "c2")},
     assigned AS (

@@ -22,8 +22,9 @@ import graft.functions.CosineSim.cosineSim
   * cluster size⟩ so each cluster's pairwise tile fits an executor (the
   * paper runs k = 11k on 5B embeddings); the within-cluster self-join is
   * a plain shuffled equi-join on cent_id, and a fat outlier cluster
-  * takes the same grid-blocking used by `dedup_embedding`. NLIST=16
-  * here is the test-scale setting of that knob.
+  * takes the same grid-blocking used by `dedup_embedding`. The shared
+  * [[Knn.nlistFor]] codebook sizes k to n/LIST_CAP (min 16), so the
+  * within-cluster tile stays ~LIST_CAP² regardless of corpus size.
   */
 object SemDedup {
 
@@ -65,7 +66,7 @@ object SemDedup {
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
         vec_id
-      LIMIT ${Knn.NLIST}),
+      ${Knn.sqlNlistLimit("e")}),
     ${Knn.sqlLloyd("c0", "a1", "c1")},
     ${Knn.sqlLloyd("c1", "a2", "c2")},
     assigned AS (

@@ -64,7 +64,8 @@ class KnnSpec extends SparkSpec {
 
   test("graph beam search: recall@5 >= IVF at the same candidate budget") {
     val nq = graft.sim.Knn.NQ
-    val nlist = graft.sim.Knn.NLIST
+    val nlist = graft.sim.Knn.nlistFor(
+      graft.Tables(spark, sfDir, "embeddings").count())
     val beam = pairs("knn_graph_search")
     val rBeam = (beam & exact).size.toDouble / exact.size
     val visPerQ = graft.sim.Knn.graphSearchParts(spark, sfDir)
