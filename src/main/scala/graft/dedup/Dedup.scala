@@ -768,34 +768,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(cos, 6).as("cosine"))
   }
 
-  /** [[lshVerifiedPairs]] restricted to pairs with ≥1 endpoint in
-    * `probe` (a broadcast-sized 1-column `vec_id` frame): candidacy in
-    * the bank depends only on a pair's own two signatures, so this IS
-    * the restriction of the global verified set to probe-incident pairs
-    * — O(|probe|·collisions) instead of the full bucket self-join. The
-    * recall card compares it against the probe-incident exact grid.
+  /** n_found of a SMALL already-τ-verified pair frame against the bank
+    * (r18): a pair is in the verified LSH set iff its own two signatures
+    * share a (tbl, bucket) — candidacy is a per-pair property of the two
+    * signatures (the same argument the probe restriction rests on), and
+    * the pairs handed in already satisfy the τ filter by construction.
+    * So the recall card never needs the bucket self-join + distinct over
+    * the O(|probe|·n/2^EBITS) candidate stream — saturated 4-bit buckets
+    * made that 494M rows / 25 GB sort spill / 780 s at sf3 (the r16
+    * single-band saturation lesson one tier up). Instead: two broadcast
+    * joins attach each pair's signatures to it and `arrays_overlap`
+    * tests collision directly — O(|pairs|) work beyond one signature
+    * scan. Returns the 1-row (n_found) frame.
     */
-  private def lshProbeVerifiedPairs(e: DataFrame,
-      probe: DataFrame): DataFrame = {
-    val sigs = e.select(col("vec_id"),
-        graft.sim.Hyperplanes.buckets(eplanes, col("v")).as("bs"))
-      .transform(graft.Checkpoint.of)
-    val x = sigs.select(col("vec_id"), explode(col("bs")).as("b"))
-      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
-    val px = x.join(broadcast(probe), "vec_id")
-      .select(col("vec_id").as("p_id"), col("tbl"), col("bucket"))
-    val cand = px.join(x, Seq("tbl", "bucket"))
-      .filter(col("p_id") =!= col("vec_id"))
-      .select(least(col("p_id"), col("vec_id")).as("a_id"),
-        greatest(col("p_id"), col("vec_id")).as("b_id"))
-      .distinct()
-    val cos = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
-    cand
-      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
-      .filter(cos >= lit(COS_TAU - 5e-7))
-      .select(col("a_id"), col("b_id"))
+  private[graft] def lshFoundCount(sigs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val withA = sigs.join(broadcast(pairs), col("vec_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("bs").as("bsa"))
+    sigs.join(broadcast(withA), col("vec_id") === col("b_id"))
+      .filter(arrays_overlap(col("bsa"), col("bs")))
+      .agg(count(lit(1)).cast("long").as("n_found"))
   }
+
+  /** The (vec_id, bs) sign-LSH signature table of `e` — checkpointed so
+    * the bank kernel (256 dot products/row) runs once, not once per
+    * consumer scan.
+    */
+  private[graft] def lshSigs(e: DataFrame): DataFrame =
+    graft.Checkpoint.of(e.select(col("vec_id"),
+      graft.sim.Hyperplanes.buckets(eplanes, col("v")).as("bs")))
 
   private val embeddingLsh = Q(
     "dedup_embedding_lsh",
@@ -833,7 +834,7 @@ object Dedup {
     * past [[graft.EvalProbe.CAP]]: every exact pair INCIDENT to the
     * probe set, vs the LSH bank's verification of the same pairs.
     */
-  private def lshRecallProbePath(e: DataFrame): DataFrame = {
+  private[graft] def lshRecallProbePath(e: DataFrame): DataFrame = {
       val probe = graft.EvalProbe.probeIds(e, "vec_id")
       // exact probe-incident τ-pairs: broadcast probe vectors against
       // ONE corpus scan (the knn_bruteforce shape — map-side only, no
@@ -848,13 +849,33 @@ object Dedup {
           .select(least(col("p_id"), col("vec_id")).as("a_id"),
             greatest(col("p_id"), col("vec_id")).as("b_id"))
           .distinct())
-      val got = graft.Checkpoint.of(lshProbeVerifiedPairs(e, probe))
       exact.agg(count(lit(1)).cast("long").as("n_exact"))
-        .crossJoin(exact.join(got, Seq("a_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).cast("long").as("n_found")))
+        .crossJoin(lshFoundCount(lshSigs(e), exact))
         .crossJoin(probe.agg(count(lit(1)).cast("long").as("n_eval")))
         .select(col("n_exact"), col("n_found"),
           (col("n_exact") - col("n_found")).as("n_missed"), col("n_eval"))
+  }
+
+  /** The n ≤ CAP (full-grid) branch of the recall card — separate so
+    * EvalProbeSpec can pin branch agreement at the CAP boundary.
+    */
+  private[graft] def lshRecallFastPath(e: DataFrame, n: Long): DataFrame = {
+        // probe == corpus (every gate sf AND the bench sf land here):
+        // the probe restriction is the identity, but the probe-shaped
+        // exact grid pays ~2× the work — probe×corpus cosines instead
+        // of the blocked half-grid. Run the r16 half-grid exact form;
+        // the output is identical by construction (probe-incident set
+        // with probe = all ids IS the full set). Both branches test
+        // bank membership per-pair via lshFoundCount (r18) — no bucket
+        // self-join in the card on either side of the CAP;
+        // EvalProbeSpec pins branch agreement across the boundary.
+        val exact = graft.Checkpoint.of(
+          blockedCosinePairs(e, COS_TAU).select(col("a_id"), col("b_id")))
+        exact.agg(count(lit(1)).cast("long").as("n_exact"))
+          .crossJoin(lshFoundCount(lshSigs(e), exact))
+          .select(col("n_exact"), col("n_found"),
+            (col("n_exact") - col("n_found")).as("n_missed"),
+            lit(n).cast("long").as("n_eval"))
   }
 
   private val embeddingLshRecall = Q(
@@ -864,27 +885,8 @@ object Dedup {
       // the LSH side (3 consumers of the scan lineage)
       val e = graft.Checkpoint.of(embVecs(s, dir))
       val n = e.count()
-      if (n <= graft.EvalProbe.CAP) {
-        // probe == corpus (every gate sf AND the bench sf land here):
-        // the probe restriction is the identity, but the probe-shaped
-        // plan pays ~2× the work — probe×corpus cosines instead of the
-        // blocked half-grid, and BOTH bucket orientations of the
-        // candidate join instead of the a<b self-join. Run the r16
-        // half-grid forms; the output is identical by construction
-        // (probe-incident set with probe = all ids IS the full set;
-        // measured 8.6 → ~4 s at sf0.1). The probe path below is the
-        // O(CAP·n) tier for corpora that outgrow the cap.
-        val exact = graft.Checkpoint.of(
-          blockedCosinePairs(e, COS_TAU).select(col("a_id"), col("b_id")))
-        val got = graft.Checkpoint.of(
-          lshVerifiedPairs(e).select(col("a_id"), col("b_id")))
-        exact.agg(count(lit(1)).cast("long").as("n_exact"))
-          .crossJoin(exact.join(got, Seq("a_id", "b_id"), "left_semi")
-            .agg(count(lit(1)).cast("long").as("n_found")))
-          .select(col("n_exact"), col("n_found"),
-            (col("n_exact") - col("n_found")).as("n_missed"),
-            lit(n).cast("long").as("n_eval"))
-      } else lshRecallProbePath(e)
+      if (n <= graft.EvalProbe.CAP) lshRecallFastPath(e, n)
+      else lshRecallProbePath(e)
     },
     Some(s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -1485,42 +1485,45 @@ object Multimodal {
       val pv = vecs.join(probe, "vec_id")
         .select(col("vec_id").as("p_id"), col("v").as("pv"))
       val cosP = graft.functions.CosineSim.cosineSim(col("pv"), col("v"))
-      // probe-incident exact grid at `tau`: broadcast probe vectors
-      // against one corpus scan (map-side, no shuffle)
-      def sampledExact(tau: Double) =
+      // ONE probe-incident exact grid at the LOOSE radius, cosine
+      // retained (broadcast probe vectors against one corpus scan —
+      // map-side, no shuffle; the cosine is orientation-symmetric, IEEE
+      // multiply commutes, so the distinct collapses the two emissions
+      // of a both-endpoints-in-probe pair): n_truth counts it, and the
+      // τ=0.98 tier is its cosine-filtered subset — the r17 form paid
+      // the grid twice and then a bucket candidate self-join on top
+      val grid = graft.Checkpoint.of(
         vecs.crossJoin(broadcast(pv))
           .filter(col("p_id") =!= col("vec_id")
-            && cosP >= lit(tau - 5e-7))
+            && cosP >= lit(MM_COS_TAU - 5e-7))
           .select(least(col("p_id"), col("vec_id")).as("a_id"),
-            greatest(col("p_id"), col("vec_id")).as("b_id"))
-          .distinct()
+            greatest(col("p_id"), col("vec_id")).as("b_id"),
+            cosP.as("cos"))
+          .distinct())
       // the τ=0.98 LSH DEDUP tier restricted to probe-incident pairs:
-      // candidacy depends only on a pair's own two signatures, so this
-      // is exactly what [[embedDedup]]'s bank verifies of these pairs —
-      // the oracle states the exact sampled grid, so a bank miss still
+      // candidacy depends only on a pair's own two signatures, so
+      // membership of an exact-verified pair in [[embedDedup]]'s bank
+      // output ⟺ its two band signatures collide somewhere. Test that
+      // per PAIR (broadcast the small pair set through the bucket
+      // table twice) instead of the probe×bucket candidate self-join —
+      // saturated buckets made that join the sf3 wall (the
+      // dedup_embedding_lsh_recall lshFoundCount rationale); the
+      // oracle still states the exact sampled grid, so a bank miss
       // fails the gate loudly
       val buckets = graft.Checkpoint.of(
         graft.dedup.Dedup.bandBucketsFromShingles(
           byteGramShingles(media), MM_DEDUP_PERMS, MM_DEDUP_BANDS))
-      val px = buckets
-        .join(broadcast(probe.select(col("vec_id").as("doc_id"))), "doc_id")
-        .select(col("doc_id").as("p_id"), col("band"), col("bh"))
-      val cand = px.join(buckets, Seq("band", "bh"))
-        .filter(col("p_id") =!= col("doc_id"))
-        .select(least(col("p_id"), col("doc_id")).as("a_id"),
-          greatest(col("p_id"), col("doc_id")).as("b_id"))
-        .distinct()
-      val cosV = graft.functions.CosineSim.cosineSim(col("va"), col("vb"))
-      val found = cand
-        .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")),
-          "a_id")
-        .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")),
-          "b_id")
-        .filter(cosV >= lit(MM_DEDUP_TAU - 5e-7))
+      val p98 = grid.filter(col("cos") >= lit(MM_DEDUP_TAU - 5e-7))
         .select(col("a_id"), col("b_id"))
-      val nt = sampledExact(MM_COS_TAU)
-        .agg(count(lit(1)).cast("long").as("n_truth"))
-      val nf = found.agg(count(lit(1)).cast("long").as("n_found"))
+      val withA = buckets.join(broadcast(p98), col("doc_id") === col("a_id"))
+        .select(col("a_id"), col("b_id"),
+          col("band").as("aband"), col("bh").as("abh"))
+      val nf = buckets.join(broadcast(withA),
+          col("doc_id") === col("b_id") && col("band") === col("aband")
+            && col("bh") === col("abh"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      val nt = grid.agg(count(lit(1)).cast("long").as("n_truth"))
       nt.crossJoin(broadcast(nf))
         .crossJoin(probe.agg(count(lit(1)).cast("long").as("n_eval")))
         .select(col("n_truth"), col("n_found"),

@@ -44,6 +44,45 @@ class EvalProbeSpec extends SparkSpec {
     assert(a.toSet == expect)
   }
 
+  test("dedup recall-card branches agree at the CAP boundary") {
+    // the oracle gate only ever exercises the fast path (every gate sf
+    // has n <= CAP), so branch drift would surface only at un-gated
+    // bench sfs — pin the identity here instead (r17 ADVICE item).
+    // Synthetic corpus of exactly CAP vectors with planted sibling
+    // near-dups (2i ~ 2i+1), so n_exact > 0 and both the exact grid and
+    // the bank see real pairs.
+    // hash-based components: independent pseudo-random vectors are
+    // near-orthogonal (cos ~ N(0, 1/8)), so the τ=0.4 grid stays small
+    // — smooth sin(phase) vectors would correlate as cos(Δphase) and
+    // make ~40% of all pairs "exact", blowing the broadcast
+    def corpus(n: Int) = spark.range(n).toDF("vec_id")
+      .withColumn("v", array((0 until 64).map(i =>
+        (xxhash64((col("vec_id") / 2).cast("long"), lit(i)) % 1000)
+          .cast("double") / 500.0
+          + (col("vec_id") % 2) * lit(1e-3)): _*))
+    val atCap = corpus(EvalProbe.CAP)
+    val fast = graft.dedup.Dedup
+      .lshRecallFastPath(atCap, EvalProbe.CAP).collect().head
+    val probeAt = graft.dedup.Dedup
+      .lshRecallProbePath(atCap).collect().head
+    // probe == whole corpus at n == CAP: all four columns identical
+    assert(fast.getLong(0) == probeAt.getLong(0), "n_exact")
+    assert(fast.getLong(1) == probeAt.getLong(1), "n_found")
+    assert(fast.getLong(2) == probeAt.getLong(2), "n_missed")
+    assert(fast.getLong(3) == probeAt.getLong(3), "n_eval")
+    assert(fast.getLong(0) > 0, "planted pairs must be visible")
+    // one past the boundary: the probe tier caps n_eval and can only
+    // lose pairs relative to the full grid
+    val past = corpus(EvalProbe.CAP + 1)
+    val probePast = graft.dedup.Dedup
+      .lshRecallProbePath(past).collect().head
+    val fastPast = graft.dedup.Dedup
+      .lshRecallFastPath(past, EvalProbe.CAP + 1).collect().head
+    assert(probePast.getLong(3) == EvalProbe.CAP, "n_eval capped")
+    assert(probePast.getLong(0) <= fastPast.getLong(0),
+      "probe-incident exact set is a subset of the full grid")
+  }
+
   test("probe ids near 2^43 cannot wrap the rank multiply") {
     val big = Seq(1L << 43, (1L << 43) + 7L, Long.MaxValue / 4)
     val got = EvalProbe.probeIds(big.toDF("vec_id"), "vec_id")
