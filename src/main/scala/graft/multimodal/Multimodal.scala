@@ -316,6 +316,14 @@ object Multimodal {
   private val PH_DEMO_BANDS = 12
   private val PH_DEMO_HAM = 10
 
+  /** Broadcast ceiling for the banded self-join's build side, in REAL
+    * post-explode rows (media_id+phash+key ≈ 50 B framed → ~150 MB at
+    * the cap — "a few hundred MB is usually fine" per guide §3.1, far
+    * under the 8 GB broadcast cap). Above it the join goes sort-merge;
+    * see [[perceptualPairs]].
+    */
+  private val BCAST_KEY_ROWS = 3000000L
+
   /** (media_id, phash) for every non-empty payload — empty payloads hash
     * to 0 and are dropped BEFORE pairing (they would all collide at
     * hamming 0; the dedup_simhash empty-doc rule). Map-only codegen.
@@ -363,7 +371,29 @@ object Multimodal {
         graft.functions.PhashSubsetKeys(
           org.apache.spark.sql.graft.Shim.expression(col("phash")),
           bands, width, g))).as("k"))
-    keyed.as("x").join(keyed.as("y"),
+    // r18: pick the self-join strategy DELIBERATELY (guide §3.1) —
+    // Catalyst sizes `keyed` from the pre-explode checkpoint (Generate
+    // stats ignore the C(bands,g)-way fanout: ×495 here), so the
+    // planner saw "16 MiB" where the real build side is n·C(bands,g)
+    // rows — 1.5+ GB at sf3: the 8 GB-driver broadcast OOM of the r17
+    // sweep, and even at 24 GB the giant broadcast relation made the
+    // family 30-40× slower than a shuffle join (386.6 s vs 93.7 s,
+    // PHASHJOIN_r18.json + plans/r18/mm_dedup_perceptual_before.txt
+    // operator (9)). Strategy by the REAL build-row count, which the
+    // planner cannot see but we can state exactly:
+    //   ≤ BCAST_KEY_ROWS (≈tens of MB) → explicit broadcast (measured
+    //     fastest at gate/bench sfs);
+    //   above → sort-merge. NOT shuffled-hash: saturated keys
+    //     (templated content) skew the per-partition builds and SHJ
+    //     cannot spill its hash relation — measured "Can't acquire
+    //     67108864 bytes" at sf3.
+    val keyRows = h.count() * Seq.tabulate(g)(i =>
+      (bands - i).toLong).product / Seq.tabulate(g)(i =>
+      (i + 1).toLong).product
+    val ySide =
+      if (keyRows <= BCAST_KEY_ROWS) broadcast(keyed.as("y"))
+      else keyed.as("y").hint("merge")
+    keyed.as("x").join(ySide,
         col("x.k") === col("y.k")
           && col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),

@@ -56,6 +56,12 @@ object Pipelines {
       .transform(graft.Checkpoint.of)
   }
 
+  /** Probe hook (ProbePipeline): [[stages]] without widening its
+    * visibility for production callers.
+    */
+  private[graft] def stagesForProbe(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = stages(s, dir)
+
   private def stages(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val deduped = dedupedStage(s, dir)
